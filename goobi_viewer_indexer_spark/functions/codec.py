@@ -1,0 +1,178 @@
+"""Posting-list codec: delta-gap + LEB128 varint docIDs, varint tfs, skip
+blocks and block-max metadata.
+
+Replaces the Lucene codec behind the reference's Solr queries
+(helper/SolrSearchIndex.java:189-215 delegates all of this to Lucene
+segments).  Everything is vectorized numpy — these functions run inside
+Arrow pandas UDFs on executors, so no per-row Python.
+
+Layout per posting list (one term within one segment's doc_id range):
+
+* ``doc_ids`` — strictly increasing int64, encoded as varint(delta-1 gaps)
+  with the first value encoded absolutely (delta from -1).
+* ``tfs``    — varint(tf-1), parallel to doc_ids.
+* skip/block metadata every ``block_size`` postings:
+  ``block_last_doc[i]``  last docID of block i (skip pointer),
+  ``block_doc_off[i]``   byte offset of block i in the doc_ids buffer,
+  ``block_tf_off[i]``    byte offset of block i in the tfs buffer,
+  ``block_max_w[i]``     max over block of tf/(tf + k1*(1-b+b*dl/avgdl)),
+  the doc-dependent BM25 factor — multiplied by idf at query time this is
+  the block's score upper bound for block-max WAND pruning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "varint_encode",
+    "varint_decode",
+    "encode_postings",
+    "decode_postings",
+    "bm25_weight",
+]
+
+_THRESH = [1 << (7 * i) for i in range(1, 10)]  # varint length breakpoints
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + (#thresholds <= v)
+    lengths = np.ones(v.size, dtype=np.int64)
+    for t in _THRESH:
+        lengths += (v >= np.uint64(t)).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    out = np.zeros(int(lengths.sum()), dtype=np.uint8)
+    pending = v.copy()
+    max_len = int(lengths.max())
+    for k in range(max_len):
+        live = lengths > k
+        byte = (pending[live] & np.uint64(0x7F)).astype(np.uint8)
+        more = lengths[live] > (k + 1)
+        byte |= more.astype(np.uint8) << 7
+        out[offsets[live] + k] = byte
+        pending[live] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | np.ndarray, offset: int = 0, count: int | None = None) -> np.ndarray:
+    """Vectorized LEB128 decode → uint64 array.
+
+    ``offset`` is a byte offset into ``buf`` (used with skip pointers);
+    ``count`` limits how many values to decode (None = all).
+    """
+    data = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if offset:
+        data = data[offset:]
+    if data.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_last = (data & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    if count is not None:
+        ends = ends[:count]
+        data = data[: ends[-1] + 1] if ends.size else data[:0]
+    n = ends.size
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    out = np.zeros(n, dtype=np.uint64)
+    max_len = int(lengths.max())
+    for k in range(max_len):
+        live = lengths > k
+        out[live] |= (data[starts[live] + k] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * k)
+    return out
+
+
+def bm25_weight(tfs: np.ndarray, doclens: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
+    """Doc-dependent BM25 factor w = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
+
+    Query-time score = idf(term) * w; block_max stores max(w) per block so
+    idf * block_max upper-bounds any score inside the block.
+    """
+    tf = tfs.astype(np.float64)
+    dl = doclens.astype(np.float64)
+    denom_norm = k1 * (1.0 - b + b * dl / (avgdl if avgdl > 0 else 1.0))
+    return tf * (k1 + 1.0) / (tf + denom_norm)
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int = 128,
+) -> dict:
+    """Encode one posting list (doc_ids strictly increasing).
+
+    ``doclens[i]`` is the token length of ``doc_ids[i]``'s document — needed
+    only for block-max computation at build time.
+    Returns dict with binary buffers + block metadata arrays.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = doc_ids.size
+    assert n > 0
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = np.uint64(doc_ids[0])
+    if n > 1:
+        deltas = np.diff(doc_ids)
+        if (deltas <= 0).any():
+            raise ValueError("doc_ids must be strictly increasing")
+        gaps[1:] = (deltas - 1).astype(np.uint64)
+
+    w = bm25_weight(tfs, doclens, avgdl, k1, b)
+
+    n_blocks = (n + block_size - 1) // block_size
+    block_last_doc = np.empty(n_blocks, dtype=np.int64)
+    block_doc_off = np.empty(n_blocks, dtype=np.int64)
+    block_tf_off = np.empty(n_blocks, dtype=np.int64)
+    block_max_w = np.empty(n_blocks, dtype=np.float64)
+
+    doc_chunks: list[bytes] = []
+    tf_chunks: list[bytes] = []
+    d_off = t_off = 0
+    for i in range(n_blocks):
+        lo, hi = i * block_size, min((i + 1) * block_size, n)
+        dch = varint_encode(gaps[lo:hi])
+        tch = varint_encode((tfs[lo:hi] - 1).astype(np.uint64))
+        block_doc_off[i] = d_off
+        block_tf_off[i] = t_off
+        block_last_doc[i] = doc_ids[hi - 1]
+        block_max_w[i] = w[lo:hi].max()
+        d_off += len(dch)
+        t_off += len(tch)
+        doc_chunks.append(dch)
+        tf_chunks.append(tch)
+
+    return {
+        "doc_bytes": b"".join(doc_chunks),
+        "tf_bytes": b"".join(tf_chunks),
+        "count": n,
+        "block_last_doc": block_last_doc,
+        "block_doc_off": block_doc_off,
+        "block_tf_off": block_tf_off,
+        "block_max_w": block_max_w,
+        "min_doc": int(doc_ids[0]),
+        "max_doc": int(doc_ids[-1]),
+    }
+
+
+def decode_postings(doc_bytes: bytes, tf_bytes: bytes, count: int, first_block_base: int = -1) -> tuple[np.ndarray, np.ndarray]:
+    """Full decode of one encoded posting list → (doc_ids int64, tfs int64).
+
+    Inverse of :func:`encode_postings` (block boundaries don't matter for a
+    full decode because gaps are relative to the previous posting globally
+    within the list — blocks only add byte offsets).
+    """
+    gaps = varint_decode(doc_bytes, count=count).astype(np.int64)
+    if gaps.size == 0:
+        return gaps, gaps
+    doc_ids = np.cumsum(gaps + 1) - 1 + (first_block_base + 1)
+    tfs = varint_decode(tf_bytes, count=count).astype(np.int64) + 1
+    return doc_ids, tfs
