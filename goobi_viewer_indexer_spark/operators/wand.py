@@ -1,0 +1,257 @@
+"""Block-max top-k BM25 scoring kernels (numpy, engine hot path).
+
+Replaces the query execution the reference outsources to Solr/Lucene
+(helper/SolrSearchIndex.java:189-215; Solr 9's BM25 + WAND via
+minExactCount).  Two modes:
+
+* disjunctive (OR): block-max pruning in the WAND family — the doc space
+  is partitioned into elementary intervals by the union of all lists'
+  block boundaries; each interval's score upper bound is the sum of the
+  covering blocks' ``idf * block_max_w``.  Intervals are processed in
+  descending UB order, maintaining the running top-k threshold θ; once
+  UB ≤ θ every remaining interval (and its undecoded blocks) is pruned.
+  Exact: a doc outside processed intervals cannot beat θ.
+* conjunctive (AND): galloping block-skip intersection — iterate the
+  rarest list's postings, skip other lists block-wise via searchsorted on
+  ``block_last_doc``, decode only touched blocks.
+
+These kernels run either on the driver (LocalSearcher, for p95 latency)
+or inside ``applyInPandas`` per doc-range (distributed scorer) — same
+code, same results, rank-identical to the naive DataFrame scorer.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from goobi_viewer_indexer_spark.functions import codec
+
+__all__ = ["TermList", "score_topk", "idf"]
+
+
+def idf(n_docs: int, df: int) -> float:
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+@dataclass
+class TermList:
+    """One term's (merged) posting list + query-time weight."""
+
+    term: str
+    idf: float
+    doc_bytes: bytes
+    tf_bytes: bytes
+    block_last_doc: np.ndarray   # int64 [nb]
+    block_doc_off: np.ndarray    # int64 [nb]
+    block_tf_off: np.ndarray     # int64 [nb]
+    block_max_w: np.ndarray      # float64 [nb]
+    df: int = 0
+    _cache: dict = field(default_factory=dict)
+
+    def n_blocks(self) -> int:
+        return len(self.block_last_doc)
+
+    def block_first_doc(self, i: int) -> int:
+        # first doc of block i is > block_last_doc[i-1]
+        return int(self.block_last_doc[i - 1]) + 1 if i > 0 else 0
+
+    def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, tfs) of block i; decodes lazily, caches."""
+        hit = self._cache.get(i)
+        if hit is not None:
+            return hit
+        d_lo = int(self.block_doc_off[i])
+        d_hi = int(self.block_doc_off[i + 1]) if i + 1 < len(self.block_doc_off) else len(self.doc_bytes)
+        t_lo = int(self.block_tf_off[i])
+        t_hi = int(self.block_tf_off[i + 1]) if i + 1 < len(self.block_tf_off) else len(self.tf_bytes)
+        base = int(self.block_last_doc[i - 1]) if i > 0 else -1
+        gaps = codec.varint_decode(self.doc_bytes[d_lo:d_hi]).astype(np.int64)
+        docs = np.cumsum(gaps + 1) - 1 + (base + 1)
+        tfs = codec.varint_decode(self.tf_bytes[t_lo:t_hi]).astype(np.int64) + 1
+        self._cache[i] = (docs, tfs)
+        return docs, tfs
+
+    def decode_range(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
+        """Postings with lo <= doc_id <= hi, decoding only touched blocks."""
+        bl = self.block_last_doc
+        b0 = int(np.searchsorted(bl, lo, side="left"))
+        if b0 >= len(bl):
+            e = np.zeros(0, np.int64)
+            return e, e
+        out_d, out_t = [], []
+        for i in range(b0, len(bl)):
+            if self.block_first_doc(i) > hi:
+                break
+            d, t = self.decode_block(i)
+            m = (d >= lo) & (d <= hi)
+            if m.any():
+                out_d.append(d[m])
+                out_t.append(t[m])
+        if not out_d:
+            e = np.zeros(0, np.int64)
+            return e, e
+        return np.concatenate(out_d), np.concatenate(out_t)
+
+
+def _bm25(tfs: np.ndarray, dls: np.ndarray, w_idf: float, avgdl: float, k1: float, b: float) -> np.ndarray:
+    return w_idf * codec.bm25_weight(tfs, dls, avgdl, k1, b)
+
+
+class DenseDoclens:
+    """Doclen lookup over dense doc_ids: ``doclens[doc - base]``.
+
+    Dense deterministic ids (plans/build.assign_doc_ids) make doclen
+    storage a flat int32 array per doc range — no per-query shuffle of a
+    doc_stats table, the scorer just indexes."""
+
+    def __init__(self, base: int, doclens: np.ndarray):
+        self.base = base
+        self.lens = doclens
+
+    def __call__(self, docs: np.ndarray) -> np.ndarray:
+        return self.lens[docs - self.base]
+
+
+def _topk_select(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k by (score desc, doc_id asc), deterministic."""
+    if docs.size == 0:
+        return docs, scores
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order]
+
+
+def _score_and(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi: int):
+    """Galloping block-skip intersection, rarest list drives."""
+    lists = sorted(lists, key=lambda L: (L.df if L.df else 1 << 60))
+    lead = lists[0]
+    docs, tfs = lead.decode_range(lo, hi)
+    if docs.size == 0:
+        return docs, np.zeros(0, np.float64)
+    scores = _bm25(tfs, dl(docs), lead.idf, avgdl, k1, b)
+    for L in lists[1:]:
+        if docs.size == 0:
+            break
+        # which block of L would contain each candidate
+        blk = np.searchsorted(L.block_last_doc, docs, side="left")
+        keep_mask = blk < L.n_blocks()
+        docs, scores, blk = docs[keep_mask], scores[keep_mask], blk[keep_mask]
+        if docs.size == 0:
+            break
+        found = np.zeros(docs.size, dtype=bool)
+        tfs = np.zeros(docs.size, dtype=np.int64)
+        for bi in np.unique(blk):
+            d, t = L.decode_block(int(bi))
+            sel = blk == bi
+            pos = np.searchsorted(d, docs[sel])
+            ok = (pos < d.size) & (d[np.minimum(pos, d.size - 1)] == docs[sel])
+            f = found[sel]
+            f[:] = ok
+            found[sel] = f
+            tt = tfs[sel]
+            tt[ok] = t[np.minimum(pos, d.size - 1)][ok]
+            tfs[sel] = tt
+        docs, scores, tfs = docs[found], scores[found], tfs[found]
+        if docs.size:
+            scores = scores + _bm25(tfs, dl(docs), L.idf, avgdl, k1, b)
+    return _topk_select(docs, scores, k)
+
+
+def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi: int):
+    """Block-max interval pruning (WAND family), exact top-k."""
+    # elementary intervals from the union of block boundaries, clipped to
+    # this task's doc range [lo, hi]
+    bounds = np.unique(np.concatenate([L.block_last_doc for L in lists]))
+    bounds = bounds[(bounds >= lo)]
+    if bounds.size == 0 or lo > hi:
+        e = np.zeros(0, np.int64)
+        return e, np.zeros(0, np.float64)
+    keep = bounds <= hi
+    if not keep.all():
+        # first boundary past hi still owns the tail interval up to hi
+        bounds = np.concatenate((bounds[keep], [hi]))
+    lo_edges = np.maximum(np.concatenate(([0], bounds[:-1] + 1)), lo)
+    hi_edges = np.minimum(bounds, hi)
+    n_int = bounds.size
+
+    # UB per interval = sum over lists of covering block's idf*block_max_w
+    ub = np.zeros(n_int, dtype=np.float64)
+    for L in lists:
+        blk = np.searchsorted(L.block_last_doc, hi_edges, side="left")
+        # interval is inside block blk iff blk valid and block covers lo..hi
+        valid = blk < L.n_blocks()
+        bmax = np.zeros(n_int)
+        bmax[valid] = L.idf * L.block_max_w[blk[valid]]
+        # the covering block must start at or before the interval's end
+        firsts = np.where(blk > 0, L.block_last_doc[np.maximum(blk - 1, 0)] + 1, 0)
+        bmax[valid & (firsts > hi_edges)] = 0.0
+        ub += bmax
+
+    order = np.argsort(-ub, kind="stable")
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
+    theta = -np.inf
+    for ii in order:
+        # strict <: an interval with UB == θ can still improve the top-k
+        # via the doc_id tie-break (FIXTURES.md q10), so it must be scored
+        if ub[ii] < theta and len(heap) >= k:
+            break  # every remaining interval is pruned
+        lo, hi = int(lo_edges[ii]), int(hi_edges[ii])
+        parts_d, parts_s = [], []
+        for L in lists:
+            d, t = L.decode_range(lo, hi)
+            if d.size:
+                parts_d.append(d)
+                parts_s.append(_bm25(t, dl(d), L.idf, avgdl, k1, b))
+        if not parts_d:
+            continue
+        alld = np.concatenate(parts_d)
+        alls = np.concatenate(parts_s)
+        udocs, inv = np.unique(alld, return_inverse=True)
+        uscores = np.zeros(udocs.size)
+        np.add.at(uscores, inv, alls)
+        for dcc, scc in zip(udocs, uscores):
+            entry = (float(scc), -int(dcc))
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+        if len(heap) >= k:
+            theta = heap[0][0]
+    if not heap:
+        e = np.zeros(0, np.int64)
+        return e, np.zeros(0, np.float64)
+    items = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return (
+        np.array([-d for _, d in items], dtype=np.int64),
+        np.array([s for s, _ in items], dtype=np.float64),
+    )
+
+
+def score_topk(
+    lists: list[TermList],
+    dl,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    mode: str = "or",
+    lo: int = 0,
+    hi: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k (doc_ids, raw scores) restricted to docs in [lo, hi].
+
+    ``lists`` must contain at most one TermList per term per range; ``dl``
+    is a callable mapping a doc_id array to doclens (see DenseDoclens).
+    In AND mode every query term must have a list present — the caller
+    handles terms with no postings in the range (→ empty result).
+    """
+    if not lists:
+        e = np.zeros(0, np.int64)
+        return e, np.zeros(0, np.float64)
+    if hi is None:
+        hi = int(max(int(L.block_last_doc[-1]) for L in lists))
+    if mode == "and":
+        return _score_and(lists, dl, avgdl, k1, b, k, lo, hi)
+    return _score_or(lists, dl, avgdl, k1, b, k, lo, hi)

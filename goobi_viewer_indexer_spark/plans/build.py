@@ -1,0 +1,233 @@
+"""Index-build orchestration: the reference's hotfolder→Solr pipeline
+(SolrIndexerDaemon.java:172-260, helper/Hotfolder.java:431-503) as one
+declarative Spark job with per-batch lineage manifests and
+checkpoint-resume.
+
+Layout under ``index_dir``::
+
+    meta.json                scalar stats + config (n_docs, avgdl, nseg, …)
+    doc_stats/               parquet (doc_id, seg, doclen, sha256)
+    partials/batch=<i>/      stage-1 SPIMI segments (kept for resume)
+    partials_manifest/batch=<i>/   per-segment lineage rows
+    postings/                parquet partitioned by bucket=pmod(hash(term),B)
+    term_stats/              parquet (term, df, cf, bucket)
+    _STAGE1_DONE, _SUCCESS   commit markers (atomic-commit analog of the
+                             reference's Solr commit + file moves,
+                             helper/SolrSearchIndex.java:538-594 /
+                             MetsIndexer.java:176-247)
+
+Resume contract (north rule): a killed build restarts without recomputing
+finished work and without double-counting df/cf — stage 1 skips segments
+whose batch manifest landed; stage 2 is a pure function of the persisted
+partials, so re-running it is idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goobi_viewer_indexer_spark.config import IndexConfig
+from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr
+from goobi_viewer_indexer_spark.operators import spimi
+
+__all__ = ["build_index", "assign_doc_ids"]
+
+
+def assign_doc_ids(docs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Deterministic dense doc_id from the sorted natural key — the
+    replacement for the reference's random UUID iddoc (Indexer.java:480-482;
+    determinism is required for rank-identical replay).
+
+    Scale note (SURVEY.md §7 hard part 5): a single global row_number would
+    serialize on one partition.  Instead: repartitionByRange on the key
+    (range exchange = sample-based, no global sort bottleneck), sort within
+    partitions, then offset per-partition local ranks by partition counts —
+    two narrow passes + one tiny driver-side cumsum over partition counts.
+    """
+    from pyspark.sql.window import Window
+
+    key = [F.col(c) for c in key_cols]
+    ranged = docs.repartitionByRange(*key).sortWithinPartitions(*key)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(*key)
+    return (
+        with_pid.withColumn("_local", F.row_number().over(w) - 1)
+        .withColumn("doc_id", (omap[F.col("_pid")] + F.col("_local")).cast("long"))
+        .drop("_pid", "_local")
+    )
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+
+
+def load_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        return json.load(f)
+
+
+def build_index(
+    docs: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig = IndexConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_batches: int = 1,
+    fail_after_batches: int | None = None,
+) -> dict:
+    """Full SPIMI build.  ``docs`` needs a dense ``id_col`` (use
+    :func:`assign_doc_ids` first for natural-key tables).
+
+    ``fail_after_batches`` injects a crash after that many stage-1 batches
+    (test hook for the resume contract).  Returns the meta dict.
+    """
+    spark = docs.sparkSession
+    os.makedirs(index_dir, exist_ok=True)
+    if os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        return load_meta(index_dir)
+
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    # ---- stage 0: doc stats + scalars (Solr field-stats analog) ----
+    dstats_path = os.path.join(index_dir, "doc_stats")
+    if not os.path.exists(os.path.join(dstats_path, "_SUCCESS")):
+        (
+            docs.select(
+                "doc_id",
+                F.size(tokenize_expr("text")).alias("doclen"),
+                F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("sha256"),
+            )
+            .withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
+            .repartitionByRange(max(1, cfg.shuffle_partitions // 2), "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(dstats_path)
+        )
+    dstats = spark.read.parquet(dstats_path)
+    g = dstats.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl"), F.max("seg").alias("maxseg")).collect()[0]
+    n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 0.0)
+    nseg = int(g["maxseg"]) + 1 if g["maxseg"] is not None else 1
+
+    meta = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "nseg": nseg,
+        "docs_per_segment": cfg.docs_per_segment,
+        "merge_fanin": cfg.merge_fanin,
+        "block_size": cfg.block_size,
+        "postings_buckets": cfg.postings_buckets,
+        "k1": cfg.k1,
+        "b": cfg.b,
+    }
+    _write_meta(index_dir, meta)
+
+    # ---- stage 0.5: packed doclens per doc range ----
+    # Dense doc_ids make doclens a flat int32 array per scoring range
+    # (span = docs_per_segment * merge_fanin): the query-side scorer joins
+    # one small row per range instead of shuffling the doc_stats table.
+    span = cfg.docs_per_segment * cfg.merge_fanin
+    dlp_path = os.path.join(index_dir, "doclens_packed")
+    if not os.path.exists(os.path.join(dlp_path, "_SUCCESS")):
+        import numpy as np
+        import pandas as pd
+
+        def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values("doc_id")
+            rng = int(pdf["rng"].iloc[0])
+            base = rng * span
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            arr = np.zeros(int(ids[-1]) - base + 1, dtype=np.int32)
+            arr[ids - base] = pdf["doclen"].to_numpy(np.int32)
+            return pd.DataFrame({"rng": [rng], "base": [base], "doclens": [arr.tobytes()]})
+
+        (
+            dstats.withColumn("rng", (F.col("doc_id") / span).cast("int"))
+            .select("rng", "doc_id", "doclen")
+            .groupBy("rng")
+            .applyInPandas(pack, "rng int, base long, doclens binary")
+            .write.mode("overwrite")
+            .parquet(dlp_path)
+        )
+
+    # ---- stage 1: SPIMI partials, batched by segment for resumability ----
+    stage1_marker = os.path.join(index_dir, "_STAGE1_DONE")
+    part_root = os.path.join(index_dir, "partials")
+    man_root = os.path.join(index_dir, "partials_manifest")
+    if not os.path.exists(stage1_marker):
+        n_batches = max(1, min(n_batches, nseg))
+        docs_seg = docs.withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
+        done_batches = set()
+        if os.path.exists(man_root):
+            for d in os.listdir(man_root):
+                if d.startswith("batch=") and os.path.exists(os.path.join(man_root, d, "_SUCCESS")):
+                    done_batches.add(int(d.split("=")[1]))
+        segs_per_batch = math.ceil(nseg / n_batches)
+        ran = 0
+        for bi in range(n_batches):
+            if bi in done_batches:
+                continue
+            if fail_after_batches is not None and ran >= fail_after_batches:
+                raise RuntimeError(f"injected failure after {ran} stage-1 batches")
+            lo, hi = bi * segs_per_batch, min((bi + 1) * segs_per_batch, nseg)
+            batch_docs = docs_seg.filter((F.col("seg") >= lo) & (F.col("seg") < hi))
+            partials = spimi.build_partials(batch_docs, avgdl, cfg)
+            partials.write.mode("overwrite").parquet(os.path.join(part_root, f"batch={bi}"))
+            # lineage manifest: per-segment row counts + content fingerprint
+            (
+                batch_docs.groupBy("seg")
+                .agg(
+                    F.count("*").alias("row_count"),
+                    F.min("doc_id").alias("min_doc"),
+                    F.max("doc_id").alias("max_doc"),
+                    F.bit_xor(F.xxhash64(F.coalesce(F.col("text"), F.lit("")))).alias("content_fingerprint"),
+                )
+                .withColumn("build_ts", F.lit(time.time()))
+                .write.mode("overwrite")
+                .parquet(os.path.join(man_root, f"batch={bi}"))
+            )
+            ran += 1
+        with open(stage1_marker, "w") as f:
+            f.write("ok")
+
+    # ---- stage 2: salted merge + light-term compaction + bucketed write ----
+    partials = spark.read.option("basePath", part_root).parquet(part_root + "/batch=*")
+    merged = spimi.merge_partials(partials.drop("batch"), cfg)
+    final = spimi.compact_light_terms(merged, cfg)
+    final = final.withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
+    post_path = os.path.join(index_dir, "postings")
+    final.write.mode("overwrite").partitionBy("bucket").parquet(post_path)
+
+    # term stats from stage-1 partials (exact df/cf, no double count:
+    # each (term, seg) appears exactly once across batch manifests)
+    ts_path = os.path.join(index_dir, "term_stats")
+    (
+        partials.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(ts_path)
+    )
+
+    with open(os.path.join(index_dir, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return meta
+
+
+def destroy_index(index_dir: str) -> None:
+    if os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
