@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Headline benchmark — driver contract: prints ONE JSON line
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Measures (BASELINE.md §2):
+* index-build throughput (docs/sec): full SPIMI build + salted merge +
+  stats over (a) the sf documents table and (b) a larger synthetic
+  source-code corpus (input_hint shape) — the 100 TB-shaped workload;
+* top-k BM25 latency: distributed search wall time and LocalSearcher
+  p50/p95 over repeated mixed conjunctive/disjunctive queries;
+* representative operator timings (dedup LSH, ANN, text quality,
+  relational join/window) at the bench scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_CORPUS_DOCS", "20000"))
+QUERY_REPS = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "20"))
+
+BENCH_QUERIES = [
+    (["table", "join"], "or", 10),
+    (["table", "join"], "and", 10),
+    (["spark", "window", "value"], "or", 10),
+    (["the"], "or", 20),
+    (["value", "row", "data", "key", "fast"], "or", 100),
+    (["zzznope", "table"], "or", 10),
+]
+CORPUS_QUERIES = [
+    (["def", "return", "token"], "or", 10),
+    (["class", "import"], "and", 10),
+    (["def"], "or", 10),
+    (["lexer", "parse", "state", "config", "word13"], "or", 100),
+]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from goobi_viewer_indexer_spark.config import IndexConfig
+    from goobi_viewer_indexer_spark.operators import dedup, similarity, text_analysis
+    from goobi_viewer_indexer_spark.operators.search import InvertedIndex
+    from goobi_viewer_indexer_spark.plans.build import build_index, assign_doc_ids
+    from goobi_viewer_indexer_spark.session import get_spark
+    from goobi_viewer_indexer_spark.sources.corpus import generate_corpus
+    from goobi_viewer_indexer_spark import suite
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+    t_all = time.time()
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+
+    # ---- 1. index build over the sf documents table ----
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    cfg = IndexConfig(docs_per_segment=max(256, n_docs // 64), merge_fanin=8, postings_buckets=64)
+    timed("build_index_documents", lambda: build_index(docs, idx_dir, cfg))
+    extras["build_docs_per_sec"] = round(n_docs / timings["build_index_documents"], 1)
+    idx = InvertedIndex(spark, idx_dir)
+
+    # ---- 2. distributed search ----
+    def run_dist():
+        for terms, mode, k in BENCH_QUERIES:
+            idx.search(terms, k=k, mode=mode).collect()
+
+    timed("search_distributed_6q", run_dist)
+
+    # ---- 3. local searcher latency p50/p95 ----
+    local = idx.open_local()
+    for terms, mode, k in BENCH_QUERIES:
+        local.search(terms, k=k, mode=mode)  # warm cache
+    lat = []
+    t0 = time.time()
+    for _ in range(QUERY_REPS):
+        for terms, mode, k in BENCH_QUERIES:
+            t1 = time.time()
+            local.search(terms, k=k, mode=mode)
+            lat.append(time.time() - t1)
+    timings["search_local_repeated"] = round(time.time() - t0, 3)
+    lat.sort()
+    extras["query_p50_ms"] = round(lat[len(lat) // 2] * 1000, 3)
+    extras["query_p95_ms"] = round(lat[int(len(lat) * 0.95)] * 1000, 3)
+
+    # ---- 4. synthetic source-code corpus build (the 100 TB shape) ----
+    corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_idx_")
+    ccfg = IndexConfig(docs_per_segment=2048, merge_fanin=8, postings_buckets=64)
+
+    def build_corpus():
+        corpus = assign_doc_ids(generate_corpus(spark, CORPUS_DOCS), ["repo", "path", "commit"])
+        return build_index(corpus, corpus_dir, ccfg, text_col="content")
+
+    timed("build_index_corpus", build_corpus)
+    extras["corpus_docs"] = CORPUS_DOCS
+    extras["corpus_docs_per_sec"] = round(CORPUS_DOCS / timings["build_index_corpus"], 1)
+    cidx = InvertedIndex(spark, corpus_dir)
+
+    def run_corpus_queries():
+        for terms, mode, k in CORPUS_QUERIES:
+            cidx.search(terms, k=k, mode=mode).collect()
+
+    timed("search_corpus_distributed_4q", run_corpus_queries)
+
+    # ---- 5. operator suite at bench SF ----
+    timed("dedup_minhash_lsh", lambda: dedup.minhash_near_duplicates(docs, threshold=0.35).count())
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    timed("ann_bruteforce_topk", lambda: similarity.cosine_topk_bruteforce(emb, list(qv), k=10, exclude_id=0).collect())
+    timed("ann_lsh_topk", lambda: similarity.cosine_topk_lsh(emb, list(qv), k=10).collect())
+    timed("text_quality_score", lambda: text_analysis.quality_score(docs).count())
+    qs = suite.queries()
+    timed("relational_deepest_owner", lambda: qs["join_deepest_owner_per_page"](spark, SF_DIR).count())
+    timed("relational_window_renumber", lambda: qs["window_volume_renumber"](spark, SF_DIR).count())
+
+    total = round(time.time() - t_all, 3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "index-build + BM25 query + pipeline-operator wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -226,18 +226,32 @@ def simhash_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     toks = tokenize_expr(text_col)
     # per-token 32-bit hash from the first 8 hex chars of md5
     th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
-    bit_sums = [
-        F.aggregate(
-            th,
-            F.lit(0).cast("long"),
-            lambda acc, h, i=i: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for i in range(bits)
-    ]
-    sim = None
-    for i, s in enumerate(bit_sums):
-        contrib = F.when(s > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = contrib if sim is None else sim + contrib
+    # ONE fold over the token array accumulating all bit counters at once
+    # (an array<long> of length ``bits``) — not one pass per bit
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    idxs = F.sequence(F.lit(0), F.lit(bits - 1))
+    # bit i of h = floor(h / 2^i) % 2 (shiftright needs a literal count, so
+    # arithmetic keeps the bit index a column inside the fold)
+    pow2 = lambda i: F.pow(F.lit(2.0), i.cast("double"))  # noqa: E731
+    bit_sums = F.aggregate(
+        th,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            idxs,
+            lambda a, i: a
+            + F.when(F.floor(h / pow2(i)).cast("long") % 2 == 1, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            idxs,
+            lambda s, i: F.when(s > 0, pow2(i).cast("long")).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.when(F.size(toks) == 0, F.lit(0).cast("long")).otherwise(sim).alias("simhash"),

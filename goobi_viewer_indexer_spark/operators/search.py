@@ -46,6 +46,8 @@ def _mk_termlist(row, idf_val: float, df: int) -> wand.TermList:
 
 class InvertedIndex:
     def __init__(self, spark: SparkSession, index_dir: str):
+        import os
+
         self.spark = spark
         self.dir = index_dir
         self.meta = load_meta(index_dir)
@@ -53,6 +55,30 @@ class InvertedIndex:
         self._postings = spark.read.parquet(f"{index_dir}/postings")
         self._term_stats = spark.read.parquet(f"{index_dir}/term_stats")
         self._doclens = spark.read.parquet(f"{index_dir}/doclens_packed")
+        # live-corpus scoring params (diverge from build values only after
+        # incremental deletes; see plans/maintenance.py)
+        self.n_live = self.meta.get("n_docs_live", self.meta["n_docs"])
+        self.avgdl_live = self.meta.get("avgdl_live", self.meta["avgdl"])
+        # stored block maxima were computed with the build avgdl; if live
+        # avgdl grew they must be inflated to stay upper bounds
+        self.ub_scale = max(1.0, self.avgdl_live / self.meta["avgdl"]) if self.meta["avgdl"] else 1.0
+        self._tomb_packed = None
+        if os.path.exists(f"{index_dir}/tombstones"):
+            span = self.span
+
+            def pack_tomb(pdf: pd.DataFrame) -> pd.DataFrame:
+                rng = int(pdf["rng"].iloc[0])
+                arr = np.sort(pdf["doc_id"].to_numpy(np.int64))
+                return pd.DataFrame({"rng": [rng], "deleted": [arr.tobytes()]})
+
+            self._tomb_packed = (
+                spark.read.parquet(f"{index_dir}/tombstones")
+                .withColumn("rng", (F.col("doc_id") / span).cast("int"))
+                .select("rng", "doc_id")
+                .groupBy("rng")
+                .applyInPandas(pack_tomb, "rng int, deleted binary")
+                .cache()
+            )
 
     # -- helpers ----------------------------------------------------------
     def _buckets_of(self, terms: list[str]) -> list[int]:
@@ -79,7 +105,8 @@ class InvertedIndex:
     def search(self, query: str | list[str], k: int = 10, mode: str = "or") -> DataFrame:
         terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
         meta = self.meta
-        n_docs, avgdl, k1, b, span = meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"], self.span
+        n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
+        ub_scale = self.ub_scale
 
         stats = self.term_stats_for(terms)
         present = [t for t in terms if t in stats]
@@ -105,6 +132,9 @@ class InvertedIndex:
             lo, hi = rng * span, (rng + 1) * span - 1
             base = int(pdf["base"].iloc[0])
             lens = np.frombuffer(pdf["doclens"].iloc[0], dtype=np.int32)
+            deleted = None
+            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
+                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
             lists = [
                 _mk_termlist(row, idfs[row["term"]], stats[row["term"]][0])
                 for _, row in pdf.iterrows()
@@ -114,11 +144,14 @@ class InvertedIndex:
                     {"doc_id": np.int64, "score": np.float64}
                 )
             docs, scores = wand.score_topk(
-                lists, wand.DenseDoclens(base, lens), avgdl, k1, b, k, mode, lo, hi
+                lists, wand.DenseDoclens(base, lens), avgdl, k1, b, k, mode, lo, hi,
+                deleted=deleted, ub_scale=ub_scale,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
         joined = rows.join(dl, "rng")
+        if self._tomb_packed is not None:
+            joined = joined.join(self._tomb_packed, "rng", "left")
         local_topk = joined.groupBy("rng").applyInPandas(score_range, "doc_id long, score double")
         return (
             local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -139,11 +172,16 @@ class LocalSearcher:
         self.index = index
         self.meta = index.meta
         dl_rows = index._doclens.orderBy("rng").collect()
-        n = self.meta["n_docs"]
-        self.doclens = np.zeros(n, dtype=np.int32)
+        max_id = max(r["base"] + len(r["doclens"]) // 4 for r in dl_rows)
+        self.doclens = np.zeros(max_id, dtype=np.int32)
         for r in dl_rows:
             arr = np.frombuffer(r["doclens"], dtype=np.int32)
             self.doclens[r["base"]: r["base"] + arr.size] = arr
+        self.deleted = np.zeros(0, np.int64)
+        if index._tomb_packed is not None:
+            parts = [np.frombuffer(r["deleted"], dtype=np.int64) for r in index._tomb_packed.collect()]
+            if parts:
+                self.deleted = np.sort(np.concatenate(parts))
         self._cache: dict[str, list] = {}
 
     def _rows_for(self, terms: list[str]) -> None:
@@ -154,7 +192,7 @@ class LocalSearcher:
         rows = self.index.postings_for(missing).collect()
         for t in missing:
             self._cache[t] = []
-        n_docs = self.meta["n_docs"]
+        n_docs = self.index.n_live
         for r in rows:
             t = r["term"]
             df = stats[t][0]
@@ -205,7 +243,9 @@ class LocalSearcher:
             return []
         dl = wand.DenseDoclens(0, self.doclens)
         docs, scores = wand.score_topk(
-            lists, dl, self.meta["avgdl"], self.meta["k1"], self.meta["b"], k, mode,
-            0, self.meta["n_docs"] - 1,
+            lists, dl, self.index.avgdl_live, self.meta["k1"], self.meta["b"], k, mode,
+            0, self.doclens.size - 1,
+            deleted=self.deleted if self.deleted.size else None,
+            ub_scale=self.index.ub_scale,
         )
         return [(int(d), round(float(s), 6)) for d, s in zip(docs, scores)]

@@ -123,11 +123,23 @@ def _topk_select(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarr
     return docs[order], scores[order]
 
 
-def _score_and(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi: int):
+def _drop_deleted(docs: np.ndarray, deleted: np.ndarray | None) -> np.ndarray:
+    """Boolean keep-mask for docs not in the sorted tombstone array."""
+    if deleted is None or deleted.size == 0 or docs.size == 0:
+        return np.ones(docs.size, dtype=bool)
+    pos = np.searchsorted(deleted, docs)
+    pos = np.minimum(pos, deleted.size - 1)
+    return deleted[pos] != docs
+
+
+def _score_and(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi: int,
+               deleted: np.ndarray | None = None):
     """Galloping block-skip intersection, rarest list drives."""
     lists = sorted(lists, key=lambda L: (L.df if L.df else 1 << 60))
     lead = lists[0]
     docs, tfs = lead.decode_range(lo, hi)
+    keep = _drop_deleted(docs, deleted)
+    docs, tfs = docs[keep], tfs[keep]
     if docs.size == 0:
         return docs, np.zeros(0, np.float64)
     scores = _bm25(tfs, dl(docs), lead.idf, avgdl, k1, b)
@@ -159,7 +171,8 @@ def _score_and(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi
     return _topk_select(docs, scores, k)
 
 
-def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi: int):
+def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi: int,
+              deleted: np.ndarray | None = None, ub_scale: float = 1.0):
     """Block-max interval pruning (WAND family), exact top-k."""
     # elementary intervals from the union of block boundaries, clipped to
     # this task's doc range [lo, hi]
@@ -188,6 +201,11 @@ def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi:
         firsts = np.where(blk > 0, L.block_last_doc[np.maximum(blk - 1, 0)] + 1, 0)
         bmax[valid & (firsts > hi_edges)] = 0.0
         ub += bmax
+    # ub_scale > 1 when live avgdl grew past build-time avgdl (deletes of
+    # short docs): w is monotone in avgdl with sup ratio avgdl'/avgdl, so
+    # inflating keeps stored block maxima a valid upper bound
+    if ub_scale != 1.0:
+        ub *= ub_scale
 
     order = np.argsort(-ub, kind="stable")
     heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
@@ -211,6 +229,8 @@ def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi:
         udocs, inv = np.unique(alld, return_inverse=True)
         uscores = np.zeros(udocs.size)
         np.add.at(uscores, inv, alls)
+        keep = _drop_deleted(udocs, deleted)
+        udocs, uscores = udocs[keep], uscores[keep]
         for dcc, scc in zip(udocs, uscores):
             entry = (float(scc), -int(dcc))
             if len(heap) < k:
@@ -239,11 +259,15 @@ def score_topk(
     mode: str = "or",
     lo: int = 0,
     hi: int | None = None,
+    deleted: np.ndarray | None = None,
+    ub_scale: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k (doc_ids, raw scores) restricted to docs in [lo, hi].
 
     ``lists`` must contain at most one TermList per term per range; ``dl``
     is a callable mapping a doc_id array to doclens (see DenseDoclens).
+    ``deleted`` is a sorted tombstone array (docs excluded from results —
+    the incremental-delete path, reference Indexer.java:365-436).
     In AND mode every query term must have a list present — the caller
     handles terms with no postings in the range (→ empty result).
     """
@@ -253,5 +277,5 @@ def score_topk(
     if hi is None:
         hi = int(max(int(L.block_last_doc[-1]) for L in lists))
     if mode == "and":
-        return _score_and(lists, dl, avgdl, k1, b, k, lo, hi)
-    return _score_or(lists, dl, avgdl, k1, b, k, lo, hi)
+        return _score_and(lists, dl, avgdl, k1, b, k, lo, hi, deleted)
+    return _score_or(lists, dl, avgdl, k1, b, k, lo, hi, deleted, ub_scale)

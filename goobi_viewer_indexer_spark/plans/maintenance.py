@@ -1,0 +1,401 @@
+"""Incremental index maintenance: delete, append, atomic update, compact.
+
+Reference analogs:
+* delete-by-id with optional trace tombstone — Indexer.java:365-436
+  (deleteWithPI) + :450-473 (DATEDELETED trace doc) → sorted tombstone
+  table + exact term_stats correction; postings stay until compaction,
+  the scorer filters tombstoned docs (Lucene-style deferred purge).
+* prepareUpdate / iddocsToDelete (old-minus-new) — Indexer.java:1695-1756
+  → :func:`update_docs` = delete old ids + append re-indexed rows.
+* atomic partial update — SolrSearchIndex.java:328-343 → same path (a
+  changed doc is a delete + append; dense ids are engine-internal).
+* optimize / segment merge — SolrSearchIndex.java:565-577 →
+  :func:`compact`: decode → drop tombstoned → re-encode, then stats and
+  doclens rewritten exactly; tombstones cleared.
+
+Scale notes: deletes touch only term_stats rows of affected terms and
+append one tombstone row per doc; appends build partials ONLY for the new
+segment ranges (new docs start at the next span boundary so appended
+posting rows can never collide with existing (term, rng) pairs — the
+scorer's ≤1-list-per-term-per-range invariant survives without rewriting
+old rows).  Compaction is the only full-rewrite job.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goobi_viewer_indexer_spark.config import IndexConfig
+from goobi_viewer_indexer_spark.functions import codec
+from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr
+from goobi_viewer_indexer_spark.operators import spimi
+from goobi_viewer_indexer_spark.plans.build import load_meta, _write_meta
+
+__all__ = ["delete_docs", "add_docs", "update_docs", "compact", "live_corpus_stats"]
+
+
+def _cfg_from_meta(meta: dict) -> IndexConfig:
+    return IndexConfig(
+        k1=meta["k1"],
+        b=meta["b"],
+        docs_per_segment=meta["docs_per_segment"],
+        merge_fanin=meta["merge_fanin"],
+        block_size=meta["block_size"],
+        postings_buckets=meta["postings_buckets"],
+    )
+
+
+def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    p = os.path.join(index_dir, "tombstones")
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p)
+
+
+def live_corpus_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
+    ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    tomb = _tombstones(spark, index_dir)
+    if tomb is not None:
+        ds = ds.join(tomb.select("doc_id"), "doc_id", "left_anti")
+    row = ds.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def _refresh_live_meta(spark: SparkSession, index_dir: str) -> dict:
+    meta = load_meta(index_dir)
+    n_live, avgdl_live = live_corpus_stats(spark, index_dir)
+    meta["n_docs_live"] = n_live
+    meta["avgdl_live"] = avgdl_live
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int], trace: bool = True) -> dict:
+    """Tombstone ``doc_ids`` and correct term_stats exactly.
+
+    ``trace=True`` keeps a DATEDELETED-style record (reference tombstone
+    doc, Indexer.java:450-473); ``trace=False`` (purge) only marks."""
+    meta = load_meta(index_dir)
+    span = meta["docs_per_segment"] * meta["merge_fanin"]
+    ids = sorted(set(int(i) for i in doc_ids))
+    # idempotency: already-tombstoned ids must not decrement stats twice
+    tomb = _tombstones(spark, index_dir)
+    if tomb is not None:
+        already = {r["doc_id"] for r in tomb.select("doc_id").distinct().collect()}
+        ids = [i for i in ids if i not in already]
+    if not ids:
+        return meta
+
+    # 1. exact (df, cf) correction per term: decode only postings rows of
+    #    affected ranges, only blocks containing deleted ids
+    affected = sorted({i // span for i in ids})
+    ids_arr = np.asarray(ids, dtype=np.int64)
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    rows = postings.withColumn(
+        "rng",
+        F.explode(F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))),
+    ).filter(F.col("rng").isin(affected))
+
+    def deltas(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_df, out_cf = [], [], []
+        for row in pdf.itertuples(index=False):
+            lo = int(row.rng) * span
+            hi = lo + span - 1
+            tl = _row_to_termlist(row)
+            d, t = tl.decode_range(max(lo, int(row.min_doc)), min(hi, int(row.max_doc)))
+            if d.size == 0:
+                continue
+            pos = np.searchsorted(ids_arr, d)
+            pos = np.minimum(pos, ids_arr.size - 1)
+            hit = ids_arr[pos] == d
+            n = int(hit.sum())
+            if n:
+                out_t.append(row.term)
+                out_df.append(n)
+                out_cf.append(int(t[hit].sum()))
+        return pd.DataFrame({"term": out_t, "df_delta": out_df, "cf_delta": out_cf})
+
+    delta_df = (
+        rows.mapInPandas(lambda it: (deltas(pdf) for pdf in it), "term string, df_delta int, cf_delta long")
+        .groupBy("term")
+        .agg(F.sum("df_delta").alias("df_delta"), F.sum("cf_delta").alias("cf_delta"))
+    )
+
+    ts_path = os.path.join(index_dir, "term_stats")
+    ts = spark.read.parquet(ts_path)
+    new_ts = (
+        ts.join(delta_df, "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce("df_delta", F.lit(0))).cast("int").alias("df"),
+            (F.col("cf") - F.coalesce("cf_delta", F.lit(0))).cast("long").alias("cf"),
+            "bucket",
+        )
+        .filter(F.col("df") > 0)
+    )
+    tmp = ts_path + ".tmp"
+    new_ts.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    _swap_dir(ts_path, tmp)
+
+    # 2. tombstones (append)
+    tomb_rows = [(int(i), float(time.time()), bool(trace)) for i in ids]
+    spark.createDataFrame(tomb_rows, "doc_id long, deleted_ts double, trace boolean").write.mode(
+        "append"
+    ).parquet(os.path.join(index_dir, "tombstones"))
+
+    return _refresh_live_meta(spark, index_dir)
+
+
+def _row_to_termlist(row):
+    from goobi_viewer_indexer_spark.operators.wand import TermList
+
+    return TermList(
+        term=row.term,
+        idf=0.0,
+        doc_bytes=bytes(row.doc_bytes),
+        tf_bytes=bytes(row.tf_bytes),
+        block_last_doc=np.asarray(row.block_last_doc, dtype=np.int64),
+        block_doc_off=np.asarray(row.block_doc_off, dtype=np.int64),
+        block_tf_off=np.asarray(row.block_tf_off, dtype=np.int64),
+        block_max_w=np.asarray(row.block_max_w, dtype=np.float64),
+    )
+
+
+def _swap_dir(path: str, tmp: str) -> None:
+    import shutil
+
+    bak = path + ".bak"
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+
+
+def add_docs(spark: SparkSession, index_dir: str, new_docs: DataFrame, text_col: str = "text") -> dict:
+    """Append new documents (LSM-style delta segment).
+
+    ``new_docs`` needs only ``text_col``; dense doc_ids are assigned from
+    the next span boundary so the delta cannot collide with any existing
+    (term, range) pair.  Returns updated meta (with id range added)."""
+    meta = load_meta(index_dir)
+    cfg = _cfg_from_meta(meta)
+    span = cfg.docs_per_segment * cfg.merge_fanin
+    ds_path = os.path.join(index_dir, "doc_stats")
+    cur_max = spark.read.parquet(ds_path).agg(F.max("doc_id")).collect()[0][0]
+    base = (int(cur_max) // span + 1) * span
+
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.monotonically_increasing_id())
+    docs = (
+        new_docs.select(F.col(text_col).alias("text"))
+        .withColumn("doc_id", (F.lit(base).cast("long") - 1 + F.row_number().over(w)).cast("long"))
+        .withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
+    )
+    docs = docs.cache()
+    n_new = docs.count()
+    if n_new == 0:
+        return meta
+
+    # doc_stats append
+    dstats = docs.select(
+        "doc_id",
+        F.size(tokenize_expr("text")).alias("doclen"),
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("sha256"),
+        "seg",
+    )
+    dstats.write.mode("append").parquet(ds_path)
+
+    # doclens_packed append (new ranges only — base is span-aligned)
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        rng = int(pdf["rng"].iloc[0])
+        b0 = rng * span
+        idsv = pdf["doc_id"].to_numpy(np.int64)
+        arr = np.zeros(int(idsv[-1]) - b0 + 1, dtype=np.int32)
+        arr[idsv - b0] = pdf["doclen"].to_numpy(np.int32)
+        return pd.DataFrame({"rng": [rng], "base": [b0], "doclens": [arr.tobytes()]})
+
+    (
+        dstats.withColumn("rng", (F.col("doc_id") / span).cast("int"))
+        .select("rng", "doc_id", "doclen")
+        .groupBy("rng")
+        .applyInPandas(pack, "rng int, base long, doclens binary")
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "doclens_packed"))
+    )
+
+    # delta partials → merged rows appended to postings
+    # block_max uses the BUILD avgdl so existing UB semantics stay uniform
+    partials = spimi.build_partials(docs, meta["avgdl"], cfg)
+    batch_tag = f"delta_{int(time.time() * 1000)}"
+    part_path = os.path.join(index_dir, "partials", f"batch={batch_tag}")
+    partials.write.mode("overwrite").parquet(part_path)
+    partials = spark.read.parquet(part_path)
+    merged = spimi.merge_partials(partials, cfg)
+    merged.withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets))).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(os.path.join(index_dir, "postings"))
+
+    # term_stats merge-add
+    ts_path = os.path.join(index_dir, "term_stats")
+    ts = spark.read.parquet(ts_path)
+    add_ts = partials.groupBy("term").agg(F.sum("df").alias("df2"), F.sum("cf").alias("cf2"))
+    new_ts = (
+        ts.join(add_ts, "term", "full")
+        .select(
+            "term",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("df2", F.lit(0))).cast("int").alias("df"),
+            (F.coalesce("cf", F.lit(0)) + F.coalesce("cf2", F.lit(0))).cast("long").alias("cf"),
+        )
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
+    )
+    tmp = ts_path + ".tmp"
+    new_ts.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    _swap_dir(ts_path, tmp)
+
+    docs.unpersist()
+    meta = _refresh_live_meta(spark, index_dir)
+    meta["appended"] = meta.get("appended", 0) + n_new
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def update_docs(spark: SparkSession, index_dir: str, old_doc_ids: list[int], new_docs: DataFrame, text_col: str = "text") -> dict:
+    """Atomic update = delete old ids + append re-indexed rows
+    (prepareUpdate semantics, Indexer.java:1695-1756)."""
+    delete_docs(spark, index_dir, old_doc_ids, trace=False)
+    return add_docs(spark, index_dir, new_docs, text_col)
+
+
+def compact(spark: SparkSession, index_dir: str) -> dict:
+    """Optimize: purge tombstoned postings, re-align rows to ranges, drop
+    empties, recompute stats, clear tombstones (Solr optimize analog)."""
+    meta = load_meta(index_dir)
+    cfg = _cfg_from_meta(meta)
+    span = cfg.docs_per_segment * cfg.merge_fanin
+    tomb = _tombstones(spark, index_dir)
+    deleted = (
+        np.asarray(sorted(r["doc_id"] for r in tomb.select("doc_id").collect()), dtype=np.int64)
+        if tomb is not None
+        else np.zeros(0, np.int64)
+    )
+    n_live, avgdl_live = live_corpus_stats(spark, index_dir)
+
+    post_path = os.path.join(index_dir, "postings")
+    postings = spark.read.parquet(post_path)
+    dl = spark.read.parquet(os.path.join(index_dir, "doclens_packed"))
+    rows = postings.withColumn(
+        "rng",
+        F.explode(F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))),
+    ).join(dl, "rng")
+
+    k1, b, bs = cfg.k1, cfg.b, cfg.block_size
+
+    def reencode(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for row in pdf.itertuples(index=False):
+            rng = int(row.rng)
+            lo, hi = rng * span, (rng + 1) * span - 1
+            tl = _row_to_termlist(row)
+            d, t = tl.decode_range(max(lo, int(row.min_doc)), min(hi, int(row.max_doc)))
+            if d.size == 0:
+                continue
+            if deleted.size:
+                pos = np.minimum(np.searchsorted(deleted, d), deleted.size - 1)
+                keep = deleted[pos] != d
+                d, t = d[keep], t[keep]
+            if d.size == 0:
+                continue
+            lens = np.frombuffer(row.doclens, dtype=np.int32)[d - int(row.base)]
+            enc = codec.encode_postings(d, t, lens, avgdl_live, k1, b, bs)
+            out.append(
+                {
+                    "term": row.term,
+                    "seg": np.int32(rng),
+                    "df": np.int32(d.size),
+                    "cf": np.int64(t.sum()),
+                    "min_doc": enc["min_doc"],
+                    "max_doc": enc["max_doc"],
+                    "doc_bytes": enc["doc_bytes"],
+                    "tf_bytes": enc["tf_bytes"],
+                    "block_last_doc": enc["block_last_doc"],
+                    "block_doc_off": enc["block_doc_off"],
+                    "block_tf_off": enc["block_tf_off"],
+                    "block_max_w": enc["block_max_w"],
+                }
+            )
+        if not out:
+            return pd.DataFrame([], columns=[c.split(" ")[0] for c in spimi.POSTINGS_SCHEMA.split(", ")])
+        return pd.DataFrame(out)
+
+    merged = rows.mapInPandas(lambda it: (reencode(pdf) for pdf in it), spimi.POSTINGS_SCHEMA)
+    final = spimi.compact_light_terms(merged, cfg)
+    final = final.withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
+    tmp = post_path + ".tmp"
+    final.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    _swap_dir(post_path, tmp)
+
+    # stats exact from compacted postings
+    ts_path = os.path.join(index_dir, "term_stats")
+    postings2 = spark.read.parquet(post_path)
+    tmp2 = ts_path + ".tmp"
+    (
+        postings2.groupBy("term")
+        .agg(F.sum("df").cast("int").alias("df"), F.sum("cf").alias("cf"))
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp2)
+    )
+    _swap_dir(ts_path, tmp2)
+
+    # doc_stats: physically drop tombstoned rows; doclens re-packed
+    ds_path = os.path.join(index_dir, "doc_stats")
+    ds = spark.read.parquet(ds_path)
+    if tomb is not None:
+        ds_live = ds.join(tomb.select("doc_id"), "doc_id", "left_anti")
+        tmp3 = ds_path + ".tmp"
+        ds_live.write.mode("overwrite").parquet(tmp3)
+        _swap_dir(ds_path, tmp3)
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("doc_id")
+            rng = int(pdf["rng"].iloc[0])
+            b0 = rng * span
+            idsv = pdf["doc_id"].to_numpy(np.int64)
+            arr = np.zeros(int(idsv[-1]) - b0 + 1, dtype=np.int32)
+            arr[idsv - b0] = pdf["doclen"].to_numpy(np.int32)
+            return pd.DataFrame({"rng": [rng], "base": [b0], "doclens": [arr.tobytes()]})
+
+        dlp = os.path.join(index_dir, "doclens_packed")
+        tmp4 = dlp + ".tmp"
+        (
+            spark.read.parquet(ds_path)
+            .withColumn("rng", (F.col("doc_id") / span).cast("int"))
+            .select("rng", "doc_id", "doclen")
+            .groupBy("rng")
+            .applyInPandas(pack, "rng int, base long, doclens binary")
+            .write.mode("overwrite")
+            .parquet(tmp4)
+        )
+        _swap_dir(dlp, tmp4)
+        import shutil
+
+        shutil.rmtree(os.path.join(index_dir, "tombstones"))
+
+    meta["avgdl"] = avgdl_live
+    meta["n_docs"] = n_live
+    meta.pop("n_docs_live", None)
+    meta.pop("avgdl_live", None)
+    _write_meta(index_dir, meta)
+    return meta

@@ -1,0 +1,94 @@
+"""Structured-Streaming re-expression of the reference's hotfolder poll
+loop (SURVEY.md §2-C).
+
+The reference polls a directory every 500-1000 ms, debounces half-copied
+folders by comparing sizes 1 s apart, and feeds a bounded in-process queue
+(helper/Hotfolder.java:431-503,1017-1046; SolrIndexerDaemon.java:245-259).
+Spark-native equivalents:
+
+* file-source ``readStream`` with checkpointed offsets — replaces the
+  queue and the "already indexed?" bookkeeping (exactly-once per file);
+* ``Trigger.AvailableNow`` — drain-everything-then-stop semantics, the
+  batch-friendly form of the poll loop;
+* ``maxFilesPerTrigger`` — replaces queueCapacity(500);
+* ``foreachBatch`` → :func:`plans.maintenance.add_docs` — each micro-batch
+  appends an LSM delta segment, so the index stays queryable mid-ingest.
+
+The reference has no event-time semantics; :func:`windowed_event_counts`
+adds the watermarked tumbling-window aggregation a streaming corpus needs
+(late data dropped after the watermark), exercised by tests over the
+``events`` table replayed as a stream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goobi_viewer_indexer_spark.config import IndexConfig
+
+__all__ = ["ingest_available_now", "windowed_event_counts"]
+
+
+def ingest_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    cfg: IndexConfig = IndexConfig(),
+    schema: str = "doc_id long, text string",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain ``input_dir`` (parquet files) into the index, exactly once per
+    file, resumable via the checkpoint.  First batch bootstraps the index;
+    subsequent batches append delta segments."""
+    from goobi_viewer_indexer_spark.plans.build import build_index
+    from goobi_viewer_indexer_spark.plans.maintenance import add_docs
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+            docs = batch_df
+            if "doc_id" not in docs.columns:
+                from pyspark.sql.window import Window
+
+                docs = docs.withColumn(
+                    "doc_id", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1
+                )
+            build_index(docs, index_dir, cfg, id_col="doc_id", text_col=text_col)
+        else:
+            add_docs(spark, index_dir, batch_df.select(text_col), text_col=text_col)
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — works on both a
+    streaming and a batch DataFrame (the batch form is the DuckDB-checkable
+    oracle twin registered in the suite)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )

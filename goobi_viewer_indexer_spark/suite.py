@@ -16,9 +16,39 @@ from pyspark.sql import functions as F
 
 from goobi_viewer_indexer_spark.config import IndexConfig
 from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr, duckdb_tokenize_sql
-from goobi_viewer_indexer_spark.operators import naive_bm25, stats
+from goobi_viewer_indexer_spark.operators import (
+    dedup,
+    naive_bm25,
+    similarity,
+    stats,
+    text_analysis,
+)
 
 CFG = IndexConfig()
+# small-corpus index layout for the engine-backed entries (the driver gate
+# runs at sf0.01 = 500 docs)
+IDX_CFG = IndexConfig(docs_per_segment=128, merge_fanin=4, postings_buckets=16, compact_below_bytes=1024)
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir per process) the real SPIMI index over the
+    documents table and return an InvertedIndex handle."""
+    import hashlib
+    import tempfile
+
+    from goobi_viewer_indexer_spark.operators.search import InvertedIndex
+    from goobi_viewer_indexer_spark.plans.build import build_index
+
+    key = sf_dir.rstrip("/")
+    if key not in _INDEX_CACHE:
+        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        d = f"{tempfile.gettempdir()}/gvi_suite_index_{tag}"
+        docs = spark.read.parquet(f"{key}/documents.parquet")
+        build_index(docs, d, IDX_CFG, id_col="doc_id", text_col="text")
+        _INDEX_CACHE[key] = InvertedIndex(spark, d)
+    return _INDEX_CACHE[key]
 
 # Query-term sets chosen from the synthetic vocabulary (TESTDATA documents
 # table): mixed common/rare terms exercising the FIXTURES.md §3 shapes.
@@ -51,10 +81,14 @@ def register(name: str, oracle: str | None):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import goobi_viewer_indexer_spark.relational  # noqa: F401  (registers)
+
     return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    import goobi_viewer_indexer_spark.relational  # noqa: F401  (registers)
+
     return dict(_ORACLES)
 
 
@@ -79,6 +113,95 @@ def q_bm25_missing(spark, sf_dir):
 @register("bm25_stopword_term", naive_bm25.bm25_topk_sql(Q_STOPWORD, k=20, mode="or"))
 def q_bm25_stopword(spark, sf_dir):
     return naive_bm25.bm25_topk(_load(spark, sf_dir, "documents"), Q_STOPWORD, k=20, mode="or")
+
+
+# --------------------------------------------------------------------------
+# §2-B Q7 via the REAL engine: SPIMI index + block-max WAND, under the same
+# DuckDB oracle as the naive scorer (rank-identity through the full stack)
+# --------------------------------------------------------------------------
+@register("bm25_wand_disjunctive", naive_bm25.bm25_topk_sql(Q_MIXED3, k=10, mode="or"))
+def q_wand_or(spark, sf_dir):
+    return _index_for(spark, sf_dir).search(Q_MIXED3, k=10, mode="or")
+
+
+@register("bm25_wand_conjunctive", naive_bm25.bm25_topk_sql(Q_COMMON_AND, k=10, mode="and"))
+def q_wand_and(spark, sf_dir):
+    return _index_for(spark, sf_dir).search(Q_COMMON_AND, k=10, mode="and")
+
+
+@register("bm25_wand_stopword", naive_bm25.bm25_topk_sql(Q_STOPWORD, k=20, mode="or"))
+def q_wand_stopword(spark, sf_dir):
+    return _index_for(spark, sf_dir).search(Q_STOPWORD, k=20, mode="or")
+
+
+# --------------------------------------------------------------------------
+# dedup suite (documents table)
+# --------------------------------------------------------------------------
+@register("dedup_exact", dedup.EXACT_DUP_SQL)
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_load(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh", dedup.minhash_near_duplicates_sql(threshold=0.35))
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_near_duplicates(_load(spark, sf_dir, "documents"), threshold=0.35)
+
+
+@register("dedup_simhash", dedup.simhash_sql())
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_fingerprint(_load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings table)
+# --------------------------------------------------------------------------
+_ANN_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], qv)
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qv, qv))) AS c
+  FROM embeddings, q WHERE vec_id <> 0
+)
+SELECT vec_id, round(c, 6) AS cosine FROM s
+ORDER BY c DESC, vec_id ASC LIMIT 10
+""".strip()
+
+
+@register("ann_cosine_topk_bruteforce", _ANN_SQL)
+def q_ann_brute(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk_bruteforce(emb, list(qv), k=10, exclude_id=0)
+
+
+@register("embedding_near_duplicates", similarity.embedding_near_duplicates_sql(threshold=0.9))
+def q_emb_neardup(spark, sf_dir):
+    return similarity.embedding_near_duplicates(_load(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+# --------------------------------------------------------------------------
+# text analysis suite (documents table)
+# --------------------------------------------------------------------------
+@register("text_language_id", text_analysis.LANG_ID_SQL)
+def q_lang_id(spark, sf_dir):
+    return text_analysis.language_id(_load(spark, sf_dir, "documents"))
+
+
+@register("text_quality_score", text_analysis.QUALITY_SQL)
+def q_quality(spark, sf_dir):
+    return text_analysis.quality_score(_load(spark, sf_dir, "documents"))
+
+
+@register("text_token_counts", text_analysis.TOKEN_COUNTS_SQL)
+def q_token_counts(spark, sf_dir):
+    return text_analysis.token_counts(_load(spark, sf_dir, "documents"))
+
+
+@register("text_fingerprint", text_analysis.FINGERPRINT_SQL)
+def q_fingerprint(spark, sf_dir):
+    return text_analysis.fingerprint(_load(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------
