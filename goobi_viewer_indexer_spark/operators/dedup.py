@@ -103,16 +103,24 @@ def _duckdb_shingles(text_col: str = "text", k: int = 3) -> str:
 
 
 def minhash_signature(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, mh array<string>) — mh[j] = min over shingles of
-    md5(j || ':' || shingle); engine-portable (md5 == md5 in DuckDB)."""
-    sh = shingles_expr(text_col)
-    mh = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))))
-            for j in range(n_hashes)
-        ]
+    """(doc_id, mh array<string>, shingles) — mh[j] = min over shingles of
+    md5(j || ':' || shingle); engine-portable (md5 == md5 in DuckDB).
+
+    One explode + n_hashes min-aggregates: the shingle set is computed
+    ONCE (an n-column projection of array_min(transform(...)) would make
+    Catalyst re-evaluate tokenize+shingling per hash — 16x the work, the
+    difference between 15 s and 230 s at sf0.1).  Map-side partial min
+    makes the shuffle carry one row per (doc, hash)."""
+    sh_df = docs.select(F.col(id_col).alias("doc_id"), shingles_expr(text_col).alias("shingles"))
+    exploded = sh_df.select("doc_id", F.explode("shingles").alias("s"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"_mh{j}") for j in range(n_hashes)]
     )
-    return docs.select(F.col(id_col).alias("doc_id"), mh.alias("mh"), sh.alias("shingles"))
+    mh = F.array(*[F.col(f"_mh{j}") for j in range(n_hashes)])
+    return (
+        sh_df.join(sig, "doc_id", "left")
+        .select("doc_id", mh.alias("mh"), "shingles")
+    )
 
 
 def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:

@@ -67,6 +67,8 @@ class InvertedIndex:
             span = self.span
 
             def pack_tomb(pdf: pd.DataFrame) -> pd.DataFrame:
+                if len(pdf) == 0:
+                    return pd.DataFrame({"rng": [], "deleted": []}).astype({"rng": "int32"})
                 rng = int(pdf["rng"].iloc[0])
                 arr = np.sort(pdf["doc_id"].to_numpy(np.int64))
                 return pd.DataFrame({"rng": [rng], "deleted": [arr.tobytes()]})
@@ -82,13 +84,12 @@ class InvertedIndex:
 
     # -- helpers ----------------------------------------------------------
     def _buckets_of(self, terms: list[str]) -> list[int]:
+        # driver-side Murmur3 identical to Spark's hash(): bucket routing
+        # without launching a job (tests/test_spark_hash.py pins parity)
+        from goobi_viewer_indexer_spark.functions.spark_hash import bucket_of
+
         nb = self.meta["postings_buckets"]
-        rows = (
-            self.spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(F.pmod(F.hash("term"), F.lit(nb)).alias("b"))
-            .collect()
-        )
-        return sorted({r["b"] for r in rows})
+        return sorted({bucket_of(t, nb) for t in terms})
 
     def postings_for(self, terms: list[str]) -> DataFrame:
         """Bucket-pruned point lookup (reference Q1 analog: parquet
@@ -128,6 +129,8 @@ class InvertedIndex:
         dl = self._doclens
 
         def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "score": []}).astype({"doc_id": np.int64, "score": np.float64})
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * span, (rng + 1) * span - 1
             base = int(pdf["base"].iloc[0])

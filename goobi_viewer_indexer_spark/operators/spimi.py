@@ -44,6 +44,8 @@ __all__ = ["POSTINGS_SCHEMA", "build_partials", "merge_partials", "compact_light
 
 def _build_segment_pdf(pdf: pd.DataFrame, avgdl: float, cfg: IndexConfig) -> pd.DataFrame:
     """One SPIMI segment: pandas rows (doc_id, text, seg) → postings rows."""
+    if len(pdf) == 0:  # Spark 4 grouped-map may deliver empty groups
+        return pd.DataFrame([], columns=[c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")])
     seg = int(pdf["seg"].iloc[0])
     order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
     pdf = pdf.iloc[order]
@@ -109,6 +111,8 @@ def merge_group_pdf(pdf: pd.DataFrame, out_seg: int | None = None) -> pd.DataFra
     """Merge all rows of ONE term (already doc-range-disjoint) into a single
     row by byte concatenation + first-gap splice.  Rows ordered by min_doc."""
     cols = [c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]
+    if len(pdf) == 0:
+        return pd.DataFrame([], columns=cols)
     if len(pdf) == 1:
         out = pdf.iloc[[0]][cols].copy()
         if out_seg is not None:
@@ -157,34 +161,98 @@ def merge_group_pdf(pdf: pd.DataFrame, out_seg: int | None = None) -> pd.DataFra
     )
 
 
+def _merge_sorted_runs(pdf: pd.DataFrame, key_cols: list[str], out_seg_from_salt: bool,
+                       size_threshold: int | None = None) -> pd.DataFrame:
+    """Merge contiguous key groups of a (key, min_doc)-sorted frame.
+
+    Single-row groups (the vast majority of the vocabulary — unique
+    identifiers) pass through as one vectorized slice; only multi-row
+    groups run the byte-splice merge loop.  ``size_threshold`` (compaction
+    mode): multi-row groups whose total payload exceeds it also pass
+    through unmerged (heavy-term skew protection)."""
+    cols = [c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]
+    if len(pdf) == 0:
+        return pd.DataFrame([], columns=cols)
+    key = pdf[key_cols[0]].astype(str)
+    for c in key_cols[1:]:
+        key = key + "\x00" + pdf[c].astype(str)
+    k = key.to_numpy()
+    change = np.concatenate(([True], k[1:] != k[:-1]))
+    gid = np.cumsum(change) - 1
+    counts = np.bincount(gid)
+    single_mask = counts[gid] == 1
+
+    outs = []
+    singles = pdf.loc[single_mask]
+    if len(singles):
+        s = singles[cols].copy()
+        if out_seg_from_salt:
+            s["seg"] = singles["salt"].to_numpy(np.int32)
+        outs.append(s)
+
+    multi = pdf.loc[~single_mask]
+    if len(multi):
+        mk = k[~single_mask]
+        mchange = np.concatenate(([0], np.flatnonzero(mk[1:] != mk[:-1]) + 1, [len(mk)]))
+        for i in range(len(mchange) - 1):
+            grp = multi.iloc[mchange[i]: mchange[i + 1]]
+            if size_threshold is not None and int(grp["doc_bytes"].map(len).sum()) >= size_threshold:
+                outs.append(grp[cols])
+                continue
+            out_seg = int(grp["salt"].iloc[0]) if out_seg_from_salt else int(grp["seg"].iloc[0])
+            outs.append(merge_group_pdf(grp, out_seg=out_seg))
+    return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame([], columns=cols)
+
+
+def _stream_merge(df: DataFrame, key_cols: list[str], out_seg_from_salt: bool,
+                  n_partitions: int, size_threshold: int | None = None) -> DataFrame:
+    """repartition(key) → sortWithinPartitions(key, min_doc) → mapInPandas
+    with a carry for groups spanning Arrow batches.  One pandas frame per
+    batch instead of per group: the per-group applyInPandas overhead was
+    the stage-2 bottleneck (25k tiny groups ≈ 100 s at 20k docs)."""
+
+    def gen(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            key = pdf[key_cols[0]].astype(str)
+            for c in key_cols[1:]:
+                key = key + "\x00" + pdf[c].astype(str)
+            k = key.to_numpy()
+            change = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+            carry = pdf.iloc[change[-1]:]
+            body = pdf.iloc[: change[-1]]
+            if len(body):
+                yield _merge_sorted_runs(body, key_cols, out_seg_from_salt, size_threshold)
+        if carry is not None and len(carry):
+            yield _merge_sorted_runs(carry, key_cols, out_seg_from_salt, size_threshold)
+
+    shuffled = (
+        df.repartition(n_partitions, *[F.col(c) for c in key_cols])
+        .sortWithinPartitions(*key_cols, "min_doc")
+    )
+    return shuffled.mapInPandas(gen, POSTINGS_SCHEMA)
+
+
 def merge_partials(partials: DataFrame, cfg: IndexConfig) -> DataFrame:
     """Stage 2: salted merge.  Output rows keyed (term, salt) with
     seg := salt (the merge-group id)."""
-    fanin = cfg.merge_fanin
-
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return merge_group_pdf(pdf, out_seg=int(key[1]))
-
-    salted = partials.withColumn("salt", (F.col("seg") / fanin).cast("int"))
-    return salted.groupBy("term", "salt").applyInPandas(fn, POSTINGS_SCHEMA)
+    salted = partials.withColumn("salt", (F.col("seg") / cfg.merge_fanin).cast("int"))
+    return _stream_merge(salted, ["term", "salt"], True, cfg.shuffle_partitions)
 
 
 def compact_light_terms(merged: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """Second narrow-ish pass: stitch small multi-row terms to one row.
+    """Second pass: stitch small multi-row terms to one row, in-stream
+    (the per-term size decision happens inside the sorted partition — no
+    separate sizes aggregation or semi/anti joins).
 
     Heavy terms (total payload ≥ compact_below_bytes) keep their salt-group
     rows — concentrating a stopword's full posting list on one reducer is
     exactly the skew stage 2 exists to avoid.
     """
-    sizes = merged.groupBy("term").agg(
-        F.sum(F.length("doc_bytes")).alias("bytes"), F.count("*").alias("nrows")
-    )
-    light = sizes.filter((F.col("nrows") > 1) & (F.col("bytes") < cfg.compact_below_bytes)).select("term")
-
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return merge_group_pdf(pdf, out_seg=0)
-
-    light_rows = merged.join(light, "term", "left_semi")
-    heavy_rows = merged.join(light, "term", "left_anti")
-    compacted = light_rows.groupBy("term").applyInPandas(fn, POSTINGS_SCHEMA)
-    return compacted.unionByName(heavy_rows)
+    return _stream_merge(merged, ["term"], False, cfg.shuffle_partitions,
+                         size_threshold=cfg.compact_below_bytes)

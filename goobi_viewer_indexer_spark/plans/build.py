@@ -51,11 +51,20 @@ def assign_doc_ids(docs: DataFrame, key_cols: list[str]) -> DataFrame:
     partitions, then offset per-partition local ranks by partition counts —
     two narrow passes + one tiny driver-side cumsum over partition counts.
     """
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     key = [F.col(c) for c in key_cols]
-    ranged = docs.repartitionByRange(*key).sortWithinPartitions(*key)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # persist + materialize: the counts pass and the id pass MUST see the
+    # same partitioning — repartitionByRange samples boundaries, so two
+    # independent evaluations can shift rows across partitions (observed:
+    # pids missing from the offset map → NULL doc_ids)
+    with_pid = (
+        docs.repartitionByRange(*key)
+        .sortWithinPartitions(*key)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -118,7 +127,14 @@ def build_index(
             .parquet(dstats_path)
         )
     dstats = spark.read.parquet(dstats_path)
-    g = dstats.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl"), F.max("seg").alias("maxseg")).collect()[0]
+    g = dstats.agg(
+        F.count("*").alias("n"),
+        F.avg("doclen").alias("avgdl"),
+        F.max("seg").alias("maxseg"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0)).alias("nulls"),
+    ).collect()[0]
+    if g["nulls"]:
+        raise ValueError(f"{g['nulls']} null doc_ids — id assignment is broken upstream")
     n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 0.0)
     nseg = int(g["maxseg"]) + 1 if g["maxseg"] is not None else 1
 
@@ -146,6 +162,8 @@ def build_index(
         import pandas as pd
 
         def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            if len(pdf) == 0:  # Spark 4 grouped-map may deliver empty groups
+                return pd.DataFrame({"rng": [], "base": [], "doclens": []}).astype({"rng": "int32", "base": "int64"})
             pdf = pdf.sort_values("doc_id")
             rng = int(pdf["rng"].iloc[0])
             base = rng * span
@@ -209,7 +227,15 @@ def build_index(
     final = spimi.compact_light_terms(merged, cfg)
     final = final.withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
     post_path = os.path.join(index_dir, "postings")
-    final.write.mode("overwrite").partitionBy("bucket").parquet(post_path)
+    # one writer task per bucket, rows sorted by term: query-term lookups
+    # prune to one directory and skip row groups via term min/max stats
+    (
+        final.repartition(cfg.postings_buckets, "bucket")
+        .sortWithinPartitions("term", "min_doc")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(post_path)
+    )
 
     # term stats from stage-1 partials (exact df/cf, no double count:
     # each (term, seg) appears exactly once across batch manifests)

@@ -217,6 +217,8 @@ def add_docs(spark: SparkSession, index_dir: str, new_docs: DataFrame, text_col:
 
     # doclens_packed append (new ranges only — base is span-aligned)
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"rng": [], "base": [], "doclens": []}).astype({"rng": "int32", "base": "int64"})
         pdf = pdf.sort_values("doc_id")
         rng = int(pdf["rng"].iloc[0])
         b0 = rng * span
@@ -369,6 +371,8 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         _swap_dir(ds_path, tmp3)
 
         def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"rng": [], "base": [], "doclens": []}).astype({"rng": "int32", "base": "int64"})
             pdf = pdf.sort_values("doc_id")
             rng = int(pdf["rng"].iloc[0])
             b0 = rng * span

@@ -86,6 +86,9 @@ def windowed_event_counts(
     """Watermarked tumbling-window counts per event_type — works on both a
     streaming and a batch DataFrame (the batch form is the DuckDB-checkable
     oracle twin registered in the suite)."""
+    # event-time must be TIMESTAMP (with zone); parquet NTZ reinterprets as
+    # UTC under the engine's fixed UTC session timezone
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), "event_type")
