@@ -102,9 +102,20 @@ def _duckdb_shingles(text_col: str = "text", k: int = 3) -> str:
     )
 
 
+# affine-permutation minhash: ONE md5 per shingle (JVM MessageDigest
+# serializes under thread contention — measured ~8 busy cores — so md5
+# count matters), then mh_j = min((A_j * h + B_j) mod P) with h = the
+# md5's first 8 hex chars as int, reduced mod P.  P Mersenne-prime 2^31-1;
+# A_j/B_j fixed odd constants.  Same arithmetic is expressible in DuckDB,
+# keeping the oracle value-identical.
+_MH_P = (1 << 31) - 1
+_MH_A = [2 * j + 1 + 1000003 * (j + 1) for j in range(N_MINHASH)]
+_MH_B = [7919 * (j + 1) + 17 for j in range(N_MINHASH)]
+
+
 def minhash_signature(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, mh array<string>, shingles) — mh[j] = min over shingles of
-    md5(j || ':' || shingle); engine-portable (md5 == md5 in DuckDB).
+    """(doc_id, mh array<long>, shingles) — affine-permutation minhash over
+    one md5-derived base hash per shingle.
 
     One explode + n_hashes min-aggregates: the shingle set is computed
     ONCE (an n-column projection of array_min(transform(...)) would make
@@ -113,8 +124,13 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     makes the shuffle carry one row per (doc, hash)."""
     sh_df = docs.select(F.col(id_col).alias("doc_id"), shingles_expr(text_col).alias("shingles"))
     exploded = sh_df.select("doc_id", F.explode("shingles").alias("s"))
+    h = (F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long") % _MH_P).alias("h")
+    exploded = exploded.select("doc_id", h)
     sig = exploded.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"_mh{j}") for j in range(n_hashes)]
+        *[
+            F.min((F.col("h") * _MH_A[j] + _MH_B[j]) % _MH_P).alias(f"_mh{j}")
+            for j in range(n_hashes)
+        ]
     )
     mh = F.array(*[F.col(f"_mh{j}") for j in range(n_hashes)])
     return (
@@ -133,11 +149,12 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[F.element_at("mh", bi * rows_per_band + r + 1) for r in range(rows_per_band)],
-                            )
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("mh", bi * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
                         ).alias("bh"),
                     )
                     for bi in range(n_bands)
@@ -185,10 +202,12 @@ def minhash_near_duplicates_sql(threshold: float = 0.7) -> str:
     sh = _duckdb_shingles()
     rows_per_band = N_MINHASH // N_BANDS
     mh_items = ", ".join(
-        f"(SELECT min(md5('{j}:' || s.x)) FROM unnest(shingles) AS s(x))" for j in range(N_MINHASH)
+        f"(SELECT min(((CAST(('0x' || substr(md5(s.x),1,8)) AS BIGINT) % {_MH_P}) * {_MH_A[j]} + {_MH_B[j]}) % {_MH_P}) "
+        f"FROM unnest(shingles) AS s(x))"
+        for j in range(N_MINHASH)
     )
     band_items = ", ".join(
-        "md5(" + " || '|' || ".join(f"mh[{bi * rows_per_band + r + 1}]" for r in range(rows_per_band)) + ")"
+        "(" + " || '|' || ".join(f"CAST(mh[{bi * rows_per_band + r + 1}] AS VARCHAR)" for r in range(rows_per_band)) + ")"
         for bi in range(N_BANDS)
     )
     return f"""

@@ -162,6 +162,100 @@ class InvertedIndex:
             .select("doc_id", F.round("score", 6).alias("score"))
         )
 
+    def search_many(self, queries: dict[str, tuple[list[str] | str, str, int]]) -> dict[str, list[tuple[int, float]]]:
+        """Batch execution: one distributed job answers every query.
+
+        ``queries``: qid -> (terms-or-raw-text, mode, k).  Amortizes the
+        per-job latency (scheduler + scan) across the batch — on a real
+        cluster one postings scan serves the whole query log slice.
+        Results are identical to per-query :meth:`search` (tested)."""
+        meta = self.meta
+        n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
+        ub_scale = self.ub_scale
+
+        parsed: dict[str, tuple[list[str], str, int]] = {}
+        for qid, (q, mode, k) in queries.items():
+            terms = sorted(set(q if isinstance(q, list) else tokenize_py(q)))
+            parsed[qid] = (terms, mode, k)
+        all_terms = sorted({t for terms, _, _ in parsed.values() for t in terms})
+        if not all_terms:
+            return {qid: [] for qid in parsed}
+        stats = self.term_stats_for(all_terms)
+        idfs = {t: wand.idf(n_docs, stats[t][0]) for t in stats}
+
+        # queries that can't match at all (AND with a missing term)
+        results: dict[str, list] = {}
+        live: dict[str, tuple[list[str], str, int]] = {}
+        for qid, (terms, mode, k) in parsed.items():
+            present = [t for t in terms if t in stats]
+            if not present or (mode == "and" and len(present) < len(terms)):
+                results[qid] = []
+            else:
+                live[qid] = (present, mode, k)
+        if not live:
+            return results
+
+        needed = sorted({t for terms, _, _ in live.values() for t in terms})
+        rows = self.postings_for(needed).withColumn(
+            "rng",
+            F.explode(
+                F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
+            ),
+        )
+
+        def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"qid": [], "doc_id": [], "score": []}).astype(
+                    {"qid": str, "doc_id": np.int64, "score": np.float64}
+                )
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * span, (rng + 1) * span - 1
+            base = int(pdf["base"].iloc[0])
+            lens = np.frombuffer(pdf["doclens"].iloc[0], dtype=np.int32)
+            deleted = None
+            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
+                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            by_term = {}
+            for _, row in pdf.iterrows():
+                by_term[row["term"]] = _mk_termlist(row, idfs[row["term"]], stats[row["term"]][0])
+            dlk = wand.DenseDoclens(base, lens)
+            out_q, out_d, out_s = [], [], []
+            for qid, (terms, mode, k) in live.items():
+                lists = [by_term[t] for t in terms if t in by_term]
+                if not lists or (mode == "and" and len(lists) < len(terms)):
+                    continue
+                docs, scores = wand.score_topk(
+                    lists, dlk, avgdl, k1, b, k, mode, lo, hi,
+                    deleted=deleted, ub_scale=ub_scale,
+                )
+                out_q.extend([qid] * docs.size)
+                out_d.extend(docs.tolist())
+                out_s.extend(scores.tolist())
+            return pd.DataFrame({"qid": out_q, "doc_id": out_d, "score": out_s}).astype(
+                {"qid": str, "doc_id": np.int64, "score": np.float64}
+            )
+
+        joined = rows.join(self._doclens, "rng")
+        if self._tomb_packed is not None:
+            joined = joined.join(self._tomb_packed, "rng", "left")
+        local_topk = joined.groupBy("rng").applyInPandas(score_range, "qid string, doc_id long, score double")
+
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+        kmap = F.create_map(*[F.lit(x) for qid, (_, _, k) in live.items() for x in (qid, k)])
+        final = (
+            local_topk.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= kmap[F.col("qid")])
+            .select("qid", "doc_id", F.round("score", 6).alias("score"), "_rk")
+            .collect()
+        )
+        for qid in live:
+            results[qid] = []
+        for r in sorted(final, key=lambda r: (r["qid"], r["_rk"])):
+            results[r["qid"]].append((r["doc_id"], r["score"]))
+        return results
+
     def open_local(self) -> "LocalSearcher":
         return LocalSearcher(self)
 

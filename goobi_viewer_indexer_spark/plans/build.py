@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from goobi_viewer_indexer_spark.config import IndexConfig
+from goobi_viewer_indexer_spark.functions.hashing import sha256_hex
 from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr
 from goobi_viewer_indexer_spark.operators import spimi
 
@@ -104,6 +105,14 @@ def build_index(
     ``fail_after_batches`` injects a crash after that many stage-1 batches
     (test hook for the resume contract).  Returns the meta dict.
     """
+    stage_sec: dict = {}
+    t_mark = time.time()
+
+    def mark(name):
+        nonlocal t_mark
+        stage_sec[name] = round(time.time() - t_mark, 2)
+        t_mark = time.time()
+
     spark = docs.sparkSession
     os.makedirs(index_dir, exist_ok=True)
     if os.path.exists(os.path.join(index_dir, "_SUCCESS")):
@@ -118,14 +127,17 @@ def build_index(
             docs.select(
                 "doc_id",
                 F.size(tokenize_expr("text")).alias("doclen"),
-                F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("sha256"),
+                sha256_hex(F.col("text")).alias("sha256"),
             )
             .withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
-            .repartitionByRange(max(1, cfg.shuffle_partitions // 2), "doc_id")
-            .sortWithinPartitions("doc_id")
+            # written with the scan's natural partitioning: a range
+            # exchange here would pull the (pandas-UDF) projection into a
+            # narrow post-shuffle stage — measured as a flat ~50 s
+            # serial bottleneck; consumers shuffle by rng/seg themselves
             .write.mode("overwrite")
             .parquet(dstats_path)
         )
+    mark("stage0_doc_stats")
     dstats = spark.read.parquet(dstats_path)
     g = dstats.agg(
         F.count("*").alias("n"),
@@ -181,6 +193,8 @@ def build_index(
             .parquet(dlp_path)
         )
 
+    mark("stage05_doclens_packed")
+
     # ---- stage 1: SPIMI partials, batched by segment for resumability ----
     stage1_marker = os.path.join(index_dir, "_STAGE1_DONE")
     part_root = os.path.join(index_dir, "partials")
@@ -220,6 +234,7 @@ def build_index(
             ran += 1
         with open(stage1_marker, "w") as f:
             f.write("ok")
+    mark("stage1_partials")
 
     # ---- stage 2: salted merge + light-term compaction + bucketed write ----
     partials = spark.read.option("basePath", part_root).parquet(part_root + "/batch=*")
@@ -237,6 +252,8 @@ def build_index(
         .parquet(post_path)
     )
 
+    mark("stage2_merge_write")
+
     # term stats from stage-1 partials (exact df/cf, no double count:
     # each (term, seg) appears exactly once across batch manifests)
     ts_path = os.path.join(index_dir, "term_stats")
@@ -249,6 +266,9 @@ def build_index(
         .parquet(ts_path)
     )
 
+    mark("stage3_term_stats")
+    meta["stage_sec"] = stage_sec
+    _write_meta(index_dir, meta)
     with open(os.path.join(index_dir, "_SUCCESS"), "w") as f:
         f.write("ok")
     return meta

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from goobi_viewer_indexer_spark.config import IndexConfig
 from goobi_viewer_indexer_spark.functions import codec
+from goobi_viewer_indexer_spark.functions.hashing import sha256_hex
 from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr
 from goobi_viewer_indexer_spark.operators import spimi
 from goobi_viewer_indexer_spark.plans.build import load_meta, _write_meta
@@ -210,7 +211,7 @@ def add_docs(spark: SparkSession, index_dir: str, new_docs: DataFrame, text_col:
     dstats = docs.select(
         "doc_id",
         F.size(tokenize_expr("text")).alias("doclen"),
-        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("sha256"),
+        sha256_hex(F.col("text")).alias("sha256"),
         "seg",
     )
     dstats.write.mode("append").parquet(ds_path)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from goobi_viewer_indexer_spark.operators.fieldmap import FieldSpec, apply_field_map, field_map_sql
 from goobi_viewer_indexer_spark.suite import _load, register
 
 
@@ -268,6 +269,38 @@ def q_normalize(spark, sf_dir):
         F.substring(F.upper("p_name"), 1, 128).alias("groupfield"),
         F.regexp_replace("p_name", "\\s+", ".").alias("one_token"),
     ).orderBy("partkey")
+
+
+# --------------------------------------------------------------------------
+# P1-P10 as a subsystem: config-driven field map with twins
+# (MetadataConfigurationManager/FieldConfig analog; operators/fieldmap.py)
+# --------------------------------------------------------------------------
+_FIELD_SPECS = [
+    FieldSpec(
+        name="MD_TITLE",
+        source="text",
+        replace_rules=(("\\bthe\\b", "THE"),),
+        default_cleanup=True,
+        truncate=80,
+        sort_twin=True,
+        non_sort_prefixes=("THE ",),
+        facet_twin=True,
+        untokenized_twin=True,
+    ),
+    FieldSpec(
+        name="PI",
+        source="source",
+        sanitize_identifier=True,
+        lowercase=True,
+        pad=("front", 12, "0"),
+    ),
+    FieldSpec(name="MD_ONE_TOKEN", source="lang", one_token=True, lowercase=True),
+]
+
+
+@register("fieldmap_extraction", field_map_sql(_FIELD_SPECS))
+def q_fieldmap(spark, sf_dir):
+    return apply_field_map(_load(spark, sf_dir, "documents"), _FIELD_SPECS).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

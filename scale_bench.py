@@ -3,10 +3,13 @@
 efficiency >= 0.8 from N to 4N executors; sandbox proxy per BASELINE.md:
 the identical spark-submit job at local[8] vs local[32] on the same input).
 
-Runs the full pipeline (corpus generation excluded from timing; SPIMI
-build + merge + stats + distributed queries timed) in a FRESH JVM per
-level via spark-submit --py-files, then reports throughput at both levels
-and efficiency = (thr_32 / thr_8) / (32 / 8).
+Protocol (this box is a shared-host VM with visible run-to-run noise):
+* the corpus is generated ONCE and materialized to parquet;
+* each parallelism level runs ``reps`` times in a FRESH JVM via
+  ``spark-submit --py-files``, interleaved (8,32,8,32,…) so slow host
+  phases hit both levels equally;
+* per level we report the MIN build time (noise is strictly additive);
+* timing covers the SPIMI build stages only (session startup excluded).
 
 Writes SCALING.md and prints one JSON line.
 """
@@ -21,32 +24,42 @@ import tempfile
 import zipfile
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "60000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "300000"))
 LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")]
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 
-WORKER = r"""
-import json, os, sys, tempfile, time, shutil
+GEN_WORKER = r"""
+import sys
 from goobi_viewer_indexer_spark.session import get_spark
 from goobi_viewer_indexer_spark.sources.corpus import generate_corpus
-from goobi_viewer_indexer_spark.plans.build import build_index, assign_doc_ids
+from goobi_viewer_indexer_spark.plans.build import assign_doc_ids
+n_docs, out = int(sys.argv[1]), sys.argv[2]
+spark = get_spark(app_name="scale-gen", master="local[32]", shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+(assign_doc_ids(generate_corpus(spark, n_docs), ["repo", "path", "commit"])
+ .write.mode("overwrite").parquet(out))
+spark.stop()
+"""
+
+BUILD_WORKER = r"""
+import json, sys, tempfile, time, shutil
+from goobi_viewer_indexer_spark.session import get_spark
+from goobi_viewer_indexer_spark.plans.build import build_index
 from goobi_viewer_indexer_spark.operators.search import InvertedIndex
 from goobi_viewer_indexer_spark.config import IndexConfig
 
-cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); out = sys.argv[3]
+cores, corpus_path, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
 spark = get_spark(app_name=f"scale-{cores}", master=f"local[{cores}]",
                   shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
-cfg = IndexConfig(docs_per_segment=2048, merge_fanin=8, postings_buckets=64)
-# materialize the corpus first so generation cost is excluded from timing
-corpus_path = tempfile.mkdtemp(prefix=f"scale_corpus_{cores}_")
-(assign_doc_ids(generate_corpus(spark, n_docs), ["repo", "path", "commit"])
- .write.mode("overwrite").parquet(corpus_path))
+cfg = IndexConfig(docs_per_segment=2048, merge_fanin=8, postings_buckets=64,
+                  shuffle_partitions=cores)
 docs = spark.read.parquet(corpus_path)
-docs.count()
+n_docs = docs.count()
 
 idx_dir = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
 t0 = time.time()
-build_index(docs, idx_dir, cfg, text_col="content")
+meta = build_index(docs, idx_dir, cfg, text_col="content")
 t_build = time.time() - t0
 
 idx = InvertedIndex(spark, idx_dir)
@@ -59,14 +72,23 @@ t_query = time.time() - t0
 
 with open(out, "w") as f:
     json.dump({"cores": cores, "n_docs": n_docs, "build_sec": t_build,
-               "build_docs_per_sec": n_docs / t_build, "query_4q_sec": t_query}, f)
-shutil.rmtree(idx_dir, ignore_errors=True); shutil.rmtree(corpus_path, ignore_errors=True)
+               "build_docs_per_sec": n_docs / t_build, "query_4q_sec": t_query,
+               "stage_sec": meta.get("stage_sec", {})}, f)
+shutil.rmtree(idx_dir, ignore_errors=True)
 spark.stop()
 """
 
 
+def _submit(pyfile: str, zpath: str, args: list[str]) -> None:
+    cmd = ["spark-submit", "--master", "local[32]", "--py-files", zpath,
+           "--driver-memory", "48g", pyfile, *args]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-4000:])
+        raise RuntimeError(f"spark-submit failed ({r.returncode}): {' '.join(args)}")
+
+
 def main() -> None:
-    # package zip for --py-files (the cluster-shaped deployment path)
     zpath = os.path.join(tempfile.gettempdir(), "gvi_spark_pkg.zip")
     with zipfile.ZipFile(zpath, "w") as z:
         pkg = os.path.join(REPO, "goobi_viewer_indexer_spark")
@@ -76,45 +98,59 @@ def main() -> None:
                     full = os.path.join(root, fn)
                     z.write(full, os.path.relpath(full, REPO))
 
-    worker_file = os.path.join(tempfile.gettempdir(), "gvi_scale_worker.py")
-    with open(worker_file, "w") as f:
-        f.write(WORKER)
+    tmp = tempfile.gettempdir()
+    gen_file = os.path.join(tmp, "gvi_scale_gen.py")
+    build_file = os.path.join(tmp, "gvi_scale_build.py")
+    with open(gen_file, "w") as f:
+        f.write(GEN_WORKER)
+    with open(build_file, "w") as f:
+        f.write(BUILD_WORKER)
 
-    results = {}
-    for cores in LEVELS:
-        out = os.path.join(tempfile.gettempdir(), f"gvi_scale_{cores}.json")
-        cmd = [
-            "spark-submit",
-            "--master", f"local[{cores}]",
-            "--py-files", zpath,
-            "--driver-memory", "8g",
-            worker_file, str(cores), str(N_DOCS), out,
-        ]
-        env = dict(os.environ)
-        subprocess.run(cmd, check=True, env=env, capture_output=True)
-        with open(out) as f:
-            results[cores] = json.load(f)
+    corpus_path = os.path.join(tmp, f"gvi_scale_corpus_{N_DOCS}")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        _submit(gen_file, zpath, [str(N_DOCS), corpus_path])
 
+    samples: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    for rep in range(REPS):
+        for cores in LEVELS:
+            out = os.path.join(tmp, f"gvi_scale_{cores}_{rep}.json")
+            _submit(build_file, zpath, [str(cores), corpus_path, out])
+            with open(out) as f:
+                samples[cores].append(json.load(f))
+
+    best = {c: min(s, key=lambda r: r["build_sec"]) for c, s in samples.items()}
     lo, hi = min(LEVELS), max(LEVELS)
-    thr_lo = results[lo]["build_docs_per_sec"]
-    thr_hi = results[hi]["build_docs_per_sec"]
+    thr_lo = best[lo]["build_docs_per_sec"]
+    thr_hi = best[hi]["build_docs_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
 
     lines = [
         "# SCALING — two-parallelism-level evidence (north rule proxy)",
         "",
         f"Same `spark-submit --py-files` job (SPIMI build + merge + stats over a",
-        f"{N_DOCS}-doc synthetic source-code corpus, then 4 distributed BM25",
-        "queries) at two parallelism levels on identical input:",
+        f"pre-materialized {N_DOCS}-doc synthetic source-code corpus, then 4",
+        f"distributed BM25 queries), {REPS} interleaved reps per level, fresh JVM",
+        "each; best-of-reps reported (shared-host VM noise is additive):",
         "",
-        "| cores | build sec | build docs/sec | 4-query sec |",
-        "|---|---|---|---|",
+        "| cores | build sec (best) | build docs/sec | 4-query sec | all build samples (s) |",
+        "|---|---|---|---|---|",
     ]
     for c in LEVELS:
-        r = results[c]
+        r = best[c]
+        allsec = ", ".join(f"{s['build_sec']:.1f}" for s in samples[c])
         lines.append(
-            f"| local[{c}] | {r['build_sec']:.1f} | {r['build_docs_per_sec']:.0f} | {r['query_4q_sec']:.1f} |"
+            f"| local[{c}] | {r['build_sec']:.1f} | {r['build_docs_per_sec']:.0f} | {r['query_4q_sec']:.1f} | {allsec} |"
         )
+    lines += [
+        "",
+        "Per-stage seconds (best run):",
+        "",
+        "| stage | " + " | ".join(f"local[{c}]" for c in LEVELS) + " |",
+        "|---|" + "|".join(["---"] * len(LEVELS)) + "|",
+    ]
+    stages = list(best[LEVELS[0]].get("stage_sec", {}).keys())
+    for st in stages:
+        lines.append("| " + st + " | " + " | ".join(str(best[c]["stage_sec"].get(st, "-")) for c in LEVELS) + " |")
     lines += [
         "",
         f"**Scaling efficiency (build throughput, {lo}→{hi} cores):** "
@@ -129,7 +165,7 @@ def main() -> None:
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
-    print(json.dumps({"levels": results, "scaling_efficiency": round(eff, 3)}))
+    print(json.dumps({"best": best, "samples": {str(k): v for k, v in samples.items()}, "scaling_efficiency": round(eff, 3)}))
 
 
 if __name__ == "__main__":

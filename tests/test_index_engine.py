@@ -52,6 +52,14 @@ def test_wand_rank_identical_to_naive(index, docs_df, qid, terms, k, mode):
     assert got_local == expected, f"{qid}: local mismatch"
 
 
+def test_search_many_matches_single(index):
+    batch = {f"q{i}": (terms, mode, k) for i, (_, terms, k, mode) in enumerate(QUERY_SET)}
+    got = index.search_many(batch)
+    for qid, (terms, mode, k) in batch.items():
+        single = [(r["doc_id"], r["score"]) for r in index.search(terms, k=k, mode=mode).collect()]
+        assert got[qid] == single, qid
+
+
 def test_term_stats_match_oracle(index, docs_df):
     from goobi_viewer_indexer_spark.operators.stats import term_stats
 
