@@ -179,6 +179,9 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard over distinct shingles."""
     sigs = minhash_signature(docs, id_col, text_col).cache()
+    sigs.count()  # materialize: three downstream branches (bands + both
+    # sides of the verify join) would otherwise each recompute the
+    # tokenize→shingle→minhash chain inside one action (~5x wall time)
     pairs = lsh_candidate_pairs(sigs)
     sh = sigs.select("doc_id", "shingles")
     j = (
