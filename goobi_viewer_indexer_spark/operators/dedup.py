@@ -38,9 +38,11 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_near_duplicates",
     "simhash_fingerprint",
+    "simhash_candidate_pairs",
     "EXACT_DUP_SQL",
     "minhash_near_duplicates_sql",
     "simhash_sql",
+    "simhash_pairs_sql",
 ]
 
 N_MINHASH = 16
@@ -113,18 +115,34 @@ _MH_A = [2 * j + 1 + 1000003 * (j + 1) for j in range(N_MINHASH)]
 _MH_B = [7919 * (j + 1) + 17 for j in range(N_MINHASH)]
 
 
-def minhash_signature(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
+def minhash_signature(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+    hash_fn: str = "md5",
+) -> DataFrame:
     """(doc_id, mh array<long>, shingles) — affine-permutation minhash over
-    one md5-derived base hash per shingle.
+    one base hash per shingle.
 
     One explode + n_hashes min-aggregates: the shingle set is computed
     ONCE (an n-column projection of array_min(transform(...)) would make
     Catalyst re-evaluate tokenize+shingling per hash — 16x the work, the
     difference between 15 s and 230 s at sf0.1).  Map-side partial min
-    makes the shuffle carry one row per (doc, hash)."""
+    makes the shuffle carry one row per (doc, hash).
+
+    ``hash_fn``: ``"md5"`` is the oracle twin (DuckDB computes identical
+    signatures); ``"xxhash64"`` is the production path — JVM xxhash64 has
+    no MessageDigest lock (md5 serializes ~8 cores under contention), so
+    it's the one to use at 100 TB.  Both feed the same affine permutations
+    and the same exact-Jaccard verify, so verified near-dup output is
+    hash-choice-independent (pinned by pytest at sf0.01)."""
     sh_df = docs.select(F.col(id_col).alias("doc_id"), shingles_expr(text_col).alias("shingles"))
     exploded = sh_df.select("doc_id", F.explode("shingles").alias("s"))
-    h = (F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long") % _MH_P).alias("h")
+    if hash_fn == "xxhash64":
+        h = (((F.xxhash64("s") % _MH_P) + _MH_P) % _MH_P).alias("h")
+    else:
+        h = (F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long") % _MH_P).alias("h")
     exploded = exploded.select("doc_id", h)
     sig = exploded.groupBy("doc_id").agg(
         *[
@@ -140,7 +158,14 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 
 def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """Band buckets → self-join → distinct candidate (a,b) pairs, a<b."""
+    """Band buckets → self-join → distinct candidate (a,b) pairs, a<b.
+
+    Docs with an all-NULL signature (fewer than k tokens → empty shingle
+    set) are dropped BEFORE banding: concat_ws skips NULLs, so they would
+    otherwise all share band hash "" in every band — one degenerate bucket
+    turning the self-join quadratic at scale.  A doc with no shingles has
+    Jaccard 0 with everything, so dropping it is also semantically exact."""
+    sigs = sigs.filter(F.element_at("mh", 1).isNotNull())
     rows_per_band = N_MINHASH // n_bands
     bands = sigs.select(
         "doc_id",
@@ -176,9 +201,10 @@ def minhash_near_duplicates(
     threshold: float = 0.7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard over distinct shingles."""
-    sigs = minhash_signature(docs, id_col, text_col).cache()
+    sigs = minhash_signature(docs, id_col, text_col, hash_fn=hash_fn).cache()
     sigs.count()  # materialize: three downstream branches (bands + both
     # sides of the verify join) would otherwise each recompute the
     # tokenize→shingle→minhash chain inside one action (~5x wall time)
@@ -223,7 +249,7 @@ sig AS (
 bands AS (
   SELECT doc_id, unnest([{band_items}]) AS bh,
          unnest(range(0, {N_BANDS})) AS band
-  FROM sig
+  FROM sig WHERE mh[1] IS NOT NULL
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -245,17 +271,10 @@ ORDER BY doc_a, doc_b
 
 
 # ------------------------------------------------------------------- simhash
-def simhash_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
-    """SimHash over tokens: bit i of the fingerprint = sign of
-    Σ_tokens (±1 depending on bit i of md5(token)).
-
-    32-bit variant (hex-parse stays in long range on both engines).
-    Candidate retrieval at scale = group by fingerprint bands; here we
-    emit (doc_id, simhash) for downstream hamming bucketing.
-    """
-    toks = tokenize_expr(text_col)
-    # per-token 32-bit hash from the first 8 hex chars of md5
-    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+def _simhash32_expr(toks, hex_off: int):
+    """32-bit SimHash half from md5 hex chars [hex_off, hex_off+8)."""
+    bits = 32
+    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), hex_off, 8), 16, 10).cast("long"))
     # ONE fold over the token array accumulating all bit counters at once
     # (an array<long> of length ``bits``) — not one pass per bit
     zeros = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
@@ -282,22 +301,106 @@ def simhash_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str =
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    return F.when(F.size(toks) == 0, F.lit(0).cast("long")).otherwise(sim)
+
+
+def simhash_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over tokens as two 32-bit halves (hi = md5 hex
+    chars 1-8, lo = chars 9-16; the split keeps every hex-parse inside
+    signed-long range on both Spark and DuckDB).  Bit i of each half =
+    sign of Σ_tokens (±1 depending on bit i of that half's token hash).
+
+    Emits (doc_id, simhash_hi, simhash_lo); candidate retrieval is
+    :func:`simhash_candidate_pairs` (16-bit-chunk banding)."""
+    toks = tokenize_expr(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.when(F.size(toks) == 0, F.lit(0).cast("long")).otherwise(sim).alias("simhash"),
+        _simhash32_expr(toks, 1).alias("simhash_hi"),
+        _simhash32_expr(toks, 9).alias("simhash_lo"),
     ).orderBy("doc_id")
 
 
-def simhash_sql(bits: int = 32) -> str:
-    toks = duckdb_tokenize_sql("text")
+def _simhash_half_sql(hex_off: int) -> str:
     bit_terms = " + ".join(
-        f"(CASE WHEN (SELECT sum(CASE WHEN (CAST(('0x' || substr(md5(u.x),1,8)) AS BIGINT) >> {i}) & 1 = 1 "
+        f"(CASE WHEN (SELECT sum(CASE WHEN (CAST(('0x' || substr(md5(u.x),{hex_off},8)) AS BIGINT) >> {i}) & 1 = 1 "
         f"THEN 1 ELSE -1 END) FROM unnest(toks) AS u(x)) > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
-        for i in range(bits)
+        for i in range(32)
     )
+    return f"CASE WHEN len(toks) = 0 THEN 0 ELSE {bit_terms} END"
+
+
+def simhash_sql() -> str:
+    toks = duckdb_tokenize_sql("text")
     return f"""
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
 SELECT doc_id,
-       CASE WHEN len(toks) = 0 THEN 0 ELSE {bit_terms} END AS simhash
+       {_simhash_half_sql(1)} AS simhash_hi,
+       {_simhash_half_sql(9)} AS simhash_lo
 FROM t ORDER BY doc_id
+""".strip()
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with 64-bit SimHash hamming distance ≤ ``max_hamming``.
+
+    Banding: the 64-bit fingerprint splits into four 16-bit chunks; by
+    pigeonhole any pair at hamming ≤ 3 agrees exactly on ≥1 chunk, so a
+    groupBy-chunk self-join (same shape as MinHash LSH — shuffle keyed by
+    (band, chunk value), linear in N) has recall 1.0 for the default
+    radius.  Candidates are then verified with the exact popcount, so the
+    output EQUALS the all-pairs oracle — no approximation."""
+    fp = simhash_fingerprint(docs, id_col, text_col)
+    hi, lo = F.col("simhash_hi"), F.col("simhash_lo")
+    chunks = F.array(
+        F.struct(F.lit(0).alias("band"), F.floor(hi / F.lit(65536)).cast("long").alias("chunk")),
+        F.struct(F.lit(1).alias("band"), (hi % 65536).alias("chunk")),
+        F.struct(F.lit(2).alias("band"), F.floor(lo / F.lit(65536)).cast("long").alias("chunk")),
+        F.struct(F.lit(3).alias("band"), (lo % 65536).alias("chunk")),
+    )
+    bands = fp.select("doc_id", "simhash_hi", "simhash_lo", F.explode(chunks).alias("bk")).select(
+        "doc_id", "simhash_hi", "simhash_lo", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk")
+    )
+    a = bands.select(F.col("band"), F.col("chunk"), F.col("doc_id").alias("doc_a"),
+                     F.col("simhash_hi").alias("hi_a"), F.col("simhash_lo").alias("lo_a"))
+    b = bands.select(F.col("band"), F.col("chunk"), F.col("doc_id").alias("doc_b"),
+                     F.col("simhash_hi").alias("hi_b"), F.col("simhash_lo").alias("lo_b"))
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("hi_a").alias("hi_a"), F.first("lo_a").alias("lo_a"),
+             F.first("hi_b").alias("hi_b"), F.first("lo_b").alias("lo_b"))
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    toks = duckdb_tokenize_sql("text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+fp AS (
+  SELECT doc_id,
+         {_simhash_half_sql(1)} AS hi,
+         {_simhash_half_sql(9)} AS lo
+  FROM t
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {max_hamming}
+ORDER BY doc_a, doc_b
 """.strip()

@@ -125,22 +125,28 @@ def bucketize(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, table, bucket, embedding) — one row per (vector, table)."""
-    rows = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        rows.append(
-            embeddings.select(
-                F.col(id_col).alias("vec_id"),
+    """(vec_id, table, bucket, embedding) — one row per (vector, table).
+
+    Single scan of the source: all ``n_tables`` sign-sketches are computed
+    as one array expression and exploded, instead of unioning n_tables
+    full re-reads of the table."""
+    sketches = F.array(
+        *[
+            F.struct(
                 F.lit(t).alias("table"),
-                _sketch_expr(F.col(vec_col), planes).alias("bucket"),
-                F.col(vec_col).alias("embedding"),
+                _sketch_expr(F.col(vec_col), _hyperplanes(dim, n_planes, seed + 1000 * t)).alias("bucket"),
             )
+            for t in range(n_tables)
+        ]
+    )
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.explode(sketches).alias("tb"),
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+        .select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"), "embedding")
+    )
 
 
 def cosine_topk_lsh(
@@ -187,15 +193,36 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    seed: int = 7,
 ) -> DataFrame:
-    """Exact near-dup pairs by cosine ≥ τ.  The O(N²) form is the oracle-
-    checkable baseline; at scale swap the cross join for the LSH-bucket
-    self-join in :func:`bucketize` (same verify step)."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    """Near-dup pairs by cosine ≥ τ via LSH-bucket self-join.
+
+    Scale path (replaces the former O(N²) cross join): sign-sketch each
+    vector into ``n_tables`` buckets (:func:`bucketize`), equi-join on
+    (table, bucket) so only colliding vectors pair up, dedup candidate
+    pairs, then exact-cosine-verify candidates only.  The shuffle is keyed
+    by (table, bucket) — linear in N·n_tables, never N².  Recall for
+    τ=0.95 with 8×8 tables/planes is ≥0.98 analytically ((1-(1-.899^8)^8);
+    identical vectors collide with probability 1); the planted-duplicate
+    pytest pins it empirically.  The DuckDB oracle keeps the exact
+    all-pairs form — valid only at small sf.
+    """
+    b = bucketize(embeddings, dim=dim, n_tables=n_tables, n_planes=n_planes,
+                  seed=seed, id_col=id_col, vec_col=vec_col)
+    left = b.select(F.col("table"), F.col("bucket"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    right = b.select(F.col("table"), F.col("bucket"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # one candidate row per pair even when it collides in several tables
+        .groupBy("id_a", "id_b")
+        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_raw", cosine_expr(F.col("va"), F.col("vb")))
+        cand.withColumn("cos_raw", cosine_expr(F.col("va"), F.col("vb")))
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
         .orderBy("id_a", "id_b")

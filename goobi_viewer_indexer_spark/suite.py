@@ -152,6 +152,13 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_fingerprint(_load(spark, sf_dir, "documents"))
 
 
+@register("dedup_simhash_pairs", dedup.simhash_pairs_sql(max_hamming=3))
+def q_dedup_simhash_pairs(spark, sf_dir):
+    # radius 3 = the 4×16-bit-chunk pigeonhole guarantee, so the banded
+    # self-join EQUALS the all-pairs oracle (12 real pairs at sf0.01).
+    return dedup.simhash_candidate_pairs(_load(spark, sf_dir, "documents"), max_hamming=3)
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings table)
 # --------------------------------------------------------------------------
@@ -214,7 +221,7 @@ _TOK = duckdb_tokenize_sql("text")
     f"""
 WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1,2)
-SELECT term, count(*) AS df, sum(tf) AS cf
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
 FROM tf GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 100
 """.strip(),

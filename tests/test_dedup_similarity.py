@@ -45,12 +45,44 @@ def test_lsh_candidates_superset_of_verified(planted):
 
 
 def test_simhash_near_for_near_docs(planted):
-    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprint(planted).collect()}
+    fp = {r["doc_id"]: (r["simhash_hi"], r["simhash_lo"]) for r in dedup.simhash_fingerprint(planted).collect()}
     assert fp[0] == fp[1]  # identical docs → identical fingerprint
-    ham_near = bin(fp[0] ^ fp[2]).count("1")
-    ham_far = bin(fp[0] ^ fp[3]).count("1")
-    assert ham_near < ham_far
-    assert fp[5] == 0  # null text
+    ham = lambda a, b: bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")  # noqa: E731
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[3])
+    assert fp[5] == (0, 0)  # null text
+    assert all(0 <= hi < 2**32 and 0 <= lo < 2**32 for hi, lo in fp.values())
+
+
+def test_simhash_candidate_pairs_planted(planted):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.simhash_candidate_pairs(planted, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0  # exact dups at hamming 0
+    assert not any(3 in p or 4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_pairs_banding_equals_allpairs(spark):
+    """Banded self-join == brute-force popcount at radius 3 (pigeonhole)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    banded = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in dedup.simhash_candidate_pairs(docs, max_hamming=3).collect()}
+    fp = {r["doc_id"]: (r["simhash_hi"], r["simhash_lo"]) for r in dedup.simhash_fingerprint(docs).collect()}
+    ids = sorted(fp)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fp[a][0] ^ fp[b][0]).count("1") + bin(fp[a][1] ^ fp[b][1]).count("1")
+            if h <= 3:
+                brute.add((a, b, h))
+    assert banded == brute
+
+
+def test_minhash_xxhash_variant_same_verified_output(spark):
+    """Production xxhash64 path yields the same VERIFIED near-dup set as
+    the md5 oracle twin (exact-Jaccard verify is hash-independent; only
+    candidate recall could differ, and both find all planted dups here)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    md5_out = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in dedup.minhash_near_duplicates(docs, threshold=0.35).collect()}
+    xx_out = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in dedup.minhash_near_duplicates(docs, threshold=0.35, hash_fn="xxhash64").collect()}
+    assert md5_out == xx_out
+    assert len(md5_out) > 0
 
 
 def test_lsh_ann_matches_bruteforce_on_top1(spark):
@@ -70,5 +102,30 @@ def test_lsh_ann_matches_bruteforce_on_top1(spark):
 def test_embedding_near_duplicates_symmetry(spark):
     rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.001, 0.0]), (2, [0.0, 1.0, 0.0])]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    out = similarity.embedding_near_duplicates(emb, threshold=0.99).collect()
+    out = similarity.embedding_near_duplicates(emb, threshold=0.99, dim=3).collect()
     assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
+
+
+def test_embedding_near_duplicates_plan_has_no_cartesian(spark):
+    """The registered near-dup path must be the LSH-bucket self-join —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    plan = similarity.embedding_near_duplicates(emb, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_duplicates_planted_recall(spark):
+    """Planted near-identical 64-dim vectors are found by the LSH path."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 64))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # plant 5 near-dups: tiny perturbations of vectors 0..4
+    for j in range(5):
+        v = base[j] + rng.standard_normal(64) * 0.01
+        rows.append((100 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["id_a"], r["id_b"]) for r in similarity.embedding_near_duplicates(emb, threshold=0.95).collect()}
+    assert {(j, 100 + j) for j in range(5)} <= out
