@@ -35,10 +35,44 @@ from pyspark.sql import functions as F
 
 from goobi_viewer_indexer_spark.config import IndexConfig
 from goobi_viewer_indexer_spark.functions.hashing import sha256_hex
-from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr
+from goobi_viewer_indexer_spark.functions.tokenize import doclen_nfc
 from goobi_viewer_indexer_spark.operators import spimi
 
-__all__ = ["build_index", "assign_doc_ids"]
+__all__ = ["build_index", "assign_doc_ids", "assign_sequential_ids"]
+
+
+def assign_sequential_ids(docs: DataFrame, base: int = 0, id_col: str = "doc_id") -> DataFrame:
+    """Dense ids ``base..base+n-1`` without a global single-partition window.
+
+    Same two-pass scheme as :func:`assign_doc_ids` but keyed on the input's
+    existing partitioning (no natural key needed): tag rows with their
+    partition id, count per partition (tiny driver-side cumsum), then offset
+    partition-local row_numbers.  Every partition is numbered in parallel —
+    the replacement for ``row_number().over(Window.orderBy(...))`` whose
+    empty partitionBy pulls the whole delta into ONE task."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    with_pid = (
+        docs.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, int(base)
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        return docs.withColumn(id_col, F.lit(None).cast("long"))
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    out = (
+        with_pid.withColumn("_local", F.row_number().over(w) - 1)
+        .withColumn(id_col, (omap[F.col("_pid")] + F.col("_local")).cast("long"))
+        .drop("_pid", "_mid", "_local")
+    )
+    return out
 
 
 def assign_doc_ids(docs: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -126,7 +160,10 @@ def build_index(
         (
             docs.select(
                 "doc_id",
-                F.size(tokenize_expr("text")).alias("doclen"),
+                # NFC pandas tokenizer — same chain as stage-1 SPIMI encode,
+                # so doclen and tf/block-max can never disagree on
+                # decomposed-Unicode input (ADVICE r1)
+                doclen_nfc(F.col("text")).alias("doclen"),
                 sha256_hex(F.col("text")).alias("sha256"),
             )
             .withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
@@ -150,6 +187,9 @@ def build_index(
     n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 0.0)
     nseg = int(g["maxseg"]) + 1 if g["maxseg"] is not None else 1
 
+    meta_prev = (
+        load_meta(index_dir) if os.path.exists(os.path.join(index_dir, "meta.json")) else {}
+    )
     meta = {
         "n_docs": n_docs,
         "avgdl": avgdl,
@@ -201,6 +241,15 @@ def build_index(
     man_root = os.path.join(index_dir, "partials_manifest")
     if not os.path.exists(stage1_marker):
         n_batches = max(1, min(n_batches, nseg))
+        # resume contract: batch index → segment range depends on n_batches,
+        # so a resume MUST use the original partitioning or 'done' batches
+        # would map to different segments (skipped / double-built df+cf).
+        # The first attempt pins it in meta; later attempts inherit it.
+        if "stage1_n_batches" in meta_prev:
+            if meta_prev["stage1_n_batches"] != n_batches:
+                n_batches = meta_prev["stage1_n_batches"]
+        meta["stage1_n_batches"] = n_batches
+        _write_meta(index_dir, meta)
         docs_seg = docs.withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
         done_batches = set()
         if os.path.exists(man_root):

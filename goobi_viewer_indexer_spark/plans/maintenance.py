@@ -36,11 +36,19 @@ from pyspark.sql import functions as F
 from goobi_viewer_indexer_spark.config import IndexConfig
 from goobi_viewer_indexer_spark.functions import codec
 from goobi_viewer_indexer_spark.functions.hashing import sha256_hex
-from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr
+from goobi_viewer_indexer_spark.functions.tokenize import doclen_nfc
 from goobi_viewer_indexer_spark.operators import spimi
-from goobi_viewer_indexer_spark.plans.build import load_meta, _write_meta
+from goobi_viewer_indexer_spark.plans import txn
+from goobi_viewer_indexer_spark.plans.build import load_meta, _write_meta, assign_sequential_ids
 
-__all__ = ["delete_docs", "add_docs", "update_docs", "compact", "live_corpus_stats"]
+__all__ = [
+    "delete_docs",
+    "add_docs",
+    "update_docs",
+    "compact",
+    "live_corpus_stats",
+    "recover_pending",
+]
 
 
 def _cfg_from_meta(meta: dict) -> IndexConfig:
@@ -79,79 +87,114 @@ def _refresh_live_meta(spark: SparkSession, index_dir: str) -> dict:
     return meta
 
 
-def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int], trace: bool = True) -> dict:
-    """Tombstone ``doc_ids`` and correct term_stats exactly.
+def delete_docs(
+    spark: SparkSession, index_dir: str, doc_ids: list[int], trace: bool = True, tag: str | None = None
+) -> dict:
+    """Tombstone ``doc_ids`` and correct term_stats exactly, crash-atomically.
 
     ``trace=True`` keeps a DATEDELETED-style record (reference tombstone
-    doc, Indexer.java:450-473); ``trace=False`` (purge) only marks."""
-    meta = load_meta(index_dir)
-    span = meta["docs_per_segment"] * meta["merge_fanin"]
+    doc, Indexer.java:450-473); ``trace=False`` (purge) only marks.
+
+    Commit protocol (:mod:`.txn`): the effective id set is pinned in an
+    intent BEFORE any mutation, both the tombstone delta and the corrected
+    term_stats are staged, then applied with individually idempotent steps
+    — a crash anywhere is healed by retrying with the same ``tag`` (or by
+    the automatic :func:`recover_pending` on the next maintenance call),
+    and stats can never decrement twice nor diverge from the tombstones."""
+    if tag is None:
+        tag = f"del_{int(time.time() * 1000)}"
+    if txn.txn_done(index_dir, tag):
+        return load_meta(index_dir)
+    txn.recover_dir(os.path.join(index_dir, "term_stats"))
+
     ids = sorted(set(int(i) for i in doc_ids))
-    # idempotency: already-tombstoned ids must not decrement stats twice
+    # idempotency vs committed history: already-tombstoned ids must not
+    # decrement stats twice.  Pinned in the intent so a replay that lands
+    # AFTER this txn's own tombstone append doesn't shrink the set to [].
     tomb = _tombstones(spark, index_dir)
     if tomb is not None:
         already = {r["doc_id"] for r in tomb.select("doc_id").distinct().collect()}
         ids = [i for i in ids if i not in already]
+    intent = txn.txn_intent(index_dir, tag, {"op": "delete", "ids": ids, "trace": bool(trace)})
+    return _delete_apply(spark, index_dir, tag, intent)
+
+
+def _delete_apply(spark: SparkSession, index_dir: str, tag: str, intent: dict) -> dict:
+    meta = load_meta(index_dir)
+    span = meta["docs_per_segment"] * meta["merge_fanin"]
+    ids = intent["ids"]
     if not ids:
+        txn.txn_commit(index_dir, tag)
         return meta
 
-    # 1. exact (df, cf) correction per term: decode only postings rows of
-    #    affected ranges, only blocks containing deleted ids
-    affected = sorted({i // span for i in ids})
-    ids_arr = np.asarray(ids, dtype=np.int64)
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    rows = postings.withColumn(
-        "rng",
-        F.explode(F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))),
-    ).filter(F.col("rng").isin(affected))
-
-    def deltas(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_t, out_df, out_cf = [], [], []
-        for row in pdf.itertuples(index=False):
-            lo = int(row.rng) * span
-            hi = lo + span - 1
-            tl = _row_to_termlist(row)
-            d, t = tl.decode_range(max(lo, int(row.min_doc)), min(hi, int(row.max_doc)))
-            if d.size == 0:
-                continue
-            pos = np.searchsorted(ids_arr, d)
-            pos = np.minimum(pos, ids_arr.size - 1)
-            hit = ids_arr[pos] == d
-            n = int(hit.sum())
-            if n:
-                out_t.append(row.term)
-                out_df.append(n)
-                out_cf.append(int(t[hit].sum()))
-        return pd.DataFrame({"term": out_t, "df_delta": out_df, "cf_delta": out_cf})
-
-    delta_df = (
-        rows.mapInPandas(lambda it: (deltas(pdf) for pdf in it), "term string, df_delta int, cf_delta long")
-        .groupBy("term")
-        .agg(F.sum("df_delta").alias("df_delta"), F.sum("cf_delta").alias("cf_delta"))
-    )
-
     ts_path = os.path.join(index_dir, "term_stats")
-    ts = spark.read.parquet(ts_path)
-    new_ts = (
-        ts.join(delta_df, "term", "left")
-        .select(
-            "term",
-            (F.col("df") - F.coalesce("df_delta", F.lit(0))).cast("int").alias("df"),
-            (F.col("cf") - F.coalesce("cf_delta", F.lit(0))).cast("long").alias("cf"),
-            "bucket",
+
+    # ---- stage 1: tombstone delta (tiny) ----
+    if not txn.staging_complete(index_dir, tag, "tombstones"):
+        tomb_rows = [(int(i), float(time.time()), bool(intent["trace"])) for i in ids]
+        spark.createDataFrame(tomb_rows, "doc_id long, deleted_ts double, trace boolean").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(txn.staged_path(index_dir, tag, "tombstones"))
+
+    # ---- stage 2: corrected term_stats ----
+    # exact (df, cf) correction per term: decode only postings rows of
+    # affected ranges, only blocks containing deleted ids.  Staged from the
+    # LIVE (pre-swap) stats; the in-dir swap marker tells a replay whether
+    # live already contains this txn (no double decrement).
+    if not (
+        txn.step_applied(index_dir, tag, "term_stats")
+        or txn.swap_already_live(ts_path, tag)
+        or txn.staging_complete(index_dir, tag, "term_stats")
+    ):
+        affected = sorted({i // span for i in ids})
+        ids_arr = np.asarray(ids, dtype=np.int64)
+        postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        rows = postings.withColumn(
+            "rng",
+            F.explode(F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))),
+        ).filter(F.col("rng").isin(affected))
+
+        def deltas(pdf: pd.DataFrame) -> pd.DataFrame:
+            out_t, out_df, out_cf = [], [], []
+            for row in pdf.itertuples(index=False):
+                lo = int(row.rng) * span
+                hi = lo + span - 1
+                tl = _row_to_termlist(row)
+                d, t = tl.decode_range(max(lo, int(row.min_doc)), min(hi, int(row.max_doc)))
+                if d.size == 0:
+                    continue
+                pos = np.searchsorted(ids_arr, d)
+                pos = np.minimum(pos, ids_arr.size - 1)
+                hit = ids_arr[pos] == d
+                n = int(hit.sum())
+                if n:
+                    out_t.append(row.term)
+                    out_df.append(n)
+                    out_cf.append(int(t[hit].sum()))
+            return pd.DataFrame({"term": out_t, "df_delta": out_df, "cf_delta": out_cf})
+
+        delta_df = (
+            rows.mapInPandas(lambda it: (deltas(pdf) for pdf in it), "term string, df_delta int, cf_delta long")
+            .groupBy("term")
+            .agg(F.sum("df_delta").alias("df_delta"), F.sum("cf_delta").alias("cf_delta"))
         )
-        .filter(F.col("df") > 0)
-    )
-    tmp = ts_path + ".tmp"
-    new_ts.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    _swap_dir(ts_path, tmp)
+        ts = spark.read.parquet(ts_path)
+        new_ts = (
+            ts.join(delta_df, "term", "left")
+            .select(
+                "term",
+                (F.col("df") - F.coalesce("df_delta", F.lit(0))).cast("int").alias("df"),
+                (F.col("cf") - F.coalesce("cf_delta", F.lit(0))).cast("long").alias("cf"),
+                "bucket",
+            )
+            .filter(F.col("df") > 0)
+        )
+        new_ts.write.mode("overwrite").partitionBy("bucket").parquet(txn.staged_path(index_dir, tag, "term_stats"))
 
-    # 2. tombstones (append)
-    tomb_rows = [(int(i), float(time.time()), bool(trace)) for i in ids]
-    spark.createDataFrame(tomb_rows, "doc_id long, deleted_ts double, trace boolean").write.mode(
-        "append"
-    ).parquet(os.path.join(index_dir, "tombstones"))
-
+    # ---- apply (each step idempotent, any order-crash recoverable) ----
+    txn.apply_append(index_dir, tag, "tombstones", os.path.join(index_dir, "tombstones"))
+    txn.apply_swap(index_dir, tag, "term_stats", ts_path)
+    txn.txn_commit(index_dir, tag)
     return _refresh_live_meta(spark, index_dir)
 
 
@@ -181,96 +224,159 @@ def _swap_dir(path: str, tmp: str) -> None:
     shutil.rmtree(bak)
 
 
-def add_docs(spark: SparkSession, index_dir: str, new_docs: DataFrame, text_col: str = "text") -> dict:
-    """Append new documents (LSM-style delta segment).
+def add_docs(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame, text_col: str = "text", tag: str | None = None
+) -> dict:
+    """Append new documents (LSM-style delta segment), crash-atomically.
 
     ``new_docs`` needs only ``text_col``; dense doc_ids are assigned from
     the next span boundary so the delta cannot collide with any existing
-    (term, range) pair.  Returns updated meta (with id range added)."""
+    (term, range) pair.  Returns updated meta (with id range added).
+
+    Commit protocol (:mod:`.txn`): the id-assignment base is pinned in an
+    intent and the id-stamped docs are staged FIRST — every later step
+    derives from the staged copy, so a replay with the same ``tag``
+    (idempotent streaming sinks, retried calls) re-applies the identical
+    delta rather than appending a second copy under fresh ids, and a crash
+    between the doc_stats/doclens/postings appends and the term_stats swap
+    heals instead of leaving the four directories mutually inconsistent.
+
+    Id assignment is partition-parallel (:func:`assign_sequential_ids`) —
+    no global single-partition window in the append path."""
     meta = load_meta(index_dir)
     cfg = _cfg_from_meta(meta)
     span = cfg.docs_per_segment * cfg.merge_fanin
     ds_path = os.path.join(index_dir, "doc_stats")
-    cur_max = spark.read.parquet(ds_path).agg(F.max("doc_id")).collect()[0][0]
-    base = (int(cur_max) // span + 1) * span
+    ts_path = os.path.join(index_dir, "term_stats")
+    if tag is None:
+        tag = f"add_{int(time.time() * 1000)}"
+    if txn.txn_done(index_dir, tag):
+        return load_meta(index_dir)
+    txn.recover_dir(ts_path)
 
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.monotonically_increasing_id())
-    docs = (
-        new_docs.select(F.col(text_col).alias("text"))
-        .withColumn("doc_id", (F.lit(base).cast("long") - 1 + F.row_number().over(w)).cast("long"))
-        .withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
-    )
-    docs = docs.cache()
+    # ---- stage 0: pin base, stamp ids, stage the delta corpus ----
+    if not txn.staging_complete(index_dir, tag, "docs"):
+        cur_max = spark.read.parquet(ds_path).agg(F.max("doc_id")).collect()[0][0]
+        intent = txn.txn_intent(index_dir, tag, {"op": "add", "base": (int(cur_max) // span + 1) * span})
+        docs = (
+            assign_sequential_ids(new_docs.select(F.col(text_col).alias("text")), base=intent["base"])
+            .withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
+        )
+        docs.write.mode("overwrite").parquet(txn.staged_path(index_dir, tag, "docs"))
+    docs = spark.read.parquet(txn.staged_path(index_dir, tag, "docs"))
     n_new = docs.count()
     if n_new == 0:
+        txn.txn_commit(index_dir, tag)
         return meta
 
-    # doc_stats append
+    # ---- stage 1: doc_stats + packed doclens deltas ----
+    # every staging step derives from the staged (never-moved) docs copy:
+    # applied appends MOVE staged files into the live dirs, so a replay
+    # cannot re-read an already-applied staging dir
     dstats = docs.select(
         "doc_id",
-        F.size(tokenize_expr("text")).alias("doclen"),
+        doclen_nfc(F.col("text")).alias("doclen"),
         sha256_hex(F.col("text")).alias("sha256"),
         "seg",
     )
-    dstats.write.mode("append").parquet(ds_path)
+    if not (txn.step_applied(index_dir, tag, "doc_stats") or txn.staging_complete(index_dir, tag, "doc_stats")):
+        dstats.write.mode("overwrite").parquet(txn.staged_path(index_dir, tag, "doc_stats"))
 
-    # doclens_packed append (new ranges only — base is span-aligned)
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame({"rng": [], "base": [], "doclens": []}).astype({"rng": "int32", "base": "int64"})
-        pdf = pdf.sort_values("doc_id")
-        rng = int(pdf["rng"].iloc[0])
-        b0 = rng * span
-        idsv = pdf["doc_id"].to_numpy(np.int64)
-        arr = np.zeros(int(idsv[-1]) - b0 + 1, dtype=np.int32)
-        arr[idsv - b0] = pdf["doclen"].to_numpy(np.int32)
-        return pd.DataFrame({"rng": [rng], "base": [b0], "doclens": [arr.tobytes()]})
+    if not (txn.step_applied(index_dir, tag, "doclens_packed") or txn.staging_complete(index_dir, tag, "doclens_packed")):
 
-    (
-        dstats.withColumn("rng", (F.col("doc_id") / span).cast("int"))
-        .select("rng", "doc_id", "doclen")
-        .groupBy("rng")
-        .applyInPandas(pack, "rng int, base long, doclens binary")
-        .write.mode("append")
-        .parquet(os.path.join(index_dir, "doclens_packed"))
-    )
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"rng": [], "base": [], "doclens": []}).astype({"rng": "int32", "base": "int64"})
+            pdf = pdf.sort_values("doc_id")
+            rng = int(pdf["rng"].iloc[0])
+            b0 = rng * span
+            idsv = pdf["doc_id"].to_numpy(np.int64)
+            arr = np.zeros(int(idsv[-1]) - b0 + 1, dtype=np.int32)
+            arr[idsv - b0] = pdf["doclen"].to_numpy(np.int32)
+            return pd.DataFrame({"rng": [rng], "base": [b0], "doclens": [arr.tobytes()]})
 
-    # delta partials → merged rows appended to postings
-    # block_max uses the BUILD avgdl so existing UB semantics stay uniform
-    partials = spimi.build_partials(docs, meta["avgdl"], cfg)
-    batch_tag = f"delta_{int(time.time() * 1000)}"
-    part_path = os.path.join(index_dir, "partials", f"batch={batch_tag}")
-    partials.write.mode("overwrite").parquet(part_path)
-    partials = spark.read.parquet(part_path)
-    merged = spimi.merge_partials(partials, cfg)
-    merged.withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets))).write.mode(
-        "append"
-    ).partitionBy("bucket").parquet(os.path.join(index_dir, "postings"))
-
-    # term_stats merge-add
-    ts_path = os.path.join(index_dir, "term_stats")
-    ts = spark.read.parquet(ts_path)
-    add_ts = partials.groupBy("term").agg(F.sum("df").alias("df2"), F.sum("cf").alias("cf2"))
-    new_ts = (
-        ts.join(add_ts, "term", "full")
-        .select(
-            "term",
-            (F.coalesce("df", F.lit(0)) + F.coalesce("df2", F.lit(0))).cast("int").alias("df"),
-            (F.coalesce("cf", F.lit(0)) + F.coalesce("cf2", F.lit(0))).cast("long").alias("cf"),
+        (
+            dstats.withColumn("rng", (F.col("doc_id") / span).cast("int"))
+            .select("rng", "doc_id", "doclen")
+            .groupBy("rng")
+            .applyInPandas(pack, "rng int, base long, doclens binary")
+            .write.mode("overwrite")
+            .parquet(txn.staged_path(index_dir, tag, "doclens_packed"))
         )
-        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
-    )
-    tmp = ts_path + ".tmp"
-    new_ts.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    _swap_dir(ts_path, tmp)
 
-    docs.unpersist()
+    # ---- stage 2: delta partials → merged postings rows ----
+    # block_max uses the BUILD avgdl so existing UB semantics stay uniform
+    if not txn.staging_complete(index_dir, tag, "partials"):
+        spimi.build_partials(docs, meta["avgdl"], cfg).write.mode("overwrite").parquet(
+            txn.staged_path(index_dir, tag, "partials")
+        )
+    partials = spark.read.parquet(txn.staged_path(index_dir, tag, "partials"))
+    if not (txn.step_applied(index_dir, tag, "postings") or txn.staging_complete(index_dir, tag, "postings")):
+        (
+            spimi.merge_partials(partials, cfg)
+            .withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(txn.staged_path(index_dir, tag, "postings"))
+        )
+
+    # ---- stage 3: merged term_stats (from LIVE stats, swap-guarded) ----
+    if not (
+        txn.step_applied(index_dir, tag, "term_stats")
+        or txn.swap_already_live(ts_path, tag)
+        or txn.staging_complete(index_dir, tag, "term_stats")
+    ):
+        ts = spark.read.parquet(ts_path)
+        add_ts = partials.groupBy("term").agg(F.sum("df").alias("df2"), F.sum("cf").alias("cf2"))
+        (
+            ts.join(add_ts, "term", "full")
+            .select(
+                "term",
+                (F.coalesce("df", F.lit(0)) + F.coalesce("df2", F.lit(0))).cast("int").alias("df"),
+                (F.coalesce("cf", F.lit(0)) + F.coalesce("cf2", F.lit(0))).cast("long").alias("cf"),
+            )
+            .withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(txn.staged_path(index_dir, tag, "term_stats"))
+        )
+
+    # ---- apply (idempotent steps) + commit ----
+    txn.apply_append(index_dir, tag, "doc_stats", ds_path)
+    txn.apply_append(index_dir, tag, "doclens_packed", os.path.join(index_dir, "doclens_packed"))
+    txn.apply_append(index_dir, tag, "postings", os.path.join(index_dir, "postings"))
+    txn.apply_swap(index_dir, tag, "term_stats", ts_path)
+    txn.txn_commit(index_dir, tag)
+
     meta = _refresh_live_meta(spark, index_dir)
     meta["appended"] = meta.get("appended", 0) + n_new
     _write_meta(index_dir, meta)
     return meta
+
+
+def recover_pending(spark: SparkSession, index_dir: str) -> list[str]:
+    """Complete (or abort) transactions interrupted by a crash.  Called by
+    :func:`compact` and safe to call any time: delete intents re-apply from
+    their pinned id set; add intents re-apply from their staged delta, or
+    abort cleanly if nothing was staged (nothing was mutated yet)."""
+    import glob as _glob
+
+    healed = []
+    root = txn.txn_root(index_dir)
+    for p in sorted(_glob.glob(os.path.join(root, "*.intent.json"))):
+        tag = os.path.basename(p)[: -len(".intent.json")]
+        with open(p) as f:
+            intent = json.load(f)
+        if intent.get("op") == "delete":
+            _delete_apply(spark, index_dir, tag, intent)
+            healed.append(tag)
+        elif intent.get("op") == "add":
+            if txn.staging_complete(index_dir, tag, "docs"):
+                add_docs(spark, index_dir, spark.createDataFrame([], "text string"), tag=tag)
+            else:
+                txn.txn_commit(index_dir, tag)  # nothing applied — abort
+            healed.append(tag)
+    return healed
 
 
 def update_docs(spark: SparkSession, index_dir: str, old_doc_ids: list[int], new_docs: DataFrame, text_col: str = "text") -> dict:
@@ -283,6 +389,7 @@ def update_docs(spark: SparkSession, index_dir: str, old_doc_ids: list[int], new
 def compact(spark: SparkSession, index_dir: str) -> dict:
     """Optimize: purge tombstoned postings, re-align rows to ranges, drop
     empties, recompute stats, clear tombstones (Solr optimize analog)."""
+    recover_pending(spark, index_dir)  # never compact a torn state
     meta = load_meta(index_dir)
     cfg = _cfg_from_meta(meta)
     span = cfg.docs_per_segment * cfg.merge_fanin

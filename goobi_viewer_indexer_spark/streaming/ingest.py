@@ -7,7 +7,10 @@ folders by comparing sizes 1 s apart, and feeds a bounded in-process queue
 Spark-native equivalents:
 
 * file-source ``readStream`` with checkpointed offsets — replaces the
-  queue and the "already indexed?" bookkeeping (exactly-once per file);
+  queue and the "already indexed?" bookkeeping; end-to-end exactly-once:
+  the checkpoint dedups files across triggers AND the sink is idempotent
+  per batch_id (txn-tagged ``add_docs``), so a batch replayed after a
+  mid-batch failure re-applies its staged delta instead of duplicating;
 * ``Trigger.AvailableNow`` — drain-everything-then-stop semantics, the
   batch-friendly form of the poll loop;
 * ``maxFilesPerTrigger`` — replaces queueCapacity(500);
@@ -45,7 +48,7 @@ def ingest_available_now(
     """Drain ``input_dir`` (parquet files) into the index, exactly once per
     file, resumable via the checkpoint.  First batch bootstraps the index;
     subsequent batches append delta segments."""
-    from goobi_viewer_indexer_spark.plans.build import build_index
+    from goobi_viewer_indexer_spark.plans.build import assign_sequential_ids, build_index
     from goobi_viewer_indexer_spark.plans.maintenance import add_docs
 
     reader = spark.readStream.schema(schema)
@@ -54,19 +57,24 @@ def ingest_available_now(
     stream = reader.parquet(input_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Exactly-once per BATCH, not just per file: foreachBatch replays a
+        # batch after a mid-batch failure, so the append itself must be
+        # idempotent.  The bootstrap build is (commit markers); appends run
+        # under a batch_id-keyed txn tag — a replayed batch re-applies the
+        # identical staged delta instead of appending a second copy
+        # (ADVICE r1; see plans/txn.py for the commit protocol).
         if batch_df.isEmpty():
             return
         if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
             docs = batch_df
             if "doc_id" not in docs.columns:
-                from pyspark.sql.window import Window
-
-                docs = docs.withColumn(
-                    "doc_id", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1
-                )
+                # partition-parallel dense ids — a global orderBy window
+                # would pull the whole bootstrap corpus into one task
+                docs = assign_sequential_ids(docs, base=0)
             build_index(docs, index_dir, cfg, id_col="doc_id", text_col=text_col)
         else:
-            add_docs(spark, index_dir, batch_df.select(text_col), text_col=text_col)
+            add_docs(spark, index_dir, batch_df.select(text_col), text_col=text_col,
+                     tag=f"ingest_batch_{batch_id}")
 
     (
         stream.writeStream.foreachBatch(sink)
