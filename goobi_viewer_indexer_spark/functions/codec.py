@@ -18,6 +18,15 @@ Layout per posting list (one term within one segment's doc_id range):
   ``block_max_w[i]``     max over block of tf/(tf + k1*(1-b+b*dl/avgdl)),
   the doc-dependent BM25 factor — multiplied by idf at query time this is
   the block's score upper bound for block-max WAND pruning.
+* ``positions`` (optional third stream, Lucene-style) — per posting, the
+  token indexes of the term in the doc, varint-gap encoded with the first
+  position absolute *per posting* (so merge concatenation needs NO splice
+  — positions are doc-relative).  ``block_pos_off[i]`` is the byte offset
+  of block i's positions; the per-posting split inside a block is implied
+  by the tfs (position count == tf).  Enables phrase/proximity queries
+  (the reference gets these from Solr's default positional text fields,
+  helper/FulltextAugmentor.java:78-238).  BM25-only queries never read
+  the stream — parquet column pruning skips it entirely.
 """
 
 from __future__ import annotations
@@ -30,6 +39,8 @@ __all__ = [
     "varint_lengths",
     "encode_postings",
     "encode_many",
+    "encode_positions_flat",
+    "decode_positions_flat",
     "splice_first_gap",
     "decode_postings",
     "bm25_weight",
@@ -70,12 +81,46 @@ def varint_lengths(values: np.ndarray) -> np.ndarray:
     return lengths
 
 
+def encode_positions_flat(positions: np.ndarray, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Varint-gap encode a flat position stream (posting i owns slice
+    ``[tfcum[i], tfcum[i+1])``, ascending within each posting; first value
+    per posting absolute).  Returns (byte buffer uint8, per-value byte
+    offsets int64 of length npos+1)."""
+    npos = positions.size
+    tfcum = np.concatenate(([0], np.cumsum(tfs)))
+    pg = np.empty(npos, dtype=np.int64)
+    if npos > 1:
+        pg[1:] = positions[1:] - positions[:-1] - 1
+    if npos > 0:
+        pg[0] = positions[0]
+    pstarts = tfcum[:-1]
+    pg[pstarts] = positions[pstarts]
+    pgu = pg.astype(np.uint64)
+    buf = np.frombuffer(varint_encode(pgu), dtype=np.uint8)
+    off = np.concatenate(([0], np.cumsum(varint_lengths(pgu))))
+    return buf, off
+
+
+def decode_positions_flat(pos_bytes: bytes | np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions_flat` for one block/run whose
+    per-posting counts are ``tfs``.  Returns the flat absolute positions."""
+    total = int(tfs.sum())
+    pg = varint_decode(pos_bytes, count=total).astype(np.int64)
+    if pg.size == 0:
+        return pg
+    c = np.cumsum(pg + 1)
+    starts_idx = (np.cumsum(tfs) - tfs).astype(np.int64)
+    cbefore = np.concatenate(([0], c))[starts_idx]  # c[start-1], 0 at start 0
+    return c - np.repeat(cbefore, tfs.astype(np.int64)) - 1
+
+
 def encode_many(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     weights: np.ndarray,
     starts: np.ndarray,
     block_size: int = 128,
+    positions: np.ndarray | None = None,
 ) -> dict:
     """Encode MANY posting lists laid out back-to-back in one flat array —
     the SPIMI stage-1 hot path (one call per segment, zero per-term Python).
@@ -123,7 +168,7 @@ def encode_many(
     bsplit = np.cumsum(nb)[:-1]
     doc_bytes = [doc_buf[doc_off[s]:doc_off[e]].tobytes() for s, e in zip(starts, ends)]
     tf_bytes = [tf_buf[tf_off[s]:tf_off[e]].tobytes() for s, e in zip(starts, ends)]
-    return {
+    out = {
         "doc_bytes": doc_bytes,
         "tf_bytes": tf_bytes,
         "counts": (ends - starts),
@@ -134,6 +179,15 @@ def encode_many(
         "block_tf_off": np.split(block_tf_off, bsplit),
         "block_max_w": np.split(block_max_w, bsplit),
     }
+    if positions is not None:
+        pos_buf, pos_off = encode_positions_flat(positions, tfs)
+        tfcum = np.concatenate(([0], np.cumsum(tfs)))
+        out["pos_bytes"] = [
+            pos_buf[pos_off[tfcum[s]]:pos_off[tfcum[e]]].tobytes() for s, e in zip(starts, ends)
+        ]
+        block_pos_off = pos_off[tfcum[bstart]] - pos_off[tfcum[starts[term_of_block]]]
+        out["block_pos_off"] = np.split(block_pos_off, bsplit)
+    return out
 
 
 def splice_first_gap(doc_bytes: bytes, new_gap: int) -> tuple[bytes, int]:
@@ -177,15 +231,20 @@ def varint_decode(buf: bytes | np.ndarray, offset: int = 0, count: int | None = 
     return out
 
 
-def bm25_weight(tfs: np.ndarray, doclens: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
+def bm25_weight(tfs: np.ndarray, doclens: np.ndarray, avgdl, k1: float, b: float) -> np.ndarray:
     """Doc-dependent BM25 factor w = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
 
     Query-time score = idf(term) * w; block_max stores max(w) per block so
     idf * block_max upper-bounds any score inside the block.
-    """
+    ``avgdl`` may be a scalar or an array parallel to ``tfs`` (multi-field
+    indexes carry a per-posting field avgdl)."""
     tf = tfs.astype(np.float64)
     dl = doclens.astype(np.float64)
-    denom_norm = k1 * (1.0 - b + b * dl / (avgdl if avgdl > 0 else 1.0))
+    if isinstance(avgdl, np.ndarray):
+        av = np.where(avgdl > 0, avgdl, 1.0)
+    else:
+        av = avgdl if avgdl > 0 else 1.0
+    denom_norm = k1 * (1.0 - b + b * dl / av)
     return tf * (k1 + 1.0) / (tf + denom_norm)
 
 
@@ -197,6 +256,7 @@ def encode_postings(
     k1: float,
     b: float,
     block_size: int = 128,
+    positions: np.ndarray | None = None,
 ) -> dict:
     """Encode one posting list (doc_ids strictly increasing).
 
@@ -227,6 +287,12 @@ def encode_postings(
     doc_chunks: list[bytes] = []
     tf_chunks: list[bytes] = []
     d_off = t_off = 0
+    pos_chunks: list[bytes] = []
+    block_pos_off = np.zeros(n_blocks, dtype=np.int64)
+    p_off = 0
+    if positions is not None:
+        pos_buf, pos_voff = encode_positions_flat(positions, tfs)
+        tfcum = np.concatenate(([0], np.cumsum(tfs)))
     for i in range(n_blocks):
         lo, hi = i * block_size, min((i + 1) * block_size, n)
         dch = varint_encode(gaps[lo:hi])
@@ -239,8 +305,13 @@ def encode_postings(
         t_off += len(tch)
         doc_chunks.append(dch)
         tf_chunks.append(tch)
+        if positions is not None:
+            pch = pos_buf[pos_voff[tfcum[lo]]:pos_voff[tfcum[hi]]].tobytes()
+            block_pos_off[i] = p_off
+            p_off += len(pch)
+            pos_chunks.append(pch)
 
-    return {
+    out = {
         "doc_bytes": b"".join(doc_chunks),
         "tf_bytes": b"".join(tf_chunks),
         "count": n,
@@ -251,6 +322,10 @@ def encode_postings(
         "min_doc": int(doc_ids[0]),
         "max_doc": int(doc_ids[-1]),
     }
+    if positions is not None:
+        out["pos_bytes"] = b"".join(pos_chunks)
+        out["block_pos_off"] = block_pos_off
+    return out
 
 
 def decode_postings(doc_bytes: bytes, tf_bytes: bytes, count: int, first_block_base: int = -1) -> tuple[np.ndarray, np.ndarray]:

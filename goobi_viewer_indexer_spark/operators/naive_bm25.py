@@ -27,7 +27,50 @@ from pyspark.sql import functions as F
 from goobi_viewer_indexer_spark.config import IndexConfig
 from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr, duckdb_tokenize_sql
 
-__all__ = ["bm25_topk", "bm25_topk_sql"]
+__all__ = ["bm25_topk", "bm25_topk_sql", "bm25_phrase_topk", "bm25_phrase_topk_sql", "bm25f_topk_sql"]
+
+
+def bm25f_topk_sql(
+    pairs: list[tuple[str, str]],
+    k: int = 10,
+    mode: str = "or",
+    boosts: dict[str, float] | None = None,
+    cfg: IndexConfig = IndexConfig(),
+    field_cols: dict[str, str] | None = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for field-scoped BM25F-lite (operators/search.
+    FieldedIndex.search): per-pair BM25 with FIELD-local df/doclen/avgdl,
+    N = global doc count, boost multiplying idf; AND = every pair matches."""
+    boosts = boosts or {}
+    field_cols = field_cols or {f: f for f, _ in pairs}
+    k1, b = cfg.k1, cfg.b
+    pair_ctes = []
+    for fname, term in pairs:
+        col = field_cols[fname]
+        w = boosts.get(fname, 1.0)
+        t = term.replace("'", "''")
+        tok = duckdb_tokenize_sql(col)
+        pair_ctes.append(
+            f"""
+  SELECT tf.doc_id,
+         {w} * ln(1.0 + ((SELECT count(*) FROM {table}) - st.df + 0.5) / (st.df + 0.5))
+         * (tf.tf * ({k1} + 1.0)) / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / st.avgdl)) AS s
+  FROM (SELECT {id_col} AS doc_id, count(*) AS tf
+        FROM (SELECT {id_col}, unnest({tok}) AS term FROM {table}) WHERE term = '{t}' GROUP BY 1) tf
+  JOIN (SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}) dl USING (doc_id)
+  CROSS JOIN (SELECT (SELECT count(*) FROM {table} WHERE list_contains({tok}, '{t}')) AS df,
+                     (SELECT avg(len({tok})) FROM {table}) AS avgdl) st"""
+        )
+    union = " UNION ALL ".join(pair_ctes)
+    having = f"HAVING count(*) = {len(pairs)}" if mode == "and" else ""
+    return f"""
+WITH u AS ({union}),
+scored AS (SELECT doc_id, sum(s) AS score_raw FROM u GROUP BY doc_id {having})
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
+""".strip()
 
 
 def bm25_topk(
@@ -81,6 +124,113 @@ def bm25_topk(
         .limit(k)
         .select("doc_id", F.round("score_raw", 6).alias("score"))
     )
+
+
+def _phrase_filter_expr(phrase_terms: list[str], text_col: str):
+    """Docs whose token stream contains the phrase tokens consecutively:
+    substring match on the space-joined tokens with sentinel spaces."""
+    needle = " " + " ".join(phrase_terms) + " "
+    joined = F.concat(F.lit(" "), F.array_join(tokenize_expr(text_col), " "), F.lit(" "))
+    return F.contains(joined, F.lit(needle))
+
+
+def bm25_phrase_topk(
+    docs: DataFrame,
+    phrase_terms: list[str],
+    k: int = 10,
+    cfg: IndexConfig = IndexConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Naive phrase twin of ``InvertedIndex.search_phrase``: filter to docs
+    containing the token sequence, score with the bag-of-distinct-terms
+    BM25 using FULL-corpus stats (df/avgdl over all docs — the engine's
+    idf/doclen side tables are corpus-global, matching Solr).  Token order
+    matters; ``phrase_terms`` is NOT deduplicated."""
+    spark = docs.sparkSession
+    distinct = sorted(set(phrase_terms))
+    qt = spark.createDataFrame([(t,) for t in distinct], "term string")
+
+    matching = docs.filter(_phrase_filter_expr(phrase_terms, text_col)).select(
+        F.col(id_col).alias("doc_id")
+    )
+
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize_expr(text_col)).alias("term"))
+    tf_all = toks.join(F.broadcast(qt), "term").groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+    dstats = docs.select(F.col(id_col).alias("doc_id"), F.size(tokenize_expr(text_col)).alias("doclen"))
+    g = dstats.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 1.0)
+    df_stats = tf_all.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+    k1, b = cfg.k1, cfg.b
+    return (
+        tf_all.join(F.broadcast(matching), "doc_id")
+        .join(F.broadcast(df_stats), "term")
+        .join(dstats, "doc_id")
+        .withColumn("idf", F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "w",
+            (F.col("tf") * (k1 + 1.0)) / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / avgdl)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf") * F.col("w")).alias("score_raw"))
+        .orderBy(F.desc("score_raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score_raw", 6).alias("score"))
+    )
+
+
+def bm25_phrase_topk_sql(
+    phrase_terms: list[str],
+    k: int = 10,
+    cfg: IndexConfig = IndexConfig(),
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for the phrase contract (same filter + bag scoring)."""
+    distinct = sorted(set(phrase_terms))
+    terms_sql = ", ".join("('" + t.replace("'", "''") + "')" for t in distinct)
+    needle = " " + " ".join(t.replace("'", "''") for t in phrase_terms) + " "
+    k1, b = cfg.k1, cfg.b
+    tok = duckdb_tokenize_sql(text_col)
+    return f"""
+WITH qt(term) AS (VALUES {terms_sql}),
+m AS (
+  SELECT {id_col} AS doc_id FROM {table}
+  WHERE contains(' ' || array_to_string({tok}, ' ') || ' ', '{needle}')
+),
+tok AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+dl AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS doclen FROM {table}
+),
+g AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM tok t JOIN qt USING (term)
+  GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.doclen / g.avgdl)) ) AS score_raw
+  FROM tf
+  JOIN m   USING (doc_id)
+  JOIN dfs USING (term)
+  JOIN dl  USING (doc_id)
+  CROSS JOIN g
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored
+ORDER BY score_raw DESC, doc_id ASC
+LIMIT {k}
+""".strip()
 
 
 def bm25_topk_sql(query_terms: list[str], k: int = 10, mode: str = "or", cfg: IndexConfig = IndexConfig(), table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:

@@ -27,10 +27,11 @@ from goobi_viewer_indexer_spark.functions.tokenize import tokenize_py
 from goobi_viewer_indexer_spark.operators import wand
 from goobi_viewer_indexer_spark.plans.build import load_meta
 
-__all__ = ["InvertedIndex", "LocalSearcher"]
+__all__ = ["InvertedIndex", "LocalSearcher", "FieldedIndex", "parse_fielded_query"]
 
 
 def _mk_termlist(row, idf_val: float, df: int) -> wand.TermList:
+    has_pos = "pos_bytes" in row and row["pos_bytes"] is not None
     return wand.TermList(
         term=row["term"],
         idf=idf_val,
@@ -41,7 +42,17 @@ def _mk_termlist(row, idf_val: float, df: int) -> wand.TermList:
         block_doc_off=np.asarray(row["block_doc_off"], dtype=np.int64),
         block_tf_off=np.asarray(row["block_tf_off"], dtype=np.int64),
         block_max_w=np.asarray(row["block_max_w"], dtype=np.float64),
+        pos_bytes=bytes(row["pos_bytes"]) if has_pos else b"",
+        block_pos_off=np.asarray(row["block_pos_off"], dtype=np.int64) if has_pos else None,
     )
+
+
+# BM25-only projection: pos_bytes is typically the fattest column, and
+# parquet column pruning means or/and queries never read it off disk
+_BM25_COLS = [
+    "term", "seg", "df", "cf", "min_doc", "max_doc", "doc_bytes", "tf_bytes",
+    "block_last_doc", "block_doc_off", "block_tf_off", "block_max_w", "bucket",
+]
 
 
 class InvertedIndex:
@@ -91,11 +102,16 @@ class InvertedIndex:
         nb = self.meta["postings_buckets"]
         return sorted({bucket_of(t, nb) for t in terms})
 
-    def postings_for(self, terms: list[str]) -> DataFrame:
+    def postings_for(self, terms: list[str], with_positions: bool = False) -> DataFrame:
         """Bucket-pruned point lookup (reference Q1 analog: parquet
-        partition pruning replaces Solr's PI term lookup)."""
+        partition pruning replaces Solr's PI term lookup).  Positions are
+        projected only on request (phrase mode) — column pruning keeps the
+        positional stream off the BM25 IO path."""
         bks = self._buckets_of(terms)
-        return self._postings.filter(F.col("bucket").isin(bks) & F.col("term").isin(terms))
+        df = self._postings.filter(F.col("bucket").isin(bks) & F.col("term").isin(terms))
+        if not with_positions:
+            df = df.select(*[c for c in _BM25_COLS if c in df.columns])
+        return df
 
     def term_stats_for(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         bks = self._buckets_of(terms)
@@ -104,6 +120,8 @@ class InvertedIndex:
 
     # -- distributed search ------------------------------------------------
     def search(self, query: str | list[str], k: int = 10, mode: str = "or") -> DataFrame:
+        if mode == "phrase":
+            return self.search_phrase(query, k=k)
         terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
         meta = self.meta
         n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
@@ -153,6 +171,67 @@ class InvertedIndex:
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
         joined = rows.join(dl, "rng")
+        if self._tomb_packed is not None:
+            joined = joined.join(self._tomb_packed, "rng", "left")
+        local_topk = joined.groupBy("rng").applyInPandas(score_range, "doc_id long, score double")
+        return (
+            local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", F.round("score", 6).alias("score"))
+        )
+
+    def search_phrase(self, query: str | list[str], k: int = 10) -> DataFrame:
+        """Exact-phrase top-k: the query tokens must occur CONSECUTIVELY in
+        order (Solr quoted-phrase analog over the reference's positional
+        text fields, helper/FulltextAugmentor.java:78-238).  Scoring is the
+        bag-of-distinct-terms BM25 over phrase-matching docs (SQL-checkable
+        contract; see wand.score_phrase).  Token ORDER is preserved —
+        duplicates allowed ("the quick the")."""
+        ordered = list(query) if isinstance(query, list) else tokenize_py(query)
+        meta = self.meta
+        n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not ordered:
+            return empty
+        distinct = list(dict.fromkeys(ordered))
+        stats = self.term_stats_for(distinct)
+        if any(t not in stats for t in distinct):
+            return empty  # a missing term can never form the phrase
+        idfs = {t: wand.idf(n_docs, stats[t][0]) for t in distinct}
+        offsets = {t: [i for i, x in enumerate(ordered) if x == t] for t in distinct}
+        n_distinct = len(distinct)
+
+        rows = self.postings_for(distinct, with_positions=True).withColumn(
+            "rng",
+            F.explode(
+                F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
+            ),
+        )
+
+        def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            emptypdf = pd.DataFrame({"doc_id": [], "score": []}).astype({"doc_id": np.int64, "score": np.float64})
+            if len(pdf) == 0:
+                return emptypdf
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * span, (rng + 1) * span - 1
+            base = int(pdf["base"].iloc[0])
+            lens = np.frombuffer(pdf["doclens"].iloc[0], dtype=np.int32)
+            deleted = None
+            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
+                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            by_term = {
+                row["term"]: _mk_termlist(row, idfs[row["term"]], stats[row["term"]][0])
+                for _, row in pdf.iterrows()
+            }
+            if len(by_term) < n_distinct:
+                return emptypdf  # phrase needs every term in this range
+            term_offsets = [(by_term[t], offsets[t]) for t in distinct]
+            docs, scores = wand.score_phrase(
+                term_offsets, wand.DenseDoclens(base, lens), avgdl, k1, b, k, lo, hi, deleted=deleted
+            )
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        joined = rows.join(self._doclens, "rng")
         if self._tomb_packed is not None:
             joined = joined.join(self._tomb_packed, "rng", "left")
         local_topk = joined.groupBy("rng").applyInPandas(score_range, "doc_id long, score double")
@@ -286,7 +365,7 @@ class LocalSearcher:
         if not missing:
             return
         stats = self.index.term_stats_for(missing)
-        rows = self.index.postings_for(missing).collect()
+        rows = self.index.postings_for(missing, with_positions=True).collect()
         for t in missing:
             self._cache[t] = []
         n_docs = self.index.n_live
@@ -297,45 +376,53 @@ class LocalSearcher:
         for t in missing:
             self._cache[t].sort(key=lambda x: x[1])
 
+    def _merged_list(self, t: str) -> wand.TermList | None:
+        """One virtual TermList per term: multi-row (heavy) terms are
+        stitched via the same byte-splice merge used at build time."""
+        rows = self._cache.get(t, [])
+        if not rows:
+            return None
+        if len(rows) == 1:
+            return rows[0][0]
+        from goobi_viewer_indexer_spark.operators.spimi import merge_group_pdf
+
+        pdf = pd.DataFrame(
+            [
+                {
+                    "term": t,
+                    "seg": 0,
+                    "df": L.df,
+                    "cf": 0,
+                    "min_doc": md,
+                    "max_doc": int(L.block_last_doc[-1]),
+                    "doc_bytes": L.doc_bytes,
+                    "tf_bytes": L.tf_bytes,
+                    "pos_bytes": L.pos_bytes,
+                    "block_last_doc": L.block_last_doc,
+                    "block_doc_off": L.block_doc_off,
+                    "block_tf_off": L.block_tf_off,
+                    "block_pos_off": L.block_pos_off,
+                    "block_max_w": L.block_max_w,
+                }
+                for (L, md) in rows
+            ]
+        )
+        merged = merge_group_pdf(pdf).iloc[0]
+        return _mk_termlist(merged, rows[0][0].idf, int(pdf["df"].sum()))
+
     def search(self, query: str | list[str], k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+        if mode == "phrase":
+            return self.search_phrase(query, k=k)
         terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
         self._rows_for(terms)
         lists = []
         for t in terms:
-            rows = self._cache.get(t, [])
-            if not rows:
+            L = self._merged_list(t)
+            if L is None:
                 if mode == "and":
                     return []
                 continue
-            if len(rows) == 1:
-                lists.append(rows[0][0])
-            else:
-                # stitch multi-row (heavy) terms into one virtual list via
-                # the same byte-splice merge used at build time
-                from goobi_viewer_indexer_spark.operators.spimi import merge_group_pdf
-
-                pdf = pd.DataFrame(
-                    [
-                        {
-                            "term": t,
-                            "seg": 0,
-                            "df": L.df,
-                            "cf": 0,
-                            "min_doc": md,
-                            "max_doc": int(L.block_last_doc[-1]),
-                            "doc_bytes": L.doc_bytes,
-                            "tf_bytes": L.tf_bytes,
-                            "block_last_doc": L.block_last_doc,
-                            "block_doc_off": L.block_doc_off,
-                            "block_tf_off": L.block_tf_off,
-                            "block_max_w": L.block_max_w,
-                        }
-                        for (L, md) in rows
-                    ]
-                )
-                merged = merge_group_pdf(pdf).iloc[0]
-                total_df = int(pdf["df"].sum())
-                lists.append(_mk_termlist(merged, rows[0][0].idf, total_df))
+            lists.append(L)
         if not lists:
             return []
         dl = wand.DenseDoclens(0, self.doclens)
@@ -346,3 +433,204 @@ class LocalSearcher:
             ub_scale=self.index.ub_scale,
         )
         return [(int(d), round(float(s), 6)) for d, s in zip(docs, scores)]
+
+    def search_phrase(self, query: str | list[str], k: int = 10) -> list[tuple[int, float]]:
+        """Exact-phrase top-k, rank-identical to the distributed
+        :meth:`InvertedIndex.search_phrase`."""
+        ordered = list(query) if isinstance(query, list) else tokenize_py(query)
+        if not ordered:
+            return []
+        distinct = list(dict.fromkeys(ordered))
+        self._rows_for(distinct)
+        term_offsets = []
+        for t in distinct:
+            L = self._merged_list(t)
+            if L is None:
+                return []
+            term_offsets.append((L, [i for i, x in enumerate(ordered) if x == t]))
+        docs, scores = wand.score_phrase(
+            term_offsets, wand.DenseDoclens(0, self.doclens),
+            self.index.avgdl_live, self.meta["k1"], self.meta["b"], k,
+            0, self.doclens.size - 1,
+            deleted=self.deleted if self.deleted.size else None,
+        )
+        return [(int(d), round(float(s), 6)) for d, s in zip(docs, scores)]
+
+
+def parse_fielded_query(q: str) -> tuple[list[tuple[str, str]], dict[int, float], str]:
+    """Minimal Solr-style field-scoped query parser:
+    ``"source:src42 AND text:spark window"`` → ([(field, token), ...],
+    per-pair boosts, mode).  Clauses are joined by all-AND or all-OR (no
+    mixing — the reference's generated queries are single-connective too);
+    a clause-level ``^2.0`` boost applies to every token of the clause."""
+    import re as _re
+
+    if " AND " in q and " OR " in q:
+        raise ValueError("mixed AND/OR not supported")
+    mode = "and" if " AND " in q else "or"
+    pairs: list[tuple[str, str]] = []
+    boosts: dict[int, float] = {}
+    for clause in _re.split(r"\s+(?:AND|OR)\s+", q.strip()):
+        m = _re.match(r"^(\w+):(.+?)(?:\^([0-9.]+))?$", clause.strip())
+        if not m:
+            raise ValueError(f"cannot parse clause {clause!r}")
+        fname, body, boost = m.group(1), m.group(2), float(m.group(3) or 1.0)
+        for tok in tokenize_py(body):
+            boosts[len(pairs)] = boost
+            pairs.append((fname, tok))
+    return pairs, boosts, mode
+
+
+class FieldedIndex:
+    """Query engine over a multi-field index (plans/build.build_index_fielded).
+
+    Field-scoped conjunctive/disjunctive BM25F-lite (per-field length
+    normalization, query-time boosts multiplying idf) plus field-scoped
+    phrase queries — the reference's ``PI:x AND FULLTEXT:"a b"`` surface
+    (every §2-B query Solr answers is field-scoped,
+    model/SolrConstants.java:96-140)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.dir = index_dir
+        self.meta = load_meta(index_dir)
+        if "fields" not in self.meta:
+            raise ValueError(f"{index_dir} is not a fielded index")
+        self.fields: list[str] = self.meta["fields"]
+        self.avgdls: dict[str, float] = self.meta["avgdl_by_field"]
+        self.span = self.meta["docs_per_segment"] * self.meta["merge_fanin"]
+        self.n_docs = self.meta["n_docs"]
+        self._postings = spark.read.parquet(f"{index_dir}/postings")
+        self._term_stats = spark.read.parquet(f"{index_dir}/term_stats")
+        self._doclens = spark.read.parquet(f"{index_dir}/doclens_packed")
+
+    def _buckets_of(self, tagged: list[str]) -> list[int]:
+        from goobi_viewer_indexer_spark.functions.spark_hash import bucket_of
+
+        nb = self.meta["postings_buckets"]
+        return sorted({bucket_of(t, nb) for t in tagged})
+
+    def term_stats_for(self, tagged: list[str]) -> dict[str, tuple[int, int]]:
+        bks = self._buckets_of(tagged)
+        rows = self._term_stats.filter(F.col("bucket").isin(bks) & F.col("term").isin(tagged)).collect()
+        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+
+    def postings_for(self, tagged: list[str], with_positions: bool = False) -> DataFrame:
+        bks = self._buckets_of(tagged)
+        df = self._postings.filter(F.col("bucket").isin(bks) & F.col("term").isin(tagged))
+        if not with_positions:
+            df = df.select(*[c for c in _BM25_COLS if c in df.columns])
+        return df
+
+    def _score_plan(self, tagged_weights: dict[str, float], k: int, mode: str,
+                    n_required: int, with_positions: bool = False,
+                    phrase_offsets: list[tuple[str, list[int]]] | None = None) -> DataFrame:
+        """Shared range-parallel scoring plan for fielded and/or/phrase."""
+        from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP
+
+        meta = self.meta
+        k1, b, span = meta["k1"], meta["b"], self.span
+        avgdls, fields = self.avgdls, self.fields
+        stats = self.term_stats_for(list(tagged_weights))
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        present = {t: w for t, w in tagged_weights.items() if t in stats}
+        if not present or (mode in ("and", "phrase") and len(present) < n_required):
+            return empty
+        n_docs = self.n_docs
+        idfs = {t: w * wand.idf(n_docs, stats[t][0]) for t, w in present.items()}
+        n_terms = len(present)
+
+        rows = self.postings_for(list(present), with_positions=with_positions).withColumn(
+            "rng",
+            F.explode(
+                F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
+            ),
+        )
+
+        def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            emptypdf = pd.DataFrame({"doc_id": [], "score": []}).astype({"doc_id": np.int64, "score": np.float64})
+            if len(pdf) == 0:
+                return emptypdf
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * span, (rng + 1) * span - 1
+            base = int(pdf["base"].iloc[0])
+            dl_by_field = {
+                f: wand.DenseDoclens(base, np.frombuffer(pdf[f"doclens_{f}"].iloc[0], dtype=np.int32))
+                for f in fields
+            }
+            by_term = {}
+            for _, row in pdf.iterrows():
+                t = row["term"]
+                fname = t.split(FIELD_SEP, 1)[0]
+                L = _mk_termlist(row, idfs[t], stats[t][0])
+                L.dl_fn = dl_by_field[fname]
+                L.avgdl_f = avgdls[fname]
+                by_term[t] = L
+            if mode in ("and", "phrase") and len(by_term) < n_terms:
+                return emptypdf
+            if mode == "phrase":
+                term_offsets = [(by_term[t], offs) for t, offs in phrase_offsets]
+                docs, scores = wand.score_phrase(
+                    term_offsets, None, 0.0, k1, b, k, lo, hi
+                )
+            else:
+                docs, scores = wand.score_topk(
+                    list(by_term.values()), None, 0.0, k1, b, k, mode, lo, hi
+                )
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        local_topk = (
+            rows.join(self._doclens, "rng")
+            .groupBy("rng")
+            .applyInPandas(score_range, "doc_id long, score double")
+        )
+        return (
+            local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", F.round("score", 6).alias("score"))
+        )
+
+    def search(
+        self,
+        query: str | list[tuple[str, str]],
+        k: int = 10,
+        mode: str = "or",
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """``query``: a Solr-style string ("source:src42 AND text:spark") or
+        a list of (field, term) pairs.  ``boosts``: per-FIELD multiplier on
+        idf (BM25F-lite)."""
+        from goobi_viewer_indexer_spark.operators.spimi import tag_term
+
+        if isinstance(query, str):
+            pairs, pair_boosts, mode = parse_fielded_query(query)
+        else:
+            pairs = list(query)
+            pair_boosts = {}
+        boosts = boosts or {}
+        tagged_weights: dict[str, float] = {}
+        for i, (fname, term) in enumerate(pairs):
+            if fname not in self.fields:
+                raise ValueError(f"unknown field {fname!r} (have {self.fields})")
+            w = pair_boosts.get(i, 1.0) * boosts.get(fname, 1.0)
+            tagged_weights[tag_term(fname, term)] = w
+        if not tagged_weights:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self._score_plan(tagged_weights, k, mode, n_required=len(tagged_weights))
+
+    def search_phrase(self, field: str, phrase: str | list[str], k: int = 10) -> DataFrame:
+        """Field-scoped exact phrase (positions are field-internal)."""
+        from goobi_viewer_indexer_spark.operators.spimi import tag_term
+
+        ordered = list(phrase) if isinstance(phrase, list) else tokenize_py(phrase)
+        if not ordered or field not in self.fields:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        distinct = list(dict.fromkeys(ordered))
+        tagged_weights = {tag_term(field, t): 1.0 for t in distinct}
+        phrase_offsets = [
+            (tag_term(field, t), [i for i, x in enumerate(ordered) if x == t]) for t in distinct
+        ]
+        return self._score_plan(
+            tagged_weights, k, "phrase", n_required=len(distinct),
+            with_positions=True, phrase_offsets=phrase_offsets,
+        )

@@ -35,11 +35,31 @@ from goobi_viewer_indexer_spark.functions.tokenize import tokenize_series
 
 POSTINGS_SCHEMA = (
     "term string, seg int, df int, cf long, min_doc long, max_doc long, "
-    "doc_bytes binary, tf_bytes binary, block_last_doc array<long>, "
-    "block_doc_off array<long>, block_tf_off array<long>, block_max_w array<double>"
+    "doc_bytes binary, tf_bytes binary, pos_bytes binary, block_last_doc array<long>, "
+    "block_doc_off array<long>, block_tf_off array<long>, block_pos_off array<long>, "
+    "block_max_w array<double>"
 )
 
-__all__ = ["POSTINGS_SCHEMA", "build_partials", "merge_partials", "compact_light_terms", "merge_group_pdf"]
+__all__ = [
+    "POSTINGS_SCHEMA",
+    "FIELD_SEP",
+    "tag_term",
+    "build_partials",
+    "build_partials_fielded",
+    "merge_partials",
+    "compact_light_terms",
+    "merge_group_pdf",
+]
+
+# field-scoped index key: postings/stats are keyed "<field>\x00<term>" so the
+# whole single-field SPIMI/merge/bucket stack works unchanged on multi-field
+# indexes (the reference's DEFAULT/FULLTEXT/SUPER* fields are independent
+# Lucene term dictionaries — model/SolrConstants.java:96-140,217-220)
+FIELD_SEP = "\x00"
+
+
+def tag_term(field: str, term: str) -> str:
+    return f"{field}{FIELD_SEP}{term}"
 
 
 def _build_segment_pdf(pdf: pd.DataFrame, avgdl: float, cfg: IndexConfig) -> pd.DataFrame:
@@ -59,26 +79,45 @@ def _build_segment_pdf(pdf: pd.DataFrame, avgdl: float, cfg: IndexConfig) -> pd.
     flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tokens if t])
     flat_docs = np.repeat(doc_ids, lens)
     flat_dl = np.repeat(lens, lens)
+    # token index within its doc — the position stream for phrase queries
+    flat_pos = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
 
-    # sort by (term, doc) and collapse duplicates into tf counts
-    g = (
-        pd.DataFrame({"term": flat_terms, "doc": flat_docs, "dl": flat_dl})
-        .groupby(["term", "doc"], sort=True)
-        .agg(tf=("dl", "size"), dl=("dl", "first"))
-        .reset_index()
-    )
-    terms = g["term"].to_numpy(object)
-    docs = g["doc"].to_numpy(np.int64)
-    tfs = g["tf"].to_numpy(np.int64)
-    dls = g["dl"].to_numpy(np.int64)
+    return _encode_flat_tokens(flat_terms, flat_docs, flat_dl, flat_pos, avgdl, seg, cfg)
+
+
+def _encode_flat_tokens(flat_terms, flat_docs, flat_dl, flat_pos, avgdl, seg, cfg) -> pd.DataFrame:
+    """Shared SPIMI core: flat (term, doc, dl, pos) token streams — already
+    in (doc asc, pos asc) order — to encoded postings rows.  ``avgdl`` may
+    be a scalar or a per-token array (multi-field: each token carries its
+    field's avgdl)."""
+    # stable sort by term only: the flat layout is already (doc asc, pos
+    # asc), so after the stable sort each (term, doc) run keeps ascending
+    # positions — exactly the layout encode_many's position stream needs
+    order = pd.Series(flat_terms).sort_values(kind="stable").index.to_numpy()
+    terms_all = flat_terms[order]
+    docs_all = flat_docs[order]
+    dls_all = flat_dl[order]
+    pos_all = flat_pos[order]
+    avg_all = avgdl[order] if isinstance(avgdl, np.ndarray) else avgdl
+
+    # posting boundaries: (term, doc) changes
+    n = terms_all.size
+    newpost = np.ones(n, dtype=bool)
+    newpost[1:] = (terms_all[1:] != terms_all[:-1]) | (docs_all[1:] != docs_all[:-1])
+    pstarts = np.flatnonzero(newpost)
+    tfs = np.diff(np.append(pstarts, n)).astype(np.int64)
+    terms = terms_all[pstarts]
+    docs = docs_all[pstarts]
+    dls = dls_all[pstarts]
+    avgs = avg_all[pstarts] if isinstance(avg_all, np.ndarray) else avg_all
 
     # term run boundaries (terms sorted)
     newterm = np.ones(len(terms), dtype=bool)
     newterm[1:] = terms[1:] != terms[:-1]
     starts = np.flatnonzero(newterm)
 
-    w = codec.bm25_weight(tfs, dls, avgdl, cfg.k1, cfg.b)
-    enc = codec.encode_many(docs, tfs, w, starts, cfg.block_size)
+    w = codec.bm25_weight(tfs, dls, avgs, cfg.k1, cfg.b)
+    enc = codec.encode_many(docs, tfs, w, starts, cfg.block_size, positions=pos_all)
 
     cf = np.add.reduceat(tfs, starts)
     return pd.DataFrame(
@@ -91,11 +130,64 @@ def _build_segment_pdf(pdf: pd.DataFrame, avgdl: float, cfg: IndexConfig) -> pd.
             "max_doc": enc["max_doc"],
             "doc_bytes": enc["doc_bytes"],
             "tf_bytes": enc["tf_bytes"],
+            "pos_bytes": enc["pos_bytes"],
             "block_last_doc": enc["block_last_doc"],
             "block_doc_off": enc["block_doc_off"],
             "block_tf_off": enc["block_tf_off"],
+            "block_pos_off": enc["block_pos_off"],
             "block_max_w": enc["block_max_w"],
         }
+    )
+
+
+def _build_segment_pdf_fielded(
+    pdf: pd.DataFrame, avgdls: dict[str, float], cfg: IndexConfig, fields: dict[str, str]
+) -> pd.DataFrame:
+    """Multi-field SPIMI segment: one token stream per field, term keys
+    tagged ``field\\x00term``, per-field doclens/avgdl baked into the BM25
+    block maxima.  Positions are field-internal (phrase queries scope to a
+    field)."""
+    cols = [c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]
+    if len(pdf) == 0:
+        return pd.DataFrame([], columns=cols)
+    seg = int(pdf["seg"].iloc[0])
+    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+    pdf = pdf.iloc[order]
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+
+    ft, fd, fl, fp, fa = [], [], [], [], []
+    for fname, col in fields.items():
+        tokens = tokenize_series(pdf[col])
+        lens = tokens.map(len).to_numpy(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        tagged = np.array([f"{fname}{FIELD_SEP}{t}" for toks in tokens for t in toks], dtype=object)
+        ft.append(tagged)
+        fd.append(np.repeat(doc_ids, lens))
+        fl.append(np.repeat(lens, lens))
+        fp.append(np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens))
+        fa.append(np.full(total, avgdls[fname], dtype=np.float64))
+    if not ft:
+        return pd.DataFrame([], columns=cols)
+    return _encode_flat_tokens(
+        np.concatenate(ft), np.concatenate(fd), np.concatenate(fl),
+        np.concatenate(fp), np.concatenate(fa), seg, cfg,
+    )
+
+
+def build_partials_fielded(
+    docs: DataFrame, avgdls: dict[str, float], cfg: IndexConfig, fields: dict[str, str]
+) -> DataFrame:
+    """Stage 1, multi-field.  ``docs`` must have (doc_id, seg, *field cols)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _build_segment_pdf_fielded(pdf, avgdls, cfg, fields)
+
+    return (
+        docs.select("doc_id", "seg", *fields.values())
+        .groupBy("seg")
+        .applyInPandas(fn, POSTINGS_SCHEMA)
     )
 
 
@@ -121,8 +213,9 @@ def merge_group_pdf(pdf: pd.DataFrame, out_seg: int | None = None) -> pd.DataFra
     pdf = pdf.sort_values("min_doc")
     doc_chunks: list[bytes] = []
     tf_chunks: list[bytes] = []
-    bl_doc, bd_off, bt_off, bm_w = [], [], [], []
-    d_base = t_base = 0
+    pos_chunks: list[bytes] = []
+    bl_doc, bd_off, bt_off, bp_off, bm_w = [], [], [], [], []
+    d_base = t_base = p_base = 0
     prev_last = None
     for row in pdf.itertuples(index=False):
         db = bytes(row.doc_bytes)
@@ -131,16 +224,20 @@ def merge_group_pdf(pdf: pd.DataFrame, out_seg: int | None = None) -> pd.DataFra
             db, delta = codec.splice_first_gap(db, int(row.min_doc) - prev_last - 1)
         doc_chunks.append(db)
         tf_chunks.append(bytes(row.tf_bytes))
+        pb = bytes(row.pos_bytes)
+        pos_chunks.append(pb)  # positions are doc-relative: plain concat
         offs = np.asarray(row.block_doc_off, dtype=np.int64)
         # blocks after the first shift by the splice delta; block 0 offset is 0
         adj = offs.copy()
         adj[1:] += delta
         bd_off.append(adj + d_base)
         bt_off.append(np.asarray(row.block_tf_off, dtype=np.int64) + t_base)
+        bp_off.append(np.asarray(row.block_pos_off, dtype=np.int64) + p_base)
         bl_doc.append(np.asarray(row.block_last_doc, dtype=np.int64))
         bm_w.append(np.asarray(row.block_max_w, dtype=np.float64))
         d_base += len(db)
         t_base += len(bytes(row.tf_bytes))
+        p_base += len(pb)
         prev_last = int(row.max_doc)
     first = pdf.iloc[0]
     return pd.DataFrame(
@@ -153,9 +250,11 @@ def merge_group_pdf(pdf: pd.DataFrame, out_seg: int | None = None) -> pd.DataFra
             "max_doc": [np.int64(pdf["max_doc"].max())],
             "doc_bytes": [b"".join(doc_chunks)],
             "tf_bytes": [b"".join(tf_chunks)],
+            "pos_bytes": [b"".join(pos_chunks)],
             "block_last_doc": [np.concatenate(bl_doc)],
             "block_doc_off": [np.concatenate(bd_off)],
             "block_tf_off": [np.concatenate(bt_off)],
+            "block_pos_off": [np.concatenate(bp_off)],
             "block_max_w": [np.concatenate(bm_w)],
         }
     )

@@ -29,7 +29,7 @@ import numpy as np
 
 from goobi_viewer_indexer_spark.functions import codec
 
-__all__ = ["TermList", "score_topk", "idf"]
+__all__ = ["TermList", "score_topk", "score_phrase", "idf"]
 
 
 def idf(n_docs: int, df: int) -> float:
@@ -49,6 +49,12 @@ class TermList:
     block_tf_off: np.ndarray     # int64 [nb]
     block_max_w: np.ndarray      # float64 [nb]
     df: int = 0
+    pos_bytes: bytes = b""       # optional positional stream (phrase queries)
+    block_pos_off: np.ndarray | None = None
+    # multi-field (BM25F-lite): a field-scoped list scores with ITS field's
+    # doclen lookup + avgdl; None → the kernel's global dl/avgdl
+    dl_fn: object = None
+    avgdl_f: float | None = None
     _cache: dict = field(default_factory=dict)
 
     def n_blocks(self) -> int:
@@ -74,6 +80,33 @@ class TermList:
         self._cache[i] = (docs, tfs)
         return docs, tfs
 
+    def decode_block_positions(self, i: int) -> np.ndarray:
+        """Flat absolute positions for block i's postings (posting j in the
+        block owns slice ``[tfcum[j], tfcum[j+1])`` of the result)."""
+        hit = self._cache.get(("p", i))
+        if hit is not None:
+            return hit
+        _, tfs = self.decode_block(i)
+        p_lo = int(self.block_pos_off[i])
+        p_hi = int(self.block_pos_off[i + 1]) if i + 1 < len(self.block_pos_off) else len(self.pos_bytes)
+        pos = codec.decode_positions_flat(self.pos_bytes[p_lo:p_hi], tfs)
+        self._cache[("p", i)] = pos
+        return pos
+
+    def positions_for_doc(self, doc: int) -> np.ndarray | None:
+        """Token positions of this term in ``doc`` (None if absent)."""
+        bl = self.block_last_doc
+        i = int(np.searchsorted(bl, doc, side="left"))
+        if i >= len(bl):
+            return None
+        docs, tfs = self.decode_block(i)
+        j = int(np.searchsorted(docs, doc))
+        if j >= docs.size or docs[j] != doc:
+            return None
+        pos = self.decode_block_positions(i)
+        start = int(tfs[:j].sum())
+        return pos[start: start + int(tfs[j])]
+
     def decode_range(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
         """Postings with lo <= doc_id <= hi, decoding only touched blocks."""
         bl = self.block_last_doc
@@ -94,6 +127,29 @@ class TermList:
             e = np.zeros(0, np.int64)
             return e, e
         return np.concatenate(out_d), np.concatenate(out_t)
+
+    def decode_range_with_positions(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Like :meth:`decode_range` but also returns the flat positions of
+        the surviving postings (compaction re-encode path)."""
+        bl = self.block_last_doc
+        b0 = int(np.searchsorted(bl, lo, side="left"))
+        e = np.zeros(0, np.int64)
+        if b0 >= len(bl):
+            return e, e, e
+        out_d, out_t, out_p = [], [], []
+        for i in range(b0, len(bl)):
+            if self.block_first_doc(i) > hi:
+                break
+            d, t = self.decode_block(i)
+            pos = self.decode_block_positions(i)
+            m = (d >= lo) & (d <= hi)
+            if m.any():
+                out_d.append(d[m])
+                out_t.append(t[m])
+                out_p.append(pos[np.repeat(m, t)])
+        if not out_d:
+            return e, e, e
+        return np.concatenate(out_d), np.concatenate(out_t), np.concatenate(out_p)
 
 
 def _bm25(tfs: np.ndarray, dls: np.ndarray, w_idf: float, avgdl: float, k1: float, b: float) -> np.ndarray:
@@ -133,8 +189,12 @@ def _drop_deleted(docs: np.ndarray, deleted: np.ndarray | None) -> np.ndarray:
 
 
 def _score_and(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi: int,
-               deleted: np.ndarray | None = None):
-    """Galloping block-skip intersection, rarest list drives."""
+               deleted: np.ndarray | None = None, return_all: bool = False):
+    """Galloping block-skip intersection, rarest list drives.
+
+    ``return_all=True`` returns EVERY intersecting doc (ascending) with its
+    bag-of-terms score instead of the top-k — the phrase scorer's candidate
+    stage."""
     lists = sorted(lists, key=lambda L: (L.df if L.df else 1 << 60))
     lead = lists[0]
     docs, tfs = lead.decode_range(lo, hi)
@@ -142,7 +202,8 @@ def _score_and(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi
     docs, tfs = docs[keep], tfs[keep]
     if docs.size == 0:
         return docs, np.zeros(0, np.float64)
-    scores = _bm25(tfs, dl(docs), lead.idf, avgdl, k1, b)
+    scores = _bm25(tfs, (lead.dl_fn or dl)(docs), lead.idf,
+                   lead.avgdl_f if lead.avgdl_f is not None else avgdl, k1, b)
     for L in lists[1:]:
         if docs.size == 0:
             break
@@ -167,8 +228,58 @@ def _score_and(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi
             tfs[sel] = tt
         docs, scores, tfs = docs[found], scores[found], tfs[found]
         if docs.size:
-            scores = scores + _bm25(tfs, dl(docs), L.idf, avgdl, k1, b)
+            scores = scores + _bm25(tfs, (L.dl_fn or dl)(docs), L.idf,
+                                    L.avgdl_f if L.avgdl_f is not None else avgdl, k1, b)
+    if return_all:
+        return docs, scores
     return _topk_select(docs, scores, k)
+
+
+def score_phrase(
+    term_offsets: list[tuple["TermList", list[int]]],
+    dl,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    lo: int,
+    hi: int,
+    deleted: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact phrase top-k: docs containing the query tokens CONSECUTIVELY,
+    scored as the bag-of-distinct-terms BM25 (phrase = filter, scoring =
+    the same formula as mode='and' — SQL-expressible, so the DuckDB oracle
+    can value-check it; Lucene's phraseFreq-based scoring is the named
+    deviation).
+
+    ``term_offsets``: one entry per DISTINCT phrase term, with every offset
+    at which it occurs in the phrase ("a b a" → [(a, [0, 2]), (b, [1])]).
+    A doc matches iff ∃p: p+off ∈ positions(term) for every (term, off).
+    Candidates come from the galloping AND intersection; only candidates
+    have their position blocks decoded."""
+    lists = [L for L, _ in term_offsets]
+    docs, scores = _score_and(lists, dl, avgdl, k1, b, k, lo, hi, deleted, return_all=True)
+    if docs.size == 0:
+        return docs, scores
+    keep = np.zeros(docs.size, dtype=bool)
+    for i, d in enumerate(docs):
+        anchors = None
+        ok = True
+        for L, offs in term_offsets:
+            p = L.positions_for_doc(int(d))
+            if p is None:
+                ok = False
+                break
+            for off in offs:
+                q = p - off
+                anchors = q if anchors is None else np.intersect1d(anchors, q, assume_unique=True)
+                if anchors.size == 0:
+                    ok = False
+                    break
+            if not ok:
+                break
+        keep[i] = ok
+    return _topk_select(docs[keep], scores[keep], k)
 
 
 def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi: int,
@@ -221,7 +332,8 @@ def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi:
             d, t = L.decode_range(lo, hi)
             if d.size:
                 parts_d.append(d)
-                parts_s.append(_bm25(t, dl(d), L.idf, avgdl, k1, b))
+                parts_s.append(_bm25(t, (L.dl_fn or dl)(d), L.idf,
+                                     L.avgdl_f if L.avgdl_f is not None else avgdl, k1, b))
         if not parts_d:
             continue
         alld = np.concatenate(parts_d)

@@ -38,7 +38,7 @@ from goobi_viewer_indexer_spark.functions.hashing import sha256_hex
 from goobi_viewer_indexer_spark.functions.tokenize import doclen_nfc
 from goobi_viewer_indexer_spark.operators import spimi
 
-__all__ = ["build_index", "assign_doc_ids", "assign_sequential_ids"]
+__all__ = ["build_index", "build_index_fielded", "assign_doc_ids", "assign_sequential_ids"]
 
 
 def assign_sequential_ids(docs: DataFrame, base: int = 0, id_col: str = "doc_id") -> DataFrame:
@@ -326,3 +326,134 @@ def build_index(
 def destroy_index(index_dir: str) -> None:
     if os.path.exists(index_dir):
         shutil.rmtree(index_dir)
+
+
+def build_index_fielded(
+    docs: DataFrame,
+    index_dir: str,
+    fields: dict[str, str],
+    cfg: IndexConfig = IndexConfig(),
+    id_col: str = "doc_id",
+) -> dict:
+    """Multi-field SPIMI build (the reference's DEFAULT/FULLTEXT/SUPER*
+    independent Lucene fields, model/SolrConstants.java:96-140,217-220).
+
+    ``fields`` maps field name → source column.  Postings/stats share the
+    single-field layout with term keys tagged ``field\\x00term`` (same
+    bucketing, same salted merge, same codec incl. positions); per-field
+    doclens are packed per doc range as one binary column per field and
+    per-field avgdl lives in meta — BM25 is computed with FIELD-local
+    length normalization (BM25F-lite: query-time boosts multiply idf)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = docs.sparkSession
+    os.makedirs(index_dir, exist_ok=True)
+    if os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        return load_meta(index_dir)
+
+    fnames = list(fields)
+    docs = docs.select(F.col(id_col).alias("doc_id"), *[F.col(c).alias(c) for c in fields.values()])
+
+    # ---- stage 0: per-field doclens + sha256 of the concatenated content ----
+    dstats_path = os.path.join(index_dir, "doc_stats")
+    sha_src = F.concat_ws("\x1e", *[F.coalesce(F.col(c), F.lit("")) for c in fields.values()])
+    if not os.path.exists(os.path.join(dstats_path, "_SUCCESS")):
+        (
+            docs.select(
+                "doc_id",
+                *[doclen_nfc(F.col(col)).alias(f"doclen_{f}") for f, col in fields.items()],
+                sha256_hex(sha_src).alias("sha256"),
+            )
+            .withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
+            .write.mode("overwrite")
+            .parquet(dstats_path)
+        )
+    dstats = spark.read.parquet(dstats_path)
+    g = dstats.agg(
+        F.count("*").alias("n"),
+        F.max("seg").alias("maxseg"),
+        *[F.avg(f"doclen_{f}").alias(f"avgdl_{f}") for f in fnames],
+    ).collect()[0]
+    n_docs = int(g["n"])
+    nseg = int(g["maxseg"]) + 1 if g["maxseg"] is not None else 1
+    avgdls = {f: float(g[f"avgdl_{f}"] or 0.0) for f in fnames}
+
+    meta = {
+        "n_docs": n_docs,
+        "nseg": nseg,
+        "fields": fnames,
+        "field_cols": fields,
+        "avgdl_by_field": avgdls,
+        "avgdl": avgdls[fnames[0]],  # layout compat
+        "docs_per_segment": cfg.docs_per_segment,
+        "merge_fanin": cfg.merge_fanin,
+        "block_size": cfg.block_size,
+        "postings_buckets": cfg.postings_buckets,
+        "k1": cfg.k1,
+        "b": cfg.b,
+    }
+    _write_meta(index_dir, meta)
+
+    # ---- stage 0.5: packed per-field doclens per doc range ----
+    span = cfg.docs_per_segment * cfg.merge_fanin
+    dlp_path = os.path.join(index_dir, "doclens_packed")
+    if not os.path.exists(os.path.join(dlp_path, "_SUCCESS")):
+
+        def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            out = {"rng": pd.Series([], dtype="int32"), "base": pd.Series([], dtype="int64")}
+            for f in fnames:
+                out[f"doclens_{f}"] = pd.Series([], dtype=object)
+            if len(pdf) == 0:
+                return pd.DataFrame(out)
+            pdf = pdf.sort_values("doc_id")
+            rng = int(pdf["rng"].iloc[0])
+            base = rng * span
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            row = {"rng": [rng], "base": [base]}
+            for f in fnames:
+                arr = np.zeros(int(ids[-1]) - base + 1, dtype=np.int32)
+                arr[ids - base] = pdf[f"doclen_{f}"].to_numpy(np.int32)
+                row[f"doclens_{f}"] = [arr.tobytes()]
+            return pd.DataFrame(row)
+
+        schema = "rng int, base long, " + ", ".join(f"doclens_{f} binary" for f in fnames)
+        (
+            dstats.withColumn("rng", (F.col("doc_id") / span).cast("int"))
+            .select("rng", "doc_id", *[f"doclen_{f}" for f in fnames])
+            .groupBy("rng")
+            .applyInPandas(pack, schema)
+            .write.mode("overwrite")
+            .parquet(dlp_path)
+        )
+
+    # ---- stage 1 + 2: tagged-term SPIMI, same merge/bucket machinery ----
+    docs_seg = docs.withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
+    part_root = os.path.join(index_dir, "partials")
+    if not os.path.exists(os.path.join(part_root, "batch=0", "_SUCCESS")):
+        spimi.build_partials_fielded(docs_seg, avgdls, cfg, fields).write.mode("overwrite").parquet(
+            os.path.join(part_root, "batch=0")
+        )
+    partials = spark.read.parquet(os.path.join(part_root, "batch=0"))
+    merged = spimi.merge_partials(partials, cfg)
+    final = spimi.compact_light_terms(merged, cfg).withColumn(
+        "bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets))
+    )
+    (
+        final.repartition(cfg.postings_buckets, "bucket")
+        .sortWithinPartitions("term", "min_doc")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+    (
+        partials.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(index_dir, "term_stats"))
+    )
+    with open(os.path.join(index_dir, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return meta

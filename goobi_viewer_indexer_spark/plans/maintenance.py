@@ -210,6 +210,10 @@ def _row_to_termlist(row):
         block_doc_off=np.asarray(row.block_doc_off, dtype=np.int64),
         block_tf_off=np.asarray(row.block_tf_off, dtype=np.int64),
         block_max_w=np.asarray(row.block_max_w, dtype=np.float64),
+        pos_bytes=bytes(row.pos_bytes) if hasattr(row, "pos_bytes") else b"",
+        block_pos_off=(
+            np.asarray(row.block_pos_off, dtype=np.int64) if hasattr(row, "block_pos_off") else None
+        ),
     )
 
 
@@ -417,17 +421,18 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
             rng = int(row.rng)
             lo, hi = rng * span, (rng + 1) * span - 1
             tl = _row_to_termlist(row)
-            d, t = tl.decode_range(max(lo, int(row.min_doc)), min(hi, int(row.max_doc)))
+            d, t, p = tl.decode_range_with_positions(max(lo, int(row.min_doc)), min(hi, int(row.max_doc)))
             if d.size == 0:
                 continue
             if deleted.size:
                 pos = np.minimum(np.searchsorted(deleted, d), deleted.size - 1)
                 keep = deleted[pos] != d
+                p = p[np.repeat(keep, t)]
                 d, t = d[keep], t[keep]
             if d.size == 0:
                 continue
             lens = np.frombuffer(row.doclens, dtype=np.int32)[d - int(row.base)]
-            enc = codec.encode_postings(d, t, lens, avgdl_live, k1, b, bs)
+            enc = codec.encode_postings(d, t, lens, avgdl_live, k1, b, bs, positions=p)
             out.append(
                 {
                     "term": row.term,
@@ -438,9 +443,11 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
                     "max_doc": enc["max_doc"],
                     "doc_bytes": enc["doc_bytes"],
                     "tf_bytes": enc["tf_bytes"],
+                    "pos_bytes": enc["pos_bytes"],
                     "block_last_doc": enc["block_last_doc"],
                     "block_doc_off": enc["block_doc_off"],
                     "block_tf_off": enc["block_tf_off"],
+                    "block_pos_off": enc["block_pos_off"],
                     "block_max_w": enc["block_max_w"],
                 }
             )

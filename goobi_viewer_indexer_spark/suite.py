@@ -43,7 +43,9 @@ def _index_for(spark: SparkSession, sf_dir: str):
 
     key = sf_dir.rstrip("/")
     if key not in _INDEX_CACHE:
-        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        # v2: positional postings — version the on-disk cache so an index
+        # built by an older layout is never reused
+        tag = hashlib.md5(f"v2:{key}".encode()).hexdigest()[:10]
         d = f"{tempfile.gettempdir()}/gvi_suite_index_{tag}"
         docs = spark.read.parquet(f"{key}/documents.parquet")
         build_index(docs, d, IDX_CFG, id_col="doc_id", text_col="text")
@@ -132,6 +134,94 @@ def q_wand_and(spark, sf_dir):
 @register("bm25_wand_stopword", naive_bm25.bm25_topk_sql(Q_STOPWORD, k=20, mode="or"))
 def q_wand_stopword(spark, sf_dir):
     return _index_for(spark, sf_dir).search(Q_STOPWORD, k=20, mode="or")
+
+
+# --------------------------------------------------------------------------
+# phrase queries (positional postings): naive twin + the real engine under
+# ONE oracle — quoted-phrase capability the reference gets from Solr's
+# positional text fields (helper/FulltextAugmentor.java:78-238)
+# --------------------------------------------------------------------------
+PHRASE_2GRAM = ["spark", "window"]          # ~30 matching docs at sf0.01
+PHRASE_3GRAM = ["table", "join", "spark"]   # exactly 1 matching doc
+PHRASE_DUP = ["value", "value"]             # duplicate-term phrase
+PHRASE_MISSING = ["scan", "a", "scan"]      # terms exist, phrase never occurs
+
+
+@register("bm25_phrase_naive", naive_bm25.bm25_phrase_topk_sql(PHRASE_2GRAM, k=10))
+def q_phrase_naive(spark, sf_dir):
+    return naive_bm25.bm25_phrase_topk(_load(spark, sf_dir, "documents"), PHRASE_2GRAM, k=10)
+
+
+@register("bm25_wand_phrase", naive_bm25.bm25_phrase_topk_sql(PHRASE_2GRAM, k=10))
+def q_wand_phrase(spark, sf_dir):
+    return _index_for(spark, sf_dir).search_phrase(PHRASE_2GRAM, k=10)
+
+
+@register("bm25_wand_phrase_trigram", naive_bm25.bm25_phrase_topk_sql(PHRASE_3GRAM, k=10))
+def q_wand_phrase_trigram(spark, sf_dir):
+    return _index_for(spark, sf_dir).search_phrase(PHRASE_3GRAM, k=10)
+
+
+@register("bm25_wand_phrase_dup", naive_bm25.bm25_phrase_topk_sql(PHRASE_DUP, k=10))
+def q_wand_phrase_dup(spark, sf_dir):
+    return _index_for(spark, sf_dir).search_phrase(PHRASE_DUP, k=10)
+
+
+@register("bm25_wand_phrase_missing", naive_bm25.bm25_phrase_topk_sql(PHRASE_MISSING, k=10))
+def q_wand_phrase_missing(spark, sf_dir):
+    return _index_for(spark, sf_dir).search_phrase(PHRASE_MISSING, k=10)
+
+
+# --------------------------------------------------------------------------
+# multi-field index (DEFAULT/FULLTEXT analog): field-scoped BM25F-lite —
+# every reference §2-B query is field-scoped (model/SolrConstants.java)
+# --------------------------------------------------------------------------
+SUITE_FIELDS = {"text": "text", "source": "source", "lang": "lang"}
+
+
+def _fielded_index_for(spark, sf_dir):
+    import hashlib
+    import tempfile
+
+    from goobi_viewer_indexer_spark.operators.search import FieldedIndex
+    from goobi_viewer_indexer_spark.plans.build import build_index_fielded
+
+    key = "fielded:" + sf_dir.rstrip("/")
+    if key not in _INDEX_CACHE:
+        tag = hashlib.md5(f"v2:{key}".encode()).hexdigest()[:10]
+        d = f"{tempfile.gettempdir()}/gvi_suite_findex_{tag}"
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        build_index_fielded(docs, d, SUITE_FIELDS, IDX_CFG)
+        _INDEX_CACHE[key] = FieldedIndex(spark, d)
+    return _INDEX_CACHE[key]
+
+
+F_AND_PAIRS = [("source", "src7"), ("text", "table")]
+F_OR_PAIRS = [("text", "spark"), ("lang", "en")]
+F_OR_BOOSTS = {"lang": 0.25}
+
+
+@register("bm25f_fielded_and", naive_bm25.bm25f_topk_sql(F_AND_PAIRS, k=10, mode="and"))
+def q_bm25f_and(spark, sf_dir):
+    return _fielded_index_for(spark, sf_dir).search(F_AND_PAIRS, k=10, mode="and")
+
+
+@register("bm25f_fielded_or_boosted", naive_bm25.bm25f_topk_sql(F_OR_PAIRS, k=10, mode="or", boosts=F_OR_BOOSTS))
+def q_bm25f_or(spark, sf_dir):
+    return _fielded_index_for(spark, sf_dir).search(F_OR_PAIRS, k=10, mode="or", boosts=F_OR_BOOSTS)
+
+
+@register("bm25f_point_lookup", naive_bm25.bm25f_topk_sql([("source", "src42")], k=5))
+def q_bm25f_point(spark, sf_dir):
+    # reference Q1 analog (PI:<id> exact lookup), field-scoped
+    return _fielded_index_for(spark, sf_dir).search([("source", "src42")], k=5)
+
+
+@register("bm25f_phrase_field", naive_bm25.bm25_phrase_topk_sql(PHRASE_2GRAM, k=10))
+def q_bm25f_phrase(spark, sf_dir):
+    # a single-field phrase over the fielded index == the flat-index phrase
+    # contract on that field (field-local stats == text-field stats)
+    return _fielded_index_for(spark, sf_dir).search_phrase("text", PHRASE_2GRAM, k=10)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,76 @@
+"""Multi-field index (BM25F-lite): field-scoped and/or/phrase, boosts,
+parser, and parity of a single-field phrase with the flat index.  The
+value-level oracle checks live in test_suite_oracle.py (bm25f_* entries)."""
+
+from __future__ import annotations
+
+import pytest
+
+from goobi_viewer_indexer_spark.config import IndexConfig
+from goobi_viewer_indexer_spark.operators.search import FieldedIndex, InvertedIndex, parse_fielded_query
+from goobi_viewer_indexer_spark.plans.build import build_index, build_index_fielded
+from tests.conftest import SF001
+
+CFG = IndexConfig(docs_per_segment=64, merge_fanin=2, block_size=32, postings_buckets=8, compact_below_bytes=512)
+FIELDS = {"text": "text", "source": "source", "lang": "lang"}
+
+
+@pytest.fixture(scope="module")
+def fidx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fielded_idx"))
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_index_fielded(docs, d, FIELDS, CFG)
+    return FieldedIndex(spark, d)
+
+
+def test_parse_fielded_query():
+    pairs, boosts, mode = parse_fielded_query("source:src42 AND text:spark window")
+    assert pairs == [("source", "src42"), ("text", "spark"), ("text", "window")]
+    assert mode == "and"
+    pairs, boosts, mode = parse_fielded_query("text:spark^2.0 OR lang:en")
+    assert pairs == [("text", "spark"), ("lang", "en")]
+    assert boosts[0] == 2.0 and boosts[1] == 1.0 and mode == "or"
+    with pytest.raises(ValueError):
+        parse_fielded_query("a:x AND b:y OR c:z")
+
+
+def test_unknown_field_raises(fidx):
+    with pytest.raises(ValueError, match="unknown field"):
+        fidx.search([("nosuch", "x")], k=5)
+
+
+def test_and_requires_all_pairs(spark, fidx):
+    # a source term scopes to exactly the docs of that source
+    hits = fidx.search([("source", "src3"), ("text", "zzzznotexist")], k=10, mode="and")
+    assert hits.count() == 0
+
+
+def test_field_scoping_differs_from_flat(spark, fidx):
+    """source:table must NOT match docs whose TEXT contains 'table'."""
+    assert fidx.search([("source", "table")], k=10).count() == 0
+    assert fidx.search([("text", "table")], k=10).count() == 10
+
+
+def test_boost_scales_scores(spark, fidx):
+    base = {r["doc_id"]: r["score"] for r in fidx.search([("text", "spark")], k=10).collect()}
+    boosted = {r["doc_id"]: r["score"] for r in fidx.search([("text", "spark")], k=10, boosts={"text": 2.0}).collect()}
+    assert set(base) == set(boosted)
+    for d in base:
+        assert abs(boosted[d] - 2.0 * base[d]) < 1e-5
+
+
+def test_string_query_equals_pairs(spark, fidx):
+    a = [tuple(r) for r in fidx.search("source:src3 AND text:table", k=10).collect()]
+    b = [tuple(r) for r in fidx.search([("source", "src3"), ("text", "table")], k=10, mode="and").collect()]
+    assert a == b and len(a) > 0
+
+
+def test_fielded_phrase_matches_flat_index(spark, fidx, tmp_path):
+    """Positions are field-internal: a text-field phrase over the fielded
+    index ranks identically to the flat single-field index."""
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    d = str(tmp_path / "flat")
+    build_index(docs, d, CFG)
+    flat = [tuple(r) for r in InvertedIndex(spark, d).search_phrase(["spark", "window"], k=10).collect()]
+    fielded = [tuple(r) for r in fidx.search_phrase("text", ["spark", "window"], k=10).collect()]
+    assert flat == fielded and len(flat) > 0

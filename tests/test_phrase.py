@@ -1,0 +1,90 @@
+"""Positional postings + phrase queries: codec roundtrip, rank identity
+across the three engines (naive DataFrame twin / distributed WAND engine /
+LocalSearcher), merge/compact position survival, duplicate-term phrases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from goobi_viewer_indexer_spark.config import IndexConfig
+from goobi_viewer_indexer_spark.functions import codec
+from goobi_viewer_indexer_spark.operators.naive_bm25 import bm25_phrase_topk
+from goobi_viewer_indexer_spark.operators.search import InvertedIndex
+from goobi_viewer_indexer_spark.plans import build as build_mod
+from goobi_viewer_indexer_spark.plans import maintenance as maint
+from tests.conftest import SF001
+
+# tiny segments/blocks so merges, splices and multi-block lists all happen
+CFG = IndexConfig(docs_per_segment=32, merge_fanin=2, block_size=16, postings_buckets=8, compact_below_bytes=256)
+
+PHRASES = [
+    ["spark", "window"],
+    ["table", "join"],
+    ["value", "value"],            # duplicate-term phrase
+    ["table", "join", "spark"],
+    ["scan", "a", "scan"],         # terms exist, phrase absent
+]
+
+
+def test_positions_roundtrip_random():
+    rng = np.random.default_rng(3)
+    tfs = rng.integers(1, 6, 200).astype(np.int64)
+    flat = np.concatenate([np.sort(rng.choice(500, size=tf, replace=False)) for tf in tfs]).astype(np.int64)
+    buf, off = codec.encode_positions_flat(flat, tfs)
+    assert int(off[-1]) == buf.size
+    dec = codec.decode_positions_flat(buf.tobytes(), tfs)
+    assert np.array_equal(dec, flat)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("phrase_idx"))
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_mod.build_index(docs, d, CFG)
+    return d
+
+
+@pytest.mark.parametrize("phrase", PHRASES, ids=["_".join(p) for p in PHRASES])
+def test_phrase_rank_identity_three_ways(spark, idx, phrase):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    exp = [(r["doc_id"], r["score"]) for r in bm25_phrase_topk(docs, phrase, k=10).collect()]
+    engine = InvertedIndex(spark, idx)
+    got = [(r["doc_id"], r["score"]) for r in engine.search_phrase(phrase, k=10).collect()]
+    assert got == exp
+    assert engine.open_local().search_phrase(phrase, k=10) == exp
+    # mode="phrase" dispatch through the generic entry points
+    assert [(r["doc_id"], r["score"]) for r in engine.search(phrase, k=10, mode="phrase").collect()] == exp
+
+
+def test_phrase_survives_delete_and_compact(spark, tmp_path):
+    rows = [
+        (i, f"prefix{i} spark window tail{i}" if i % 3 == 0 else f"prefix{i} window spark tail{i}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "idx")
+    build_mod.build_index(docs, d, IndexConfig(docs_per_segment=8, merge_fanin=2, block_size=8, postings_buckets=4))
+    engine = InvertedIndex(spark, d)
+    before = {r["doc_id"] for r in engine.search_phrase(["spark", "window"], k=40).collect()}
+    assert before == {i for i in range(40) if i % 3 == 0}
+
+    maint.delete_docs(spark, d, [0, 6], tag="pdel")
+    after_del = {r["doc_id"] for r in InvertedIndex(spark, d).search_phrase(["spark", "window"], k=40).collect()}
+    assert after_del == before - {0, 6}
+
+    maint.compact(spark, d)  # re-encodes postings INCLUDING position streams
+    after_compact = {r["doc_id"] for r in InvertedIndex(spark, d).search_phrase(["spark", "window"], k=40).collect()}
+    assert after_compact == after_del
+
+
+def test_phrase_positions_after_append(spark, tmp_path):
+    docs = spark.createDataFrame([(i, f"alpha beta gamma{i}") for i in range(20)], "doc_id long, text string")
+    d = str(tmp_path / "idx")
+    build_mod.build_index(docs, d, IndexConfig(docs_per_segment=8, merge_fanin=2, block_size=8, postings_buckets=4))
+    new = spark.createDataFrame([("omega alpha beta",), ("beta alpha omega",)], "text string")
+    maint.add_docs(spark, d, new, tag="padd")
+    engine = InvertedIndex(spark, d)
+    hits = {r["doc_id"] for r in engine.search_phrase(["alpha", "beta"], k=50).collect()}
+    assert set(range(20)) < hits and len(hits) == 21  # one appended doc matches
+    assert engine.open_local().search_phrase(["omega", "alpha", "beta"], k=5)[0][0] >= 20
