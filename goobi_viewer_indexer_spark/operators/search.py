@@ -180,6 +180,49 @@ class InvertedIndex:
             .select("doc_id", F.round("score", 6).alias("score"))
         )
 
+    def match_ids(self, query: str | list[str], mode: str = "and") -> DataFrame:
+        """ALL doc_ids matching the boolean term query (no scoring, no k) —
+        the scan behind delete-by-query (SolrSearchIndex.deleteByQuery).
+        Distributed: each doc range emits its matches; result is a one-column
+        DataFrame, never collected here."""
+        terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
+        span = self.span
+        stats = self.term_stats_for(terms)
+        present = [t for t in terms if t in stats]
+        empty = self.spark.createDataFrame([], "doc_id long")
+        if not present or (mode == "and" and len(present) < len(terms)):
+            return empty
+        n_terms = len(present)
+        dfs = {t: stats[t][0] for t in present}
+
+        rows = self.postings_for(present).withColumn(
+            "rng",
+            F.explode(
+                F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
+            ),
+        )
+
+        def match_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"doc_id": []}).astype({"doc_id": np.int64})
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * span, (rng + 1) * span - 1
+            deleted = None
+            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
+                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            lists = [_mk_termlist(row, 0.0, dfs[row["term"]]) for _, row in pdf.iterrows()]
+            if mode == "and" and len(lists) < n_terms:
+                return pd.DataFrame({"doc_id": []}).astype({"doc_id": np.int64})
+            docs = wand.match_docs(lists, mode, lo, hi, deleted=deleted)
+            return pd.DataFrame({"doc_id": docs})
+
+        joined = rows
+        if self._tomb_packed is not None:
+            joined = joined.join(self._tomb_packed, "rng", "left")
+        else:
+            joined = joined.withColumn("deleted", F.lit(None).cast("binary"))
+        return joined.groupBy("rng").applyInPandas(match_range, "doc_id long")
+
     def search_phrase(self, query: str | list[str], k: int = 10) -> DataFrame:
         """Exact-phrase top-k: the query tokens must occur CONSECUTIVELY in
         order (Solr quoted-phrase analog over the reference's positional

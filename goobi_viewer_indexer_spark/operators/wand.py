@@ -235,6 +235,26 @@ def _score_and(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi
     return _topk_select(docs, scores, k)
 
 
+def match_docs(lists, mode: str, lo: int, hi: int, deleted: np.ndarray | None = None) -> np.ndarray:
+    """ALL matching doc_ids (no scoring, no k) — the delete-by-query scan
+    (reference helper/SolrSearchIndex.java:498-528 deleteByQuery)."""
+    if not lists:
+        return np.zeros(0, np.int64)
+    if mode == "and":
+        lists = sorted(lists, key=lambda L: (L.df if L.df else 1 << 60))
+        docs, _ = lists[0].decode_range(lo, hi)
+        for L in lists[1:]:
+            if docs.size == 0:
+                break
+            d2, _ = L.decode_range(lo, hi)
+            docs = docs[np.isin(docs, d2, assume_unique=True)]
+    else:
+        parts = [L.decode_range(lo, hi)[0] for L in lists]
+        docs = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+    keep = _drop_deleted(docs, deleted)
+    return docs[keep]
+
+
 def score_phrase(
     term_offsets: list[tuple["TermList", list[int]]],
     dl,

@@ -43,8 +43,11 @@ from goobi_viewer_indexer_spark.plans.build import load_meta, _write_meta, assig
 
 __all__ = [
     "delete_docs",
+    "delete_by_query",
     "add_docs",
     "update_docs",
+    "set_stored_fields",
+    "get_stored",
     "compact",
     "live_corpus_stats",
     "recover_pending",
@@ -388,6 +391,92 @@ def update_docs(spark: SparkSession, index_dir: str, old_doc_ids: list[int], new
     (prepareUpdate semantics, Indexer.java:1695-1756)."""
     delete_docs(spark, index_dir, old_doc_ids, trace=False)
     return add_docs(spark, index_dir, new_docs, text_col)
+
+
+def delete_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[str],
+    mode: str = "and",
+    trace: bool = True,
+    tag: str | None = None,
+) -> dict:
+    """Delete every doc matching a boolean term query — the reference's
+    ``deleteByQuery`` (helper/SolrSearchIndex.java:498-528, used on every
+    record purge).  Predicate → distributed postings scan
+    (InvertedIndex.match_ids) → the same tombstone+stats txn as
+    :func:`delete_docs`.  The matched id set is pinned in the txn intent,
+    so a replay deletes exactly the originally-matched docs even if the
+    index moved underneath."""
+    from goobi_viewer_indexer_spark.operators.search import InvertedIndex
+
+    if tag is None:
+        tag = f"delq_{int(time.time() * 1000)}"
+    if txn.txn_done(index_dir, tag):
+        return load_meta(index_dir)
+    intent_path = os.path.join(txn.txn_root(index_dir), f"{tag}.intent.json")
+    if os.path.exists(intent_path):
+        with open(intent_path) as f:
+            intent = json.load(f)
+    else:
+        ids = sorted(
+            r["doc_id"] for r in InvertedIndex(spark, index_dir).match_ids(query, mode=mode).collect()
+        )
+        intent = txn.txn_intent(index_dir, tag, {"op": "delete", "ids": ids, "trace": bool(trace)})
+    return _delete_apply(spark, index_dir, tag, intent)
+
+
+def set_stored_fields(spark: SparkSession, index_dir: str, updates: DataFrame, tag: str | None = None) -> None:
+    """Field-level atomic update for STORED (non-indexed) fields — the
+    reference's Solr ``{"set": v}`` partial update (helper/
+    SolrSearchIndex.java:328-343, driven by DocUpdateIndexer.java:57-160).
+
+    ``updates``: (doc_id, col...) — listed columns overwrite per doc where
+    non-null, other docs/columns keep their values; postings and doc_stats
+    are NOT touched (no re-tokenization).  Updating an INDEXED field is a
+    different contract — that's :func:`update_docs` (delete + re-add), the
+    same split Lucene makes internally.  Merge runs under the txn swap
+    protocol: replays with the same tag are no-ops."""
+    stored_path = os.path.join(index_dir, "stored")
+    if tag is None:
+        tag = f"setf_{int(time.time() * 1000)}"
+    if txn.txn_done(index_dir, tag):
+        return
+    txn.recover_dir(stored_path)
+
+    if not (
+        txn.step_applied(index_dir, tag, "stored")
+        or txn.swap_already_live(stored_path, tag)
+        or txn.staging_complete(index_dir, tag, "stored")
+    ):
+        if os.path.exists(stored_path):
+            old = spark.read.parquet(stored_path)
+            upd_cols = [c for c in updates.columns if c != "doc_id"]
+            u = updates.select("doc_id", *[F.col(c).alias(f"_u_{c}") for c in upd_cols])
+            merged = old.join(u, "doc_id", "full")
+            keep = []
+            for c in old.columns:
+                if c == "doc_id":
+                    continue
+                keep.append(
+                    F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c) if c in upd_cols else F.col(c)
+                )
+            for c in upd_cols:
+                if c not in old.columns:
+                    keep.append(F.col(f"_u_{c}").alias(c))
+            merged = merged.select("doc_id", *keep)
+        else:
+            merged = updates
+        merged.write.mode("overwrite").parquet(txn.staged_path(index_dir, tag, "stored"))
+
+    txn.apply_swap(index_dir, tag, "stored", stored_path)
+    txn.txn_commit(index_dir, tag)
+
+
+def get_stored(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    p = os.path.join(index_dir, "stored")
+    txn.recover_dir(p)
+    return spark.read.parquet(p) if os.path.exists(p) else None
 
 
 def compact(spark: SparkSession, index_dir: str) -> dict:

@@ -162,9 +162,12 @@ def apply_swap(index_dir: str, tag: str, step: str, live_dir: str) -> None:
     bak = live_dir + ".bak"
     if os.path.exists(bak):
         shutil.rmtree(bak)
-    os.rename(live_dir, bak)
-    os.rename(src, live_dir)
-    shutil.rmtree(bak)
+    if os.path.exists(live_dir):
+        os.rename(live_dir, bak)
+        os.rename(src, live_dir)
+        shutil.rmtree(bak)
+    else:  # first-time creation of the side table
+        os.rename(src, live_dir)
     mark_step_applied(index_dir, tag, step)
 
 

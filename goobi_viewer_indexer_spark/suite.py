@@ -18,6 +18,7 @@ from goobi_viewer_indexer_spark.config import IndexConfig
 from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr, duckdb_tokenize_sql
 from goobi_viewer_indexer_spark.operators import (
     dedup,
+    hierarchy,
     naive_bm25,
     similarity,
     stats,
@@ -222,6 +223,79 @@ def q_bm25f_phrase(spark, sf_dir):
     # a single-field phrase over the fielded index == the flat-index phrase
     # contract on that field (field-local stats == text-field stats)
     return _fielded_index_for(spark, sf_dir).search_phrase("text", PHRASE_2GRAM, k=10)
+
+
+# --------------------------------------------------------------------------
+# hierarchical inheritance (MetsIndexer.indexAllChildren analog): forest
+# synthesized deterministically from documents — 50 roots, chains via
+# parent(d) = d-50; Spark resolves roots by pointer doubling (log2(depth)
+# joins), DuckDB by recursive CTE
+# --------------------------------------------------------------------------
+def _doc_tree(spark, sf_dir):
+    return (
+        _load(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.when(F.col("doc_id") >= 50, F.col("doc_id") - 50).alias("parent"),
+            "source",
+        )
+    )
+
+
+_TREE_SQL = (
+    "SELECT doc_id AS id, CASE WHEN doc_id >= 50 THEN doc_id - 50 END AS parent, source FROM documents"
+)
+
+
+@register(
+    "hierarchy_inherit_fields",
+    f"""
+WITH RECURSIVE t AS ({_TREE_SQL}),
+walk AS (
+  SELECT id, 0 AS depth, id AS root_id FROM t WHERE parent IS NULL
+  UNION ALL
+  SELECT c.id, w.depth + 1, w.root_id
+  FROM t c JOIN walk w ON c.parent = w.id
+)
+SELECT w.id AS doc_id, w.root_id, CAST(w.depth AS BIGINT) AS depth, rt.source AS root_source
+FROM walk w JOIN t rt ON rt.id = w.root_id
+ORDER BY doc_id
+""".strip(),
+)
+def q_hierarchy_inherit(spark, sf_dir):
+    return (
+        hierarchy.inherit_down(_doc_tree(spark, sf_dir), ["source"])
+        .select(
+            F.col("id").alias("doc_id"),
+            "root_id",
+            F.col("depth").cast("long").alias("depth"),
+            "root_source",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "hierarchy_subtree_sizes",
+    f"""
+WITH RECURSIVE t AS ({_TREE_SQL}),
+clo AS (
+  SELECT id, parent AS ancestor FROM t WHERE parent IS NOT NULL
+  UNION ALL
+  SELECT c.id, t2.parent
+  FROM clo c JOIN t t2 ON t2.id = c.ancestor AND t2.parent IS NOT NULL
+)
+SELECT t.id AS doc_id,
+       CAST(coalesce((SELECT count(*) FROM clo WHERE clo.ancestor = t.id), 0) AS BIGINT) AS n_descendants
+FROM t ORDER BY doc_id
+""".strip(),
+)
+def q_hierarchy_sizes(spark, sf_dir):
+    return (
+        hierarchy.subtree_sizes(_doc_tree(spark, sf_dir), max_depth=64)
+        .select(F.col("id").alias("doc_id"), "n_descendants")
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
