@@ -31,6 +31,7 @@ __all__ = [
     "cosine_topk_lsh",
     "query_buckets",
     "AnnIndex",
+    "IvfIndex",
     "embedding_near_duplicates",
     "embedding_near_duplicates_sql",
 ]
@@ -295,3 +296,65 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}
 ORDER BY id_a, id_b
 """.strip()
+
+
+class IvfIndex:
+    """IVF (inverted-file) ANN — the k-means-cell alternative to the
+    hyperplane :class:`AnnIndex`: centroids from ``pyspark.ml`` KMeans,
+    vectors written partitioned by nearest-centroid cell, queries probe
+    the ``nprobe`` nearest cells (directory-level pruning: a query reads
+    nprobe/n_cells of the data).  IVF adapts to the data distribution
+    (clustered embeddings → balanced cells) where sign sketches are
+    data-oblivious; recall is tunable per query via ``nprobe`` with no
+    rebuild.  Centroids persist beside the data, so probe routing is a
+    driver-side argmin — no Spark job."""
+
+    def __init__(self, spark, path: str):
+        import json as _json
+        import os as _os
+
+        self.spark, self.path = spark, path
+        with open(_os.path.join(path, "_centroids.json")) as f:
+            self.centroids = np.asarray(_json.load(f), dtype=np.float64)
+
+    @classmethod
+    def build(cls, embeddings: DataFrame, path: str, n_cells: int = 16, seed: int = 7,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfIndex":
+        import json as _json
+        import os as _os
+
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        feats = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+        model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feats)
+        assigned = model.transform(feats).select(
+            "vec_id", "embedding", F.col("prediction").alias("cell")
+        )
+        (
+            assigned.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+        cents = [list(map(float, c)) for c in model.clusterCenters()]
+        with open(_os.path.join(path, "_centroids.json"), "w") as f:
+            _json.dump(cents, f)
+        return cls(embeddings.sparkSession, path)
+
+    def query(self, query_vec: list[float], k: int = 10, nprobe: int = 2) -> DataFrame:
+        qv = np.asarray(query_vec, dtype=np.float64)
+        d = np.linalg.norm(self.centroids - qv, axis=1)
+        cells = [int(c) for c in np.argsort(d)[:nprobe]]
+        df = self.spark.read.parquet(self.path).filter(F.col("cell").isin(cells))
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            df.select("vec_id", cosine_expr(F.col("embedding"), q).alias("cos_raw"))
+            .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+            .limit(k)
+            .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
+        )

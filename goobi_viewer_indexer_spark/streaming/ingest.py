@@ -32,7 +32,50 @@ from pyspark.sql import functions as F
 
 from goobi_viewer_indexer_spark.config import IndexConfig
 
-__all__ = ["ingest_available_now", "windowed_event_counts"]
+__all__ = ["ingest_available_now", "windowed_event_counts", "debounced_stable_files"]
+
+
+def debounced_stable_files(observations: DataFrame) -> DataFrame:
+    """The reference's half-copied-folder debounce as a CUSTOM STATEFUL
+    streaming operator (``applyInPandasWithState``).
+
+    Reference: helper/Hotfolder.java:1017-1046 polls a candidate folder,
+    records its size, sleeps, and only enqueues it when two consecutive
+    size probes agree (a copy in progress keeps growing).  Here the poll
+    loop is a stream of (path, size, ts) observations; per-path state
+    carries (last_size, emitted) across micro-batches, and a path is
+    EMITTED exactly once — on the first observation whose size equals the
+    previous one.  Pure Arrow: state is two scalars per live path, so a
+    billion in-flight files is a few GB of state store.
+
+    Works only on a streaming DataFrame (state requires a streaming
+    query); the pytest drives it with maxFilesPerTrigger=1 so state
+    provably crosses micro-batch boundaries.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        last_size, emitted = state.get if state.exists else (None, False)
+        out_rows = []
+        for pdf in pdfs:
+            for rec in pdf.sort_values("ts").to_dict("records"):
+                size = int(rec["size"])
+                if not emitted and last_size is not None and size == last_size:
+                    emitted = True
+                    out_rows.append({"path": key[0], "size": size})
+                last_size = size
+        state.update((last_size, emitted))
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return observations.groupBy("path").applyInPandasWithState(
+        fn,
+        outputStructType="path string, size long",
+        stateStructType="last_size long, emitted boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def ingest_available_now(

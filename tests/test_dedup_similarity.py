@@ -140,3 +140,19 @@ def test_embedding_near_duplicates_planted_recall(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = {(r["id_a"], r["id_b"]) for r in similarity.embedding_near_duplicates(emb, threshold=0.95).collect()}
     assert {(j, 100 + j) for j in range(5)} <= out
+
+
+def test_ivf_index_recall(spark, tmp_path):
+    """IVF ANN (k-means cells, driver-side probe routing): with nprobe
+    covering half the cells, recall@10 vs brute force is high, and the
+    query's own vector is always retrieved at cosine 1.0."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = list(emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0])
+    ivf = similarity.IvfIndex.build(emb, str(tmp_path / "ivf"), n_cells=8, seed=7)
+    got = [tuple(r) for r in ivf.query(qv, k=10, nprobe=4).collect()]
+    assert got[0][0] == 3 and got[0][1] == 1.0
+    brute = {r["vec_id"] for r in similarity.cosine_topk_bruteforce(emb, qv, k=10).collect()}
+    assert len(brute & {v for v, _ in got}) >= 5
+    # reopening from disk routes identically (centroids persisted)
+    ivf2 = similarity.IvfIndex(spark, str(tmp_path / "ivf"))
+    assert [tuple(r) for r in ivf2.query(qv, k=10, nprobe=4).collect()] == got

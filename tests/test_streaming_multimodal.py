@@ -94,3 +94,44 @@ def test_multimodal_pipeline(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         decode_assets(assets, decode="real").collect()
+
+
+def test_debounced_stable_files_stateful(spark, tmp_path):
+    """applyInPandasWithState debounce: a path is emitted exactly once, on
+    the first observation whose size repeats — with state crossing
+    micro-batch boundaries (maxFilesPerTrigger=1 forces one batch per
+    input file)."""
+    import time
+
+    from goobi_viewer_indexer_spark.streaming.ingest import debounced_stable_files
+
+    obs_dir = str(tmp_path / "obs")
+    os.makedirs(obs_dir)
+    # three observation files = three micro-batches
+    b1 = [("a", 100, 1.0), ("b", 50, 1.0)]
+    b2 = [("a", 100, 2.0), ("b", 60, 2.0)]   # a stable -> emit; b grew
+    b3 = [("b", 60, 3.0), ("a", 100, 3.0)]   # b stable -> emit; a already emitted
+    for i, rows in enumerate([b1, b2, b3]):
+        spark.createDataFrame(rows, "path string, size long, ts double").coalesce(1).write.parquet(
+            f"{obs_dir}/batch{i}.parquet"
+        )
+        time.sleep(0.05)  # distinct mtimes => deterministic file order
+
+    stream = (
+        spark.readStream.schema("path string, size long, ts double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(obs_dir + "/*/")
+    )
+    out = debounced_stable_files(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("debounced")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["path"], r["size"]) for r in spark.sql("SELECT * FROM debounced").collect()}
+    assert got == {("a", 100), ("b", 60)}
