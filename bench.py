@@ -95,6 +95,25 @@ def main() -> None:
 
     timed("search_phrase_2q", run_phrases)
 
+    # ---- 2b. multi-field index: build + field-scoped BM25F queries ----
+    fidx_dir = tempfile.mkdtemp(prefix="bench_fidx_")
+    from goobi_viewer_indexer_spark.operators.search import FieldedIndex
+    from goobi_viewer_indexer_spark.plans.build import build_index_fielded
+
+    timed(
+        "build_index_fielded",
+        lambda: build_index_fielded(docs, fidx_dir, {"text": "text", "source": "source", "lang": "lang"}, cfg),
+    )
+    fidx = FieldedIndex(spark, fidx_dir)
+
+    def run_fielded():
+        fidx.search([("source", "src7"), ("text", "table")], k=10, mode="and").collect()
+        fidx.search([("text", "spark"), ("lang", "en")], k=10, mode="or", boosts={"lang": 0.25}).collect()
+        fidx.search_phrase("text", ["spark", "window"], k=10).collect()
+
+    timed("search_fielded_3q", run_fielded)
+    shutil.rmtree(fidx_dir, ignore_errors=True)
+
     # ---- 3. local searcher latency p50/p95 ----
     local = idx.open_local()
     for terms, mode, k in BENCH_QUERIES:

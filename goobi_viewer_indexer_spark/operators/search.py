@@ -534,18 +534,47 @@ class FieldedIndex:
     model/SolrConstants.java:96-140)."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
+        import os
+
         self.spark = spark
         self.dir = index_dir
         self.meta = load_meta(index_dir)
         if "fields" not in self.meta:
             raise ValueError(f"{index_dir} is not a fielded index")
         self.fields: list[str] = self.meta["fields"]
-        self.avgdls: dict[str, float] = self.meta["avgdl_by_field"]
         self.span = self.meta["docs_per_segment"] * self.meta["merge_fanin"]
-        self.n_docs = self.meta["n_docs"]
+        # live-corpus params after incremental deletes/appends; per-field
+        # ub_scale keeps stored block maxima valid upper bounds when a
+        # field's live avgdl grew (same argument as the flat index)
+        self.n_docs = self.meta.get("n_docs_live", self.meta["n_docs"])
+        build_avgdls: dict[str, float] = self.meta["avgdl_by_field"]
+        self.avgdls = self.meta.get("avgdl_live_by_field", build_avgdls)
+        self.ub_scales = {
+            f: (max(1.0, self.avgdls[f] / build_avgdls[f]) if build_avgdls[f] else 1.0)
+            for f in self.fields
+        }
         self._postings = spark.read.parquet(f"{index_dir}/postings")
         self._term_stats = spark.read.parquet(f"{index_dir}/term_stats")
         self._doclens = spark.read.parquet(f"{index_dir}/doclens_packed")
+        self._tomb_packed = None
+        if os.path.exists(f"{index_dir}/tombstones"):
+            span = self.span
+
+            def pack_tomb(pdf: pd.DataFrame) -> pd.DataFrame:
+                if len(pdf) == 0:
+                    return pd.DataFrame({"rng": [], "deleted": []}).astype({"rng": "int32"})
+                rng = int(pdf["rng"].iloc[0])
+                arr = np.sort(pdf["doc_id"].to_numpy(np.int64))
+                return pd.DataFrame({"rng": [rng], "deleted": [arr.tobytes()]})
+
+            self._tomb_packed = (
+                spark.read.parquet(f"{index_dir}/tombstones")
+                .withColumn("rng", (F.col("doc_id") / span).cast("int"))
+                .select("rng", "doc_id")
+                .groupBy("rng")
+                .applyInPandas(pack_tomb, "rng int, deleted binary")
+                .cache()
+            )
 
     def _buckets_of(self, tagged: list[str]) -> list[int]:
         from goobi_viewer_indexer_spark.functions.spark_hash import bucket_of
@@ -573,7 +602,7 @@ class FieldedIndex:
 
         meta = self.meta
         k1, b, span = meta["k1"], meta["b"], self.span
-        avgdls, fields = self.avgdls, self.fields
+        avgdls, fields, ub_scales = self.avgdls, self.fields, self.ub_scales
         stats = self.term_stats_for(list(tagged_weights))
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         present = {t: w for t, w in tagged_weights.items() if t in stats}
@@ -601,6 +630,9 @@ class FieldedIndex:
                 f: wand.DenseDoclens(base, np.frombuffer(pdf[f"doclens_{f}"].iloc[0], dtype=np.int32))
                 for f in fields
             }
+            deleted = None
+            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
+                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
             by_term = {}
             for row in pdf.to_dict("records"):
                 t = row["term"]
@@ -608,25 +640,25 @@ class FieldedIndex:
                 L = _mk_termlist(row, idfs[t], stats[t][0])
                 L.dl_fn = dl_by_field[fname]
                 L.avgdl_f = avgdls[fname]
+                L.ub_scale_f = ub_scales[fname]
                 by_term[t] = L
             if mode in ("and", "phrase") and len(by_term) < n_terms:
                 return emptypdf
             if mode == "phrase":
                 term_offsets = [(by_term[t], offs) for t, offs in phrase_offsets]
                 docs, scores = wand.score_phrase(
-                    term_offsets, None, 0.0, k1, b, k, lo, hi
+                    term_offsets, None, 0.0, k1, b, k, lo, hi, deleted=deleted
                 )
             else:
                 docs, scores = wand.score_topk(
-                    list(by_term.values()), None, 0.0, k1, b, k, mode, lo, hi
+                    list(by_term.values()), None, 0.0, k1, b, k, mode, lo, hi, deleted=deleted
                 )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        local_topk = (
-            rows.join(self._doclens, "rng")
-            .groupBy("rng")
-            .applyInPandas(score_range, "doc_id long, score double")
-        )
+        joined = rows.join(self._doclens, "rng")
+        if self._tomb_packed is not None:
+            joined = joined.join(self._tomb_packed, "rng", "left")
+        local_topk = joined.groupBy("rng").applyInPandas(score_range, "doc_id long, score double")
         return (
             local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)

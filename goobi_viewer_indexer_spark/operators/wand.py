@@ -52,9 +52,13 @@ class TermList:
     pos_bytes: bytes = b""       # optional positional stream (phrase queries)
     block_pos_off: np.ndarray | None = None
     # multi-field (BM25F-lite): a field-scoped list scores with ITS field's
-    # doclen lookup + avgdl; None → the kernel's global dl/avgdl
+    # doclen lookup + avgdl; None → the kernel's global dl/avgdl.
+    # ub_scale_f inflates THIS list's stored block maxima when its field's
+    # live avgdl grew past the build avgdl (per-field version of the
+    # kernel-global ub_scale)
     dl_fn: object = None
     avgdl_f: float | None = None
+    ub_scale_f: float = 1.0
     _cache: dict = field(default_factory=dict)
 
     def n_blocks(self) -> int:
@@ -327,7 +331,7 @@ def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi:
         # interval is inside block blk iff blk valid and block covers lo..hi
         valid = blk < L.n_blocks()
         bmax = np.zeros(n_int)
-        bmax[valid] = L.idf * L.block_max_w[blk[valid]]
+        bmax[valid] = L.idf * L.block_max_w[blk[valid]] * L.ub_scale_f
         # the covering block must start at or before the interval's end
         firsts = np.where(blk > 0, L.block_last_doc[np.maximum(blk - 1, 0)] + 1, 0)
         bmax[valid & (firsts > hi_edges)] = 0.0

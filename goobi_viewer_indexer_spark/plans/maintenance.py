@@ -81,11 +81,27 @@ def live_corpus_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
     return int(row["n"]), float(row["avgdl"] or 0.0)
 
 
+def live_corpus_stats_fielded(spark: SparkSession, index_dir: str, fields: list[str]) -> tuple[int, dict[str, float]]:
+    ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    tomb = _tombstones(spark, index_dir)
+    if tomb is not None:
+        ds = ds.join(tomb.select("doc_id"), "doc_id", "left_anti")
+    row = ds.agg(
+        F.count("*").alias("n"), *[F.avg(f"doclen_{f}").alias(f"avgdl_{f}") for f in fields]
+    ).collect()[0]
+    return int(row["n"]), {f: float(row[f"avgdl_{f}"] or 0.0) for f in fields}
+
+
 def _refresh_live_meta(spark: SparkSession, index_dir: str) -> dict:
     meta = load_meta(index_dir)
-    n_live, avgdl_live = live_corpus_stats(spark, index_dir)
-    meta["n_docs_live"] = n_live
-    meta["avgdl_live"] = avgdl_live
+    if "fields" in meta:
+        n_live, avgdls_live = live_corpus_stats_fielded(spark, index_dir, meta["fields"])
+        meta["n_docs_live"] = n_live
+        meta["avgdl_live_by_field"] = avgdls_live
+    else:
+        n_live, avgdl_live = live_corpus_stats(spark, index_dir)
+        meta["n_docs_live"] = n_live
+        meta["avgdl_live"] = avgdl_live
     _write_meta(index_dir, meta)
     return meta
 
@@ -261,13 +277,20 @@ def add_docs(
         return load_meta(index_dir)
     txn.recover_dir(ts_path)
 
+    fields: dict[str, str] | None = meta.get("field_cols")
+    fnames = meta.get("fields", [])
+
     # ---- stage 0: pin base, stamp ids, stage the delta corpus ----
     if not txn.staging_complete(index_dir, tag, "docs"):
         cur_max = spark.read.parquet(ds_path).agg(F.max("doc_id")).collect()[0][0]
         intent = txn.txn_intent(index_dir, tag, {"op": "add", "base": (int(cur_max) // span + 1) * span})
-        docs = (
-            assign_sequential_ids(new_docs.select(F.col(text_col).alias("text")), base=intent["base"])
-            .withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
+        src = (
+            new_docs.select(*[F.col(c) for c in fields.values()])
+            if fields
+            else new_docs.select(F.col(text_col).alias("text"))
+        )
+        docs = assign_sequential_ids(src, base=intent["base"]).withColumn(
+            "seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int")
         )
         docs.write.mode("overwrite").parquet(txn.staged_path(index_dir, tag, "docs"))
     docs = spark.read.parquet(txn.staged_path(index_dir, tag, "docs"))
@@ -280,12 +303,27 @@ def add_docs(
     # every staging step derives from the staged (never-moved) docs copy:
     # applied appends MOVE staged files into the live dirs, so a replay
     # cannot re-read an already-applied staging dir
-    dstats = docs.select(
-        "doc_id",
-        doclen_nfc(F.col("text")).alias("doclen"),
-        sha256_hex(F.col("text")).alias("sha256"),
-        "seg",
-    )
+    if fields:
+        sha_src = F.concat_ws("\x1e", *[F.coalesce(F.col(c), F.lit("")) for c in fields.values()])
+        dstats = docs.select(
+            "doc_id",
+            *[doclen_nfc(F.col(col)).alias(f"doclen_{f}") for f, col in fields.items()],
+            sha256_hex(sha_src).alias("sha256"),
+            "seg",
+        )
+        len_cols = [f"doclen_{f}" for f in fnames]
+        dl_schema = "rng int, base long, " + ", ".join(f"doclens_{f} binary" for f in fnames)
+        dl_out_cols = [f"doclens_{f}" for f in fnames]
+    else:
+        dstats = docs.select(
+            "doc_id",
+            doclen_nfc(F.col("text")).alias("doclen"),
+            sha256_hex(F.col("text")).alias("sha256"),
+            "seg",
+        )
+        len_cols = ["doclen"]
+        dl_schema = "rng int, base long, doclens binary"
+        dl_out_cols = ["doclens"]
     if not (txn.step_applied(index_dir, tag, "doc_stats") or txn.staging_complete(index_dir, tag, "doc_stats")):
         dstats.write.mode("overwrite").parquet(txn.staged_path(index_dir, tag, "doc_stats"))
 
@@ -293,20 +331,26 @@ def add_docs(
 
         def pack(pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) == 0:
-                return pd.DataFrame({"rng": [], "base": [], "doclens": []}).astype({"rng": "int32", "base": "int64"})
+                out = {"rng": pd.Series([], dtype="int32"), "base": pd.Series([], dtype="int64")}
+                for oc in dl_out_cols:
+                    out[oc] = pd.Series([], dtype=object)
+                return pd.DataFrame(out)
             pdf = pdf.sort_values("doc_id")
             rng = int(pdf["rng"].iloc[0])
             b0 = rng * span
             idsv = pdf["doc_id"].to_numpy(np.int64)
-            arr = np.zeros(int(idsv[-1]) - b0 + 1, dtype=np.int32)
-            arr[idsv - b0] = pdf["doclen"].to_numpy(np.int32)
-            return pd.DataFrame({"rng": [rng], "base": [b0], "doclens": [arr.tobytes()]})
+            row = {"rng": [rng], "base": [b0]}
+            for lc, oc in zip(len_cols, dl_out_cols):
+                arr = np.zeros(int(idsv[-1]) - b0 + 1, dtype=np.int32)
+                arr[idsv - b0] = pdf[lc].to_numpy(np.int32)
+                row[oc] = [arr.tobytes()]
+            return pd.DataFrame(row)
 
         (
             dstats.withColumn("rng", (F.col("doc_id") / span).cast("int"))
-            .select("rng", "doc_id", "doclen")
+            .select("rng", "doc_id", *len_cols)
             .groupBy("rng")
-            .applyInPandas(pack, "rng int, base long, doclens binary")
+            .applyInPandas(pack, dl_schema)
             .write.mode("overwrite")
             .parquet(txn.staged_path(index_dir, tag, "doclens_packed"))
         )
@@ -314,9 +358,12 @@ def add_docs(
     # ---- stage 2: delta partials → merged postings rows ----
     # block_max uses the BUILD avgdl so existing UB semantics stay uniform
     if not txn.staging_complete(index_dir, tag, "partials"):
-        spimi.build_partials(docs, meta["avgdl"], cfg).write.mode("overwrite").parquet(
-            txn.staged_path(index_dir, tag, "partials")
+        partials_df = (
+            spimi.build_partials_fielded(docs, meta["avgdl_by_field"], cfg, fields)
+            if fields
+            else spimi.build_partials(docs, meta["avgdl"], cfg)
         )
+        partials_df.write.mode("overwrite").parquet(txn.staged_path(index_dir, tag, "partials"))
     partials = spark.read.parquet(txn.staged_path(index_dir, tag, "partials"))
     if not (txn.step_applied(index_dir, tag, "postings") or txn.staging_complete(index_dir, tag, "postings")):
         (
@@ -492,7 +539,13 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         if tomb is not None
         else np.zeros(0, np.int64)
     )
-    n_live, avgdl_live = live_corpus_stats(spark, index_dir)
+    fnames: list[str] = meta.get("fields", [])
+    if fnames:
+        n_live, avgdls_live = live_corpus_stats_fielded(spark, index_dir, fnames)
+        avgdl_live = None
+    else:
+        n_live, avgdl_live = live_corpus_stats(spark, index_dir)
+        avgdls_live = None
 
     post_path = os.path.join(index_dir, "postings")
     postings = spark.read.parquet(post_path)
@@ -520,8 +573,14 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
                 d, t = d[keep], t[keep]
             if d.size == 0:
                 continue
-            lens = np.frombuffer(row.doclens, dtype=np.int32)[d - int(row.base)]
-            enc = codec.encode_postings(d, t, lens, avgdl_live, k1, b, bs, positions=p)
+            if fnames:  # field-tagged term: use ITS field's doclens/avgdl
+                fname = row.term.split(spimi.FIELD_SEP, 1)[0]
+                lens = np.frombuffer(getattr(row, f"doclens_{fname}"), dtype=np.int32)[d - int(row.base)]
+                av = avgdls_live[fname]
+            else:
+                lens = np.frombuffer(row.doclens, dtype=np.int32)[d - int(row.base)]
+                av = avgdl_live
+            enc = codec.encode_postings(d, t, lens, av, k1, b, bs, positions=p)
             out.append(
                 {
                     "term": row.term,
@@ -574,25 +633,35 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         ds_live.write.mode("overwrite").parquet(tmp3)
         _swap_dir(ds_path, tmp3)
 
+        len_cols = [f"doclen_{f}" for f in fnames] if fnames else ["doclen"]
+        dl_out_cols = [f"doclens_{f}" for f in fnames] if fnames else ["doclens"]
+        dl_schema = "rng int, base long, " + ", ".join(f"{oc} binary" for oc in dl_out_cols)
+
         def pack(pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) == 0:
-                return pd.DataFrame({"rng": [], "base": [], "doclens": []}).astype({"rng": "int32", "base": "int64"})
+                out = {"rng": pd.Series([], dtype="int32"), "base": pd.Series([], dtype="int64")}
+                for oc in dl_out_cols:
+                    out[oc] = pd.Series([], dtype=object)
+                return pd.DataFrame(out)
             pdf = pdf.sort_values("doc_id")
             rng = int(pdf["rng"].iloc[0])
             b0 = rng * span
             idsv = pdf["doc_id"].to_numpy(np.int64)
-            arr = np.zeros(int(idsv[-1]) - b0 + 1, dtype=np.int32)
-            arr[idsv - b0] = pdf["doclen"].to_numpy(np.int32)
-            return pd.DataFrame({"rng": [rng], "base": [b0], "doclens": [arr.tobytes()]})
+            row = {"rng": [rng], "base": [b0]}
+            for lc, oc in zip(len_cols, dl_out_cols):
+                arr = np.zeros(int(idsv[-1]) - b0 + 1, dtype=np.int32)
+                arr[idsv - b0] = pdf[lc].to_numpy(np.int32)
+                row[oc] = [arr.tobytes()]
+            return pd.DataFrame(row)
 
         dlp = os.path.join(index_dir, "doclens_packed")
         tmp4 = dlp + ".tmp"
         (
             spark.read.parquet(ds_path)
             .withColumn("rng", (F.col("doc_id") / span).cast("int"))
-            .select("rng", "doc_id", "doclen")
+            .select("rng", "doc_id", *len_cols)
             .groupBy("rng")
-            .applyInPandas(pack, "rng int, base long, doclens binary")
+            .applyInPandas(pack, dl_schema)
             .write.mode("overwrite")
             .parquet(tmp4)
         )
@@ -601,9 +670,14 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
 
         shutil.rmtree(os.path.join(index_dir, "tombstones"))
 
-    meta["avgdl"] = avgdl_live
+    if fnames:
+        meta["avgdl_by_field"] = avgdls_live
+        meta["avgdl"] = avgdls_live[fnames[0]]
+        meta.pop("avgdl_live_by_field", None)
+    else:
+        meta["avgdl"] = avgdl_live
+        meta.pop("avgdl_live", None)
     meta["n_docs"] = n_live
     meta.pop("n_docs_live", None)
-    meta.pop("avgdl_live", None)
     _write_meta(index_dir, meta)
     return meta
