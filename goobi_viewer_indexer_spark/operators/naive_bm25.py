@@ -39,10 +39,14 @@ def bm25f_topk_sql(
     field_cols: dict[str, str] | None = None,
     table: str = "documents",
     id_col: str = "doc_id",
+    phrase_filters: list[tuple[str, list[str]]] | None = None,
 ) -> str:
     """DuckDB oracle for field-scoped BM25F-lite (operators/search.
     FieldedIndex.search): per-pair BM25 with FIELD-local df/doclen/avgdl,
-    N = global doc count, boost multiplying idf; AND = every pair matches."""
+    N = global doc count, boost multiplying idf; AND = every pair matches.
+    ``phrase_filters``: quoted clauses — each (field, tokens) additionally
+    restricts results to docs whose FIELD token stream contains the tokens
+    consecutively (the mixed ``pi:x AND text:"a b"`` shape)."""
     boosts = boosts or {}
     field_cols = field_cols or {f: f for f, _ in pairs}
     k1, b = cfg.k1, cfg.b
@@ -65,9 +69,19 @@ def bm25f_topk_sql(
         )
     union = " UNION ALL ".join(pair_ctes)
     having = f"HAVING count(*) = {len(pairs)}" if mode == "and" else ""
+    phrase_joins = ""
+    for fname, toks in phrase_filters or []:
+        col = field_cols[fname]
+        tok = duckdb_tokenize_sql(col)
+        needle = " " + " ".join(t.replace("'", "''") for t in toks) + " "
+        phrase_joins += (
+            f"\n  JOIN (SELECT {id_col} AS doc_id FROM {table} "
+            f"WHERE contains(' ' || array_to_string({tok}, ' ') || ' ', '{needle}')) "
+            f"USING (doc_id)"
+        )
     return f"""
 WITH u AS ({union}),
-scored AS (SELECT doc_id, sum(s) AS score_raw FROM u GROUP BY doc_id {having})
+scored AS (SELECT doc_id, sum(s) AS score_raw FROM u{phrase_joins} GROUP BY doc_id {having})
 SELECT doc_id, round(score_raw, 6) AS score
 FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
 """.strip()

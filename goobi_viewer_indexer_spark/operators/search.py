@@ -500,25 +500,41 @@ class LocalSearcher:
         return [(int(d), round(float(s), 6)) for d, s in zip(docs, scores)]
 
 
-def parse_fielded_query(q: str) -> tuple[list[tuple[str, str]], dict[int, float], str]:
-    """Minimal Solr-style field-scoped query parser:
-    ``"source:src42 AND text:spark window"`` → ([(field, token), ...],
-    per-pair boosts, mode).  Clauses are joined by all-AND or all-OR (no
-    mixing — the reference's generated queries are single-connective too);
-    a clause-level ``^2.0`` boost applies to every token of the clause."""
+def parse_fielded_clauses(q: str) -> tuple[list[tuple[str, list[str], float, bool]], str]:
+    """Solr-style field-scoped query parser with quoted phrases:
+    ``'source:src42 AND text:"spark window"'`` → clauses
+    [(field, tokens, boost, is_phrase), ...] + mode.  Clauses join by
+    all-AND or all-OR (no mixing — the reference's generated queries are
+    single-connective too); ``^2.0`` boosts a whole clause; a quoted body
+    is an exact-phrase clause (token order preserved)."""
     import re as _re
 
     if " AND " in q and " OR " in q:
         raise ValueError("mixed AND/OR not supported")
     mode = "and" if " AND " in q else "or"
-    pairs: list[tuple[str, str]] = []
-    boosts: dict[int, float] = {}
+    clauses: list[tuple[str, list[str], float, bool]] = []
     for clause in _re.split(r"\s+(?:AND|OR)\s+", q.strip()):
-        m = _re.match(r"^(\w+):(.+?)(?:\^([0-9.]+))?$", clause.strip())
+        m = _re.match(r'^(\w+):"([^"]*)"(?:\^([0-9.]+))?$', clause.strip())
+        quoted = m is not None
+        if not m:
+            m = _re.match(r"^(\w+):(.+?)(?:\^([0-9.]+))?$", clause.strip())
         if not m:
             raise ValueError(f"cannot parse clause {clause!r}")
         fname, body, boost = m.group(1), m.group(2), float(m.group(3) or 1.0)
-        for tok in tokenize_py(body):
+        toks = tokenize_py(body)
+        if toks:
+            clauses.append((fname, toks, boost, quoted))
+    return clauses, mode
+
+
+def parse_fielded_query(q: str) -> tuple[list[tuple[str, str]], dict[int, float], str]:
+    """Flattened form of :func:`parse_fielded_clauses` (no phrase info):
+    ([(field, token), ...], per-pair boosts, mode)."""
+    clauses, mode = parse_fielded_clauses(q)
+    pairs: list[tuple[str, str]] = []
+    boosts: dict[int, float] = {}
+    for fname, toks, boost, _quoted in clauses:
+        for tok in toks:
             boosts[len(pairs)] = boost
             pairs.append((fname, tok))
     return pairs, boosts, mode
@@ -596,7 +612,7 @@ class FieldedIndex:
 
     def _score_plan(self, tagged_weights: dict[str, float], k: int, mode: str,
                     n_required: int, with_positions: bool = False,
-                    phrase_offsets: list[tuple[str, list[int]]] | None = None) -> DataFrame:
+                    phrase_groups: list[list[tuple[str, list[int]]]] | None = None) -> DataFrame:
         """Shared range-parallel scoring plan for fielded and/or/phrase."""
         from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP
 
@@ -645,9 +661,9 @@ class FieldedIndex:
             if mode in ("and", "phrase") and len(by_term) < n_terms:
                 return emptypdf
             if mode == "phrase":
-                term_offsets = [(by_term[t], offs) for t, offs in phrase_offsets]
-                docs, scores = wand.score_phrase(
-                    term_offsets, None, 0.0, k1, b, k, lo, hi, deleted=deleted
+                groups = [[(by_term[t], offs) for t, offs in g] for g in phrase_groups]
+                docs, scores = wand.score_mixed(
+                    groups, None, 0.0, k1, b, k, lo, hi, deleted=deleted
                 )
             else:
                 docs, scores = wand.score_topk(
@@ -672,18 +688,51 @@ class FieldedIndex:
         mode: str = "or",
         boosts: dict[str, float] | None = None,
     ) -> DataFrame:
-        """``query``: a Solr-style string ("source:src42 AND text:spark") or
-        a list of (field, term) pairs.  ``boosts``: per-FIELD multiplier on
-        idf (BM25F-lite)."""
+        """``query``: a Solr-style string — ``source:src42 AND text:spark``,
+        quoted phrases allowed (``pi:x AND text:"a b"``, the reference's
+        bread-and-butter shape) — or a list of (field, term) pairs.
+        ``boosts``: per-FIELD multiplier on idf (BM25F-lite)."""
         from goobi_viewer_indexer_spark.operators.spimi import tag_term
 
+        boosts = boosts or {}
         if isinstance(query, str):
-            pairs, pair_boosts, mode = parse_fielded_query(query)
+            clauses, mode = parse_fielded_clauses(query)
+            for fname, _toks, _bo, _q in clauses:
+                if fname not in self.fields:
+                    raise ValueError(f"unknown field {fname!r} (have {self.fields})")
+            if any(quoted for _f, _t, _b, quoted in clauses):
+                if mode != "and" and len(clauses) > 1:
+                    raise ValueError("phrase clauses require AND (or a single clause)")
+                tagged_weights: dict[str, float] = {}
+                groups: list[list[tuple[str, list[int]]]] = []
+                for fname, toks, boost, quoted in clauses:
+                    distinct = list(dict.fromkeys(toks))
+                    for t in distinct:
+                        tagged_weights[tag_term(fname, t)] = boost * boosts.get(fname, 1.0)
+                    if quoted:
+                        groups.append(
+                            [
+                                (tag_term(fname, t), [i for i, x in enumerate(toks) if x == t])
+                                for t in distinct
+                            ]
+                        )
+                    else:
+                        groups.extend([(tag_term(fname, t), [])] for t in distinct)
+                return self._score_plan(
+                    tagged_weights, k, "phrase", n_required=len(tagged_weights),
+                    with_positions=True, phrase_groups=groups,
+                )
+            pairs = [(f, t) for f, toks, _b, _q in clauses for t in toks]
+            pair_boosts = {}
+            i = 0
+            for _f, toks, boost, _q in clauses:
+                for _t in toks:
+                    pair_boosts[i] = boost
+                    i += 1
         else:
             pairs = list(query)
             pair_boosts = {}
-        boosts = boosts or {}
-        tagged_weights: dict[str, float] = {}
+        tagged_weights = {}
         for i, (fname, term) in enumerate(pairs):
             if fname not in self.fields:
                 raise ValueError(f"unknown field {fname!r} (have {self.fields})")
@@ -702,10 +751,10 @@ class FieldedIndex:
             return self.spark.createDataFrame([], "doc_id long, score double")
         distinct = list(dict.fromkeys(ordered))
         tagged_weights = {tag_term(field, t): 1.0 for t in distinct}
-        phrase_offsets = [
+        group = [
             (tag_term(field, t), [i for i, x in enumerate(ordered) if x == t]) for t in distinct
         ]
         return self._score_plan(
             tagged_weights, k, "phrase", n_required=len(distinct),
-            with_positions=True, phrase_offsets=phrase_offsets,
+            with_positions=True, phrase_groups=[group],
         )

@@ -29,7 +29,7 @@ import numpy as np
 
 from goobi_viewer_indexer_spark.functions import codec
 
-__all__ = ["TermList", "score_topk", "score_phrase", "idf"]
+__all__ = ["TermList", "score_topk", "score_phrase", "score_mixed", "match_docs", "idf"]
 
 
 def idf(n_docs: int, df: int) -> float:
@@ -259,6 +259,68 @@ def match_docs(lists, mode: str, lo: int, hi: int, deleted: np.ndarray | None = 
     return docs[keep]
 
 
+def score_mixed(
+    groups: list[list[tuple["TermList", list[int]]]],
+    dl,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    lo: int,
+    hi: int,
+    deleted: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Conjunction of independent clause GROUPS, each optionally positional
+    — the reference's bread-and-butter Solr shape ``PI:x AND
+    FULLTEXT:"a b"``.
+
+    ``groups``: each group is a list of (TermList, offsets).  A group whose
+    offsets are all empty is a plain term clause (membership only); a group
+    with offsets is a phrase — its doc must contain an anchor position p
+    with p+off ∈ positions(term) for every (term, off) of THAT group
+    (anchors are group-local: two phrases in one query match at independent
+    positions).  Scoring = bag BM25 over all distinct lists (SQL-checkable;
+    Lucene's phraseFreq weighting is the named deviation).
+
+    Candidates come from the galloping AND intersection over every list;
+    only candidates have their position blocks decoded."""
+    lists, seen = [], set()
+    for g in groups:
+        for L, _ in g:
+            if id(L) not in seen:
+                seen.add(id(L))
+                lists.append(L)
+    docs, scores = _score_and(lists, dl, avgdl, k1, b, k, lo, hi, deleted, return_all=True)
+    if docs.size == 0:
+        return docs, scores
+    keep = np.ones(docs.size, dtype=bool)
+    for g in groups:
+        if all(len(offs) == 0 for _, offs in g):
+            continue  # plain clause: the AND intersection already enforced it
+        for i, d in enumerate(docs):
+            if not keep[i]:
+                continue
+            anchors = None
+            ok = True
+            for L, offs in g:
+                if not offs:
+                    continue
+                p = L.positions_for_doc(int(d))
+                if p is None:
+                    ok = False
+                    break
+                for off in offs:
+                    q = p - off
+                    anchors = q if anchors is None else np.intersect1d(anchors, q, assume_unique=True)
+                    if anchors.size == 0:
+                        ok = False
+                        break
+                if not ok:
+                    break
+            keep[i] = ok
+    return _topk_select(docs[keep], scores[keep], k)
+
+
 def score_phrase(
     term_offsets: list[tuple["TermList", list[int]]],
     dl,
@@ -270,40 +332,8 @@ def score_phrase(
     hi: int,
     deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact phrase top-k: docs containing the query tokens CONSECUTIVELY,
-    scored as the bag-of-distinct-terms BM25 (phrase = filter, scoring =
-    the same formula as mode='and' — SQL-expressible, so the DuckDB oracle
-    can value-check it; Lucene's phraseFreq-based scoring is the named
-    deviation).
-
-    ``term_offsets``: one entry per DISTINCT phrase term, with every offset
-    at which it occurs in the phrase ("a b a" → [(a, [0, 2]), (b, [1])]).
-    A doc matches iff ∃p: p+off ∈ positions(term) for every (term, off).
-    Candidates come from the galloping AND intersection; only candidates
-    have their position blocks decoded."""
-    lists = [L for L, _ in term_offsets]
-    docs, scores = _score_and(lists, dl, avgdl, k1, b, k, lo, hi, deleted, return_all=True)
-    if docs.size == 0:
-        return docs, scores
-    keep = np.zeros(docs.size, dtype=bool)
-    for i, d in enumerate(docs):
-        anchors = None
-        ok = True
-        for L, offs in term_offsets:
-            p = L.positions_for_doc(int(d))
-            if p is None:
-                ok = False
-                break
-            for off in offs:
-                q = p - off
-                anchors = q if anchors is None else np.intersect1d(anchors, q, assume_unique=True)
-                if anchors.size == 0:
-                    ok = False
-                    break
-            if not ok:
-                break
-        keep[i] = ok
-    return _topk_select(docs[keep], scores[keep], k)
+    """Single-phrase top-k (one positional group) — see :func:`score_mixed`."""
+    return score_mixed([term_offsets], dl, avgdl, k1, b, k, lo, hi, deleted)
 
 
 def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi: int,

@@ -218,6 +218,21 @@ def q_bm25f_point(spark, sf_dir):
     return _fielded_index_for(spark, sf_dir).search([("source", "src42")], k=5)
 
 
+@register(
+    "bm25f_mixed_term_and_phrase",
+    naive_bm25.bm25f_topk_sql(
+        [("lang", "en"), ("text", "spark"), ("text", "window")],
+        k=10,
+        mode="and",
+        phrase_filters=[("text", ["spark", "window"])],
+    ),
+)
+def q_bm25f_mixed(spark, sf_dir):
+    # the reference's bread-and-butter Solr shape: PI:x AND FULLTEXT:"a b"
+    # (15 matching docs at sf0.01)
+    return _fielded_index_for(spark, sf_dir).search('lang:en AND text:"spark window"', k=10)
+
+
 @register("bm25f_phrase_field", naive_bm25.bm25_phrase_topk_sql(PHRASE_2GRAM, k=10))
 def q_bm25f_phrase(spark, sf_dir):
     # a single-field phrase over the fielded index == the flat-index phrase

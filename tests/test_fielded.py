@@ -74,3 +74,39 @@ def test_fielded_phrase_matches_flat_index(spark, fidx, tmp_path):
     flat = [tuple(r) for r in InvertedIndex(spark, d).search_phrase(["spark", "window"], k=10).collect()]
     fielded = [tuple(r) for r in fidx.search_phrase("text", ["spark", "window"], k=10).collect()]
     assert flat == fielded and len(flat) > 0
+
+
+def test_parse_quoted_phrase_clause():
+    from goobi_viewer_indexer_spark.operators.search import parse_fielded_clauses
+
+    clauses, mode = parse_fielded_clauses('source:src42 AND text:"spark window"^2.0')
+    assert clauses == [("source", ["src42"], 1.0, False), ("text", ["spark", "window"], 2.0, True)]
+    assert mode == "and"
+
+
+def test_mixed_phrase_and_term_query(spark, fidx):
+    """pi:x AND field:"a b" — phrase filters within the AND conjunction."""
+    mixed = {r["doc_id"] for r in fidx.search('lang:en AND text:"spark window"', k=100).collect()}
+    phrase_only = {r["doc_id"] for r in fidx.search_phrase("text", ["spark", "window"], k=100).collect()}
+    lang_only = {r["doc_id"] for r in fidx.search([("lang", "en")], k=1000).collect()}
+    assert mixed == phrase_only & lang_only and len(mixed) > 0
+
+
+def test_two_phrases_anchor_independently(spark, tmp_path):
+    rows = [
+        (0, "alpha beta x", "gamma delta y"),   # both phrases
+        (1, "beta alpha x", "gamma delta y"),   # only body phrase
+        (2, "alpha beta x", "delta gamma y"),   # only title phrase
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    d = str(tmp_path / "f2")
+    build_index_fielded(docs, d, {"title": "title", "body": "body"},
+                        IndexConfig(docs_per_segment=2, merge_fanin=2, block_size=2, postings_buckets=2))
+    f = FieldedIndex(spark, d)
+    got = {r["doc_id"] for r in f.search('title:"alpha beta" AND body:"gamma delta"', k=10).collect()}
+    assert got == {0}
+
+
+def test_phrase_with_or_raises(fidx):
+    with pytest.raises(ValueError, match="phrase clauses require AND"):
+        fidx.search('text:"spark window" OR lang:en', k=5)
