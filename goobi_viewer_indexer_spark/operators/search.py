@@ -27,7 +27,7 @@ from goobi_viewer_indexer_spark.functions.tokenize import tokenize_py
 from goobi_viewer_indexer_spark.operators import wand
 from goobi_viewer_indexer_spark.plans.build import load_meta
 
-__all__ = ["InvertedIndex", "LocalSearcher", "FieldedIndex", "parse_fielded_query"]
+__all__ = ["InvertedIndex", "LocalSearcher", "FieldedIndex", "LocalFieldedSearcher", "parse_fielded_query", "parse_fielded_clauses"]
 
 
 def _mk_termlist(row, idf_val: float, df: int) -> wand.TermList:
@@ -540,6 +540,61 @@ def parse_fielded_query(q: str) -> tuple[list[tuple[str, str]], dict[int, float]
     return pairs, boosts, mode
 
 
+def _fielded_query_parts(
+    fields: list[str],
+    query,
+    mode: str,
+    boosts: dict[str, float] | None,
+) -> tuple[dict[str, float], str, list[list[tuple[str, list[int]]]] | None]:
+    """Shared parse for the distributed and local fielded engines:
+    (tagged term → weight, mode, phrase groups or None).  Groups is non-None
+    iff the query contains quoted phrase clauses (then mode is 'phrase'
+    semantics: AND of all clause groups)."""
+    from goobi_viewer_indexer_spark.operators.spimi import tag_term
+
+    boosts = boosts or {}
+    if isinstance(query, str):
+        clauses, mode = parse_fielded_clauses(query)
+        for fname, _toks, _bo, _q in clauses:
+            if fname not in fields:
+                raise ValueError(f"unknown field {fname!r} (have {fields})")
+        if any(quoted for _f, _t, _b, quoted in clauses):
+            if mode != "and" and len(clauses) > 1:
+                raise ValueError("phrase clauses require AND (or a single clause)")
+            tagged_weights: dict[str, float] = {}
+            groups: list[list[tuple[str, list[int]]]] = []
+            for fname, toks, boost, quoted in clauses:
+                distinct = list(dict.fromkeys(toks))
+                for t in distinct:
+                    tagged_weights[tag_term(fname, t)] = boost * boosts.get(fname, 1.0)
+                if quoted:
+                    groups.append(
+                        [
+                            (tag_term(fname, t), [i for i, x in enumerate(toks) if x == t])
+                            for t in distinct
+                        ]
+                    )
+                else:
+                    groups.extend([(tag_term(fname, t), [])] for t in distinct)
+            return tagged_weights, "phrase", groups
+        pairs = [(f, t) for f, toks, _b, _q in clauses for t in toks]
+        pair_boosts = {}
+        i = 0
+        for _f, toks, boost, _q in clauses:
+            for _t in toks:
+                pair_boosts[i] = boost
+                i += 1
+    else:
+        pairs = list(query)
+        pair_boosts = {}
+    tagged_weights = {}
+    for i, (fname, term) in enumerate(pairs):
+        if fname not in fields:
+            raise ValueError(f"unknown field {fname!r} (have {fields})")
+        tagged_weights[tag_term(fname, term)] = pair_boosts.get(i, 1.0) * boosts.get(fname, 1.0)
+    return tagged_weights, mode, None
+
+
 class FieldedIndex:
     """Query engine over a multi-field index (plans/build.build_index_fielded).
 
@@ -692,55 +747,140 @@ class FieldedIndex:
         quoted phrases allowed (``pi:x AND text:"a b"``, the reference's
         bread-and-butter shape) — or a list of (field, term) pairs.
         ``boosts``: per-FIELD multiplier on idf (BM25F-lite)."""
-        from goobi_viewer_indexer_spark.operators.spimi import tag_term
-
-        boosts = boosts or {}
-        if isinstance(query, str):
-            clauses, mode = parse_fielded_clauses(query)
-            for fname, _toks, _bo, _q in clauses:
-                if fname not in self.fields:
-                    raise ValueError(f"unknown field {fname!r} (have {self.fields})")
-            if any(quoted for _f, _t, _b, quoted in clauses):
-                if mode != "and" and len(clauses) > 1:
-                    raise ValueError("phrase clauses require AND (or a single clause)")
-                tagged_weights: dict[str, float] = {}
-                groups: list[list[tuple[str, list[int]]]] = []
-                for fname, toks, boost, quoted in clauses:
-                    distinct = list(dict.fromkeys(toks))
-                    for t in distinct:
-                        tagged_weights[tag_term(fname, t)] = boost * boosts.get(fname, 1.0)
-                    if quoted:
-                        groups.append(
-                            [
-                                (tag_term(fname, t), [i for i, x in enumerate(toks) if x == t])
-                                for t in distinct
-                            ]
-                        )
-                    else:
-                        groups.extend([(tag_term(fname, t), [])] for t in distinct)
-                return self._score_plan(
-                    tagged_weights, k, "phrase", n_required=len(tagged_weights),
-                    with_positions=True, phrase_groups=groups,
-                )
-            pairs = [(f, t) for f, toks, _b, _q in clauses for t in toks]
-            pair_boosts = {}
-            i = 0
-            for _f, toks, boost, _q in clauses:
-                for _t in toks:
-                    pair_boosts[i] = boost
-                    i += 1
-        else:
-            pairs = list(query)
-            pair_boosts = {}
-        tagged_weights = {}
-        for i, (fname, term) in enumerate(pairs):
-            if fname not in self.fields:
-                raise ValueError(f"unknown field {fname!r} (have {self.fields})")
-            w = pair_boosts.get(i, 1.0) * boosts.get(fname, 1.0)
-            tagged_weights[tag_term(fname, term)] = w
+        tagged_weights, mode, groups = _fielded_query_parts(self.fields, query, mode, boosts)
         if not tagged_weights:
             return self.spark.createDataFrame([], "doc_id long, score double")
+        if groups is not None:
+            return self._score_plan(
+                tagged_weights, k, "phrase", n_required=len(tagged_weights),
+                with_positions=True, phrase_groups=groups,
+            )
         return self._score_plan(tagged_weights, k, mode, n_required=len(tagged_weights))
+
+    def search_many(
+        self, queries: dict[str, tuple[list[tuple[str, str]] | str, str, int]]
+    ) -> dict[str, list[tuple[int, float]]]:
+        """Batch execution of fielded and/or queries: ONE distributed job
+        answers every query (same per-job amortization as the flat
+        ``InvertedIndex.search_many``).  ``queries``: qid → (pairs-or-
+        query-string, mode, k); phrase clauses are not batched (use
+        :meth:`search`).  Results identical to per-query :meth:`search`."""
+        from dataclasses import replace
+
+        from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
+
+        meta = self.meta
+        k1, b, span = meta["k1"], meta["b"], self.span
+        avgdls, fields, ub_scales = self.avgdls, self.fields, self.ub_scales
+        n_docs = self.n_docs
+
+        parsed: dict[str, tuple[list[str], dict[str, float], str, int]] = {}
+        for qid, (q, mode, k) in queries.items():
+            if isinstance(q, str):
+                pairs, pair_boosts, mode = parse_fielded_query(q)
+            else:
+                pairs, pair_boosts = list(q), {}
+            weights: dict[str, float] = {}
+            for i, (fname, term) in enumerate(pairs):
+                if fname not in self.fields:
+                    raise ValueError(f"unknown field {fname!r}")
+                weights[tag_term(fname, term)] = pair_boosts.get(i, 1.0)
+            parsed[qid] = (sorted(weights), weights, mode, k)
+
+        all_tagged = sorted({t for terms, _, _, _ in parsed.values() for t in terms})
+        results: dict[str, list] = {}
+        if not all_tagged:
+            return {qid: [] for qid in parsed}
+        stats = self.term_stats_for(all_tagged)
+        idf_raw = {t: wand.idf(n_docs, stats[t][0]) for t in stats}
+
+        live: dict[str, tuple[list[str], dict[str, float], str, int]] = {}
+        for qid, (terms, weights, mode, k) in parsed.items():
+            present = [t for t in terms if t in stats]
+            if not present or (mode == "and" and len(present) < len(terms)):
+                results[qid] = []
+            else:
+                live[qid] = (present, weights, mode, k)
+        if not live:
+            return results
+
+        needed = sorted({t for terms, _, _, _ in live.values() for t in terms})
+        rows = self.postings_for(needed).withColumn(
+            "rng",
+            F.explode(
+                F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
+            ),
+        )
+
+        def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            emptypdf = pd.DataFrame({"qid": [], "doc_id": [], "score": []}).astype(
+                {"qid": str, "doc_id": np.int64, "score": np.float64}
+            )
+            if len(pdf) == 0:
+                return emptypdf
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * span, (rng + 1) * span - 1
+            base = int(pdf["base"].iloc[0])
+            dl_by_field = {
+                f: wand.DenseDoclens(base, np.frombuffer(pdf[f"doclens_{f}"].iloc[0], dtype=np.int32))
+                for f in fields
+            }
+            deleted = None
+            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
+                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            by_term = {}
+            for row in pdf.to_dict("records"):
+                t = row["term"]
+                fname = t.split(FIELD_SEP, 1)[0]
+                L = _mk_termlist(row, idf_raw[t], stats[t][0])
+                L.dl_fn = dl_by_field[fname]
+                L.avgdl_f = avgdls[fname]
+                L.ub_scale_f = ub_scales[fname]
+                by_term[t] = L
+            out_q, out_d, out_s = [], [], []
+            for qid, (terms, weights, mode, k) in live.items():
+                lists = [
+                    replace(by_term[t], idf=idf_raw[t] * weights[t], _cache=by_term[t]._cache)
+                    for t in terms
+                    if t in by_term
+                ]
+                if not lists or (mode == "and" and len(lists) < len(terms)):
+                    continue
+                docs, scores = wand.score_topk(
+                    lists, None, 0.0, k1, b, k, mode, lo, hi, deleted=deleted
+                )
+                out_q.extend([qid] * docs.size)
+                out_d.extend(docs.tolist())
+                out_s.extend(scores.tolist())
+            if not out_q:
+                return emptypdf
+            return pd.DataFrame({"qid": out_q, "doc_id": out_d, "score": out_s}).astype(
+                {"qid": str, "doc_id": np.int64, "score": np.float64}
+            )
+
+        joined = rows.join(self._doclens, "rng")
+        if self._tomb_packed is not None:
+            joined = joined.join(self._tomb_packed, "rng", "left")
+        local_topk = joined.groupBy("rng").applyInPandas(score_range, "qid string, doc_id long, score double")
+
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+        kmap = F.create_map(*[F.lit(x) for qid, (_, _, _, k) in live.items() for x in (qid, k)])
+        final = (
+            local_topk.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= kmap[F.col("qid")])
+            .select("qid", "doc_id", F.round("score", 6).alias("score"), "_rk")
+            .collect()
+        )
+        for qid in live:
+            results[qid] = []
+        for r in sorted(final, key=lambda r: (r["qid"], r["_rk"])):
+            results[r["qid"]].append((r["doc_id"], r["score"]))
+        return results
+
+    def open_local(self) -> "LocalFieldedSearcher":
+        return LocalFieldedSearcher(self)
 
     def search_phrase(self, field: str, phrase: str | list[str], k: int = 10) -> DataFrame:
         """Field-scoped exact phrase (positions are field-internal)."""
@@ -758,3 +898,113 @@ class FieldedIndex:
             tagged_weights, k, "phrase", n_required=len(distinct),
             with_positions=True, phrase_groups=[group],
         )
+
+
+class LocalFieldedSearcher:
+    """Driver-side fielded searcher (p95 latency path): per-field dense
+    doclens loaded once, per-tagged-term posting rows cached and stitched
+    after first touch — the fielded twin of :class:`LocalSearcher`, same
+    kernels, rank-identical to :meth:`FieldedIndex.search` (tested)."""
+
+    def __init__(self, index: "FieldedIndex"):
+        self.index = index
+        self.meta = index.meta
+        dl_rows = index._doclens.orderBy("rng").collect()
+        self.doclens: dict[str, np.ndarray] = {}
+        for f in index.fields:
+            max_id = max(r["base"] + len(r[f"doclens_{f}"]) // 4 for r in dl_rows)
+            arr = np.zeros(max_id, dtype=np.int32)
+            for r in dl_rows:
+                a = np.frombuffer(r[f"doclens_{f}"], dtype=np.int32)
+                arr[r["base"]: r["base"] + a.size] = a
+            self.doclens[f] = arr
+        self.deleted = np.zeros(0, np.int64)
+        if index._tomb_packed is not None:
+            parts = [np.frombuffer(r["deleted"], dtype=np.int64) for r in index._tomb_packed.collect()]
+            if parts:
+                self.deleted = np.sort(np.concatenate(parts))
+        self._cache: dict[str, list] = {}
+        self._merged: dict[str, wand.TermList | None] = {}
+
+    def _rows_for(self, tagged: list[str]) -> None:
+        missing = [t for t in tagged if t not in self._cache]
+        if not missing:
+            return
+        stats = self.index.term_stats_for(missing)
+        rows = self.index.postings_for(missing, with_positions=True).collect()
+        for t in missing:
+            self._cache[t] = []
+        n_docs = self.index.n_docs
+        for r in rows:
+            t = r["term"]
+            df = stats[t][0]
+            self._cache[t].append((_mk_termlist(r.asDict(), wand.idf(n_docs, df), df), r["min_doc"]))
+        for t in missing:
+            self._cache[t].sort(key=lambda x: x[1])
+
+    def _merged_list(self, t: str) -> wand.TermList | None:
+        if t in self._merged:
+            return self._merged[t]
+        rows = self._cache.get(t, [])
+        if not rows:
+            self._merged[t] = None
+            return None
+        if len(rows) == 1:
+            L = rows[0][0]
+        else:
+            from goobi_viewer_indexer_spark.operators.spimi import merge_group_pdf
+
+            pdf = pd.DataFrame(
+                [
+                    {
+                        "term": t, "seg": 0, "df": L.df, "cf": 0, "min_doc": md,
+                        "max_doc": int(L.block_last_doc[-1]),
+                        "doc_bytes": L.doc_bytes, "tf_bytes": L.tf_bytes,
+                        "pos_bytes": L.pos_bytes,
+                        "block_last_doc": L.block_last_doc,
+                        "block_doc_off": L.block_doc_off,
+                        "block_tf_off": L.block_tf_off,
+                        "block_pos_off": L.block_pos_off,
+                        "block_max_w": L.block_max_w,
+                    }
+                    for (L, md) in rows
+                ]
+            )
+            L = _mk_termlist(merge_group_pdf(pdf).iloc[0], rows[0][0].idf, int(pdf["df"].sum()))
+        from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP
+
+        fname = t.split(FIELD_SEP, 1)[0]
+        L.dl_fn = wand.DenseDoclens(0, self.doclens[fname])
+        L.avgdl_f = self.index.avgdls[fname]
+        L.ub_scale_f = self.index.ub_scales[fname]
+        self._merged[t] = L
+        return L
+
+    def search(self, query, k: int = 10, mode: str = "or", boosts: dict[str, float] | None = None) -> list[tuple[int, float]]:
+        from dataclasses import replace
+
+        tagged_weights, mode, groups = _fielded_query_parts(self.index.fields, query, mode, boosts)
+        if not tagged_weights:
+            return []
+        self._rows_for(sorted(tagged_weights))
+        lists: dict[str, wand.TermList] = {}
+        for t, w in tagged_weights.items():
+            L = self._merged_list(t)
+            if L is None:
+                if mode in ("and", "phrase"):
+                    return []
+                continue
+            lists[t] = replace(L, idf=L.idf * w, _cache=L._cache)
+        if not lists:
+            return []
+        deleted = self.deleted if self.deleted.size else None
+        hi = max(a.size for a in self.doclens.values()) - 1
+        k1, b = self.meta["k1"], self.meta["b"]
+        if groups is not None:
+            gs = [[(lists[t], offs) for t, offs in g] for g in groups]
+            docs, scores = wand.score_mixed(gs, None, 0.0, k1, b, k, 0, hi, deleted=deleted)
+        else:
+            docs, scores = wand.score_topk(
+                list(lists.values()), None, 0.0, k1, b, k, mode, 0, hi, deleted=deleted
+            )
+        return [(int(d), round(float(s), 6)) for d, s in zip(docs, scores)]

@@ -110,3 +110,31 @@ def test_two_phrases_anchor_independently(spark, tmp_path):
 def test_phrase_with_or_raises(fidx):
     with pytest.raises(ValueError, match="phrase clauses require AND"):
         fidx.search('text:"spark window" OR lang:en', k=5)
+
+
+def test_fielded_search_many_matches_per_query(spark, fidx):
+    qs = {
+        "a": ([("source", "src3"), ("text", "table")], "and", 10),
+        "b": ("text:spark OR lang:en^0.25", "or", 5),
+        "c": ([("text", "zzznope"), ("source", "src3")], "and", 10),  # missing term
+    }
+    batch = fidx.search_many(qs)
+    for qid, (q, mode, k) in qs.items():
+        single = [tuple(r) for r in fidx.search(q, k=k, mode=mode).collect()]
+        assert batch[qid] == single, qid
+    assert batch["c"] == []
+
+
+def test_local_fielded_searcher_rank_identity(spark, fidx):
+    from goobi_viewer_indexer_spark.operators.search import LocalFieldedSearcher
+
+    local = LocalFieldedSearcher(fidx)
+    cases = [
+        ([("source", "src3"), ("text", "table")], "and", None),
+        ([("text", "spark"), ("lang", "en")], "or", {"lang": 0.25}),
+        ("lang:en AND text:\"spark window\"", "and", None),
+        ([("text", "zzznope")], "and", None),
+    ]
+    for q, mode, boosts in cases:
+        dist = [tuple(r) for r in fidx.search(q, k=10, mode=mode, boosts=boosts).collect()]
+        assert local.search(q, k=10, mode=mode, boosts=boosts) == dist, q
