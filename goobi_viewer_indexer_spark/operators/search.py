@@ -119,9 +119,23 @@ class InvertedIndex:
         return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
 
     # -- distributed search ------------------------------------------------
-    def search(self, query: str | list[str], k: int = 10, mode: str = "or") -> DataFrame:
+    def search(self, query: str | list[str], k: int = 10, mode: str = "or", offset: int = 0) -> DataFrame:
+        """``offset``: Solr-style pagination (``start`` param of the
+        reference's SolrSearchIndex.search) — rows [offset, offset+k).
+        Each range still returns only its local top-(offset+k); the global
+        reduce skips the first ``offset`` rows."""
         if mode == "phrase":
             return self.search_phrase(query, k=k)
+        if offset:
+            from pyspark.sql.window import Window
+
+            full = self.search(query, k=offset + k, mode=mode)
+            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            return (
+                full.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") > offset)
+                .drop("_rk")
+            )
         terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
         meta = self.meta
         n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
@@ -222,6 +236,29 @@ class InvertedIndex:
         else:
             joined = joined.withColumn("deleted", F.lit(None).cast("binary"))
         return joined.groupBy("rng").applyInPandas(match_range, "doc_id long")
+
+    def facet_counts(
+        self,
+        query: str | list[str],
+        dims: DataFrame,
+        facet_col: str,
+        mode: str = "and",
+        min_count: int = 1,
+    ) -> DataFrame:
+        """Solr ``facet.field`` analog (the viewer's collection/drill-down
+        sidebar queries): value counts of ``facet_col`` over the docs
+        matching the boolean term query.  ``dims`` is any (doc_id, …) side
+        table — the stored-fields table or the source documents.  The match
+        set never leaves the cluster: distributed match scan → equi-join →
+        groupBy count (map-side partial agg)."""
+        ids = self.match_ids(query, mode=mode)
+        return (
+            ids.join(dims.select(F.col("doc_id"), F.col(facet_col)), "doc_id")
+            .groupBy(facet_col)
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= min_count)
+            .orderBy(F.desc("n"), F.asc(facet_col))
+        )
 
     def search_phrase(self, query: str | list[str], k: int = 10) -> DataFrame:
         """Exact-phrase top-k: the query tokens must occur CONSECUTIVELY in

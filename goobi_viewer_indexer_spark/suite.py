@@ -174,6 +174,36 @@ def q_wand_phrase_missing(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# facet counts + pagination (Solr facet.field / start-rows — the viewer's
+# drill-down sidebar and result paging, helper/SolrSearchIndex.java)
+# --------------------------------------------------------------------------
+@register(
+    "facet_source_counts",
+    f"""
+SELECT source, count(*) AS n
+FROM documents
+WHERE list_contains({duckdb_tokenize_sql('text')}, 'table')
+  AND list_contains({duckdb_tokenize_sql('text')}, 'join')
+GROUP BY source HAVING count(*) >= 2
+ORDER BY n DESC, source ASC
+""".strip(),
+)
+def q_facet_source(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    dims = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    return idx.facet_counts(["table", "join"], dims, "source", mode="and", min_count=2)
+
+
+@register(
+    "bm25_page2_offset",
+    naive_bm25.bm25_topk_sql(Q_MIXED3, k=20, mode="or").replace("LIMIT 20", "LIMIT 10 OFFSET 10"),
+)
+def q_bm25_page2(spark, sf_dir):
+    # Solr start=10&rows=10 over the same ranking
+    return _index_for(spark, sf_dir).search(Q_MIXED3, k=10, mode="or", offset=10)
+
+
+# --------------------------------------------------------------------------
 # multi-field index (DEFAULT/FULLTEXT analog): field-scoped BM25F-lite —
 # every reference §2-B query is field-scoped (model/SolrConstants.java)
 # --------------------------------------------------------------------------
