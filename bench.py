@@ -80,6 +80,17 @@ def main() -> None:
     extras["build_docs_per_sec"] = round(n_docs / timings["build_index_documents"], 1)
     idx = InvertedIndex(spark, idx_dir)
 
+    def _dir_bytes(d):
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    # storage efficiency: postings (incl. positional stream) per source byte
+    src_bytes = docs.select(F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))))).collect()[0][0]
+    extras["postings_bytes"] = _dir_bytes(os.path.join(idx_dir, "postings"))
+    extras["index_bytes_per_source_byte"] = round(extras["postings_bytes"] / max(src_bytes, 1), 3)
+
     # ---- 2. distributed search ----
     # search_many: ONE job answers the whole query batch (per-job scheduler
     # + scan overhead amortized — the default multi-query path)

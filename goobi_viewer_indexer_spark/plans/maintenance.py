@@ -528,8 +528,16 @@ def get_stored(spark: SparkSession, index_dir: str) -> DataFrame | None:
 
 def compact(spark: SparkSession, index_dir: str) -> dict:
     """Optimize: purge tombstoned postings, re-align rows to ranges, drop
-    empties, recompute stats, clear tombstones (Solr optimize analog)."""
+    empties, recompute stats, clear tombstones (Solr optimize analog).
+
+    Crash behavior: each directory swap is rename-pair + ``.bak`` (healed
+    below by recover_dir); a crash BETWEEN swaps (postings compacted,
+    stats still stale) is self-healing — term_stats is a pure function of
+    the postings, so re-running compact converges; queries in that window
+    see slightly stale df (idf only, never membership)."""
     recover_pending(spark, index_dir)  # never compact a torn state
+    for sub in ("postings", "term_stats", "doc_stats", "doclens_packed"):
+        txn.recover_dir(os.path.join(index_dir, sub))
     meta = load_meta(index_dir)
     cfg = _cfg_from_meta(meta)
     span = cfg.docs_per_segment * cfg.merge_fanin
