@@ -19,6 +19,7 @@ from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr, duckdb_
 from goobi_viewer_indexer_spark.operators import (
     dedup,
     hierarchy,
+    highlight,
     naive_bm25,
     similarity,
     stats,
@@ -192,6 +193,12 @@ def q_facet_source(spark, sf_dir):
     idx = _index_for(spark, sf_dir)
     dims = _load(spark, sf_dir, "documents").select("doc_id", "source")
     return idx.facet_counts(["table", "join"], dims, "source", mode="and", min_count=2)
+
+
+@register("fn_snippets_highlight", highlight.snippets_sql(["spark", "window"], width=3))
+def q_snippets(spark, sf_dir):
+    # Solr highlighting analog: ±3-token window around the first match
+    return highlight.snippets(_load(spark, sf_dir, "documents"), ["spark", "window"], width=3)
 
 
 @register(

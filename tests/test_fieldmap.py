@@ -60,3 +60,19 @@ def test_fieldmap_transform_semantics(spark, planted):
     assert r0["TITLE_UNTOKENIZED"] == ROWS[0][1]
     assert r0["PI"] == "AB_12_3_x_".rjust(10, "0")
     assert row[4]["LBL"] == "tab.sep"
+
+
+def test_snippets_window_edges(spark):
+    from goobi_viewer_indexer_spark.operators.highlight import snippets
+
+    rows = [
+        (0, "target at the very start of this doc"),
+        (1, "some words before the target appears here later on"),
+        (2, "no match here at all"),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["match_pos"], r["snippet"]) for r in snippets(docs, ["target"], width=3).collect()}
+    assert set(out) == {0, 1}
+    assert out[0] == (1, "target at the very")            # front-clipped window
+    assert out[1] == (5, "words before the target appears here later")
