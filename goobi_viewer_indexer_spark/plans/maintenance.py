@@ -114,68 +114,90 @@ def delete_docs(
     ``trace=True`` keeps a DATEDELETED-style record (reference tombstone
     doc, Indexer.java:450-473); ``trace=False`` (purge) only marks.
 
-    Commit protocol (:mod:`.txn`): the effective id set is pinned in an
-    intent BEFORE any mutation, both the tombstone delta and the corrected
+    Commit protocol (:mod:`.txn`): the effective id set is staged as
+    parquet BEFORE any mutation, both the tombstone delta and the corrected
     term_stats are staged, then applied with individually idempotent steps
     — a crash anywhere is healed by retrying with the same ``tag`` (or by
     the automatic :func:`recover_pending` on the next maintenance call),
     and stats can never decrement twice nor diverge from the tombstones."""
     if tag is None:
         tag = f"del_{int(time.time() * 1000)}"
+    ids = sorted(set(int(i) for i in doc_ids))
+    ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    return _delete_df(spark, index_dir, ids_df, trace, tag)
+
+
+def _delete_df(spark: SparkSession, index_dir: str, ids_df: DataFrame, trace: bool, tag: str) -> dict:
+    """Distributed delete core: the id set never touches the driver —
+    dedup/filtering is an anti-join, the pinned copy is a staged parquet,
+    per-range id arrays reach the stats decoder as packed binary columns
+    (the delete-by-query path can carry millions of matches)."""
     if txn.txn_done(index_dir, tag):
         return load_meta(index_dir)
-    txn.recover_dir(os.path.join(index_dir, "term_stats"))
-
-    ids = sorted(set(int(i) for i in doc_ids))
-    # idempotency vs committed history: already-tombstoned ids must not
-    # decrement stats twice.  Pinned in the intent so a replay that lands
-    # AFTER this txn's own tombstone append doesn't shrink the set to [].
-    tomb = _tombstones(spark, index_dir)
-    if tomb is not None:
-        already = {r["doc_id"] for r in tomb.select("doc_id").distinct().collect()}
-        ids = [i for i in ids if i not in already]
-    intent = txn.txn_intent(index_dir, tag, {"op": "delete", "ids": ids, "trace": bool(trace)})
-    return _delete_apply(spark, index_dir, tag, intent)
-
-
-def _delete_apply(spark: SparkSession, index_dir: str, tag: str, intent: dict) -> dict:
+    ts_path = os.path.join(index_dir, "term_stats")
+    txn.recover_dir(ts_path)
     meta = load_meta(index_dir)
     span = meta["docs_per_segment"] * meta["merge_fanin"]
-    ids = intent["ids"]
-    if not ids:
+
+    # ---- stage 0: pin the EFFECTIVE id set (distinct, minus already-
+    # tombstoned — replays after this txn's own tombstone append read the
+    # staged copy, so the set can never shrink to empty mid-txn) ----
+    if not txn.staging_complete(index_dir, tag, "ids"):
+        eff = ids_df.select(F.col("doc_id").cast("long").alias("doc_id")).distinct()
+        tomb = _tombstones(spark, index_dir)
+        if tomb is not None:
+            eff = eff.join(tomb.select("doc_id").distinct(), "doc_id", "left_anti")
+        eff.write.mode("overwrite").parquet(txn.staged_path(index_dir, tag, "ids"))
+    txn.txn_intent(index_dir, tag, {"op": "delete", "trace": bool(trace)})
+    ids = spark.read.parquet(txn.staged_path(index_dir, tag, "ids"))
+    if ids.limit(1).count() == 0:
         txn.txn_commit(index_dir, tag)
         return meta
 
-    ts_path = os.path.join(index_dir, "term_stats")
-
-    # ---- stage 1: tombstone delta (tiny) ----
-    if not txn.staging_complete(index_dir, tag, "tombstones"):
-        tomb_rows = [(int(i), float(time.time()), bool(intent["trace"])) for i in ids]
-        spark.createDataFrame(tomb_rows, "doc_id long, deleted_ts double, trace boolean").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(txn.staged_path(index_dir, tag, "tombstones"))
+    # ---- stage 1: tombstone delta ----
+    if not (txn.step_applied(index_dir, tag, "tombstones") or txn.staging_complete(index_dir, tag, "tombstones")):
+        (
+            ids.select(
+                "doc_id",
+                F.lit(float(time.time())).alias("deleted_ts"),
+                F.lit(bool(trace)).alias("trace"),
+            )
+            .write.mode("overwrite")
+            .parquet(txn.staged_path(index_dir, tag, "tombstones"))
+        )
 
     # ---- stage 2: corrected term_stats ----
-    # exact (df, cf) correction per term: decode only postings rows of
-    # affected ranges, only blocks containing deleted ids.  Staged from the
-    # LIVE (pre-swap) stats; the in-dir swap marker tells a replay whether
-    # live already contains this txn (no double decrement).
+    # exact (df, cf) correction per term: the packed per-range id arrays
+    # JOIN the exploded postings rows, so only affected ranges are decoded
+    # and only their deleted ids ship to each task.  Staged from the LIVE
+    # (pre-swap) stats; the in-dir swap marker tells a replay whether live
+    # already contains this txn (no double decrement).
     if not (
         txn.step_applied(index_dir, tag, "term_stats")
         or txn.swap_already_live(ts_path, tag)
         or txn.staging_complete(index_dir, tag, "term_stats")
     ):
-        affected = sorted({i // span for i in ids})
-        ids_arr = np.asarray(ids, dtype=np.int64)
+        def pack_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"rng": [], "del_ids": []}).astype({"rng": "int32"})
+            arr = np.sort(pdf["doc_id"].to_numpy(np.int64))
+            return pd.DataFrame({"rng": [int(pdf["rng"].iloc[0])], "del_ids": [arr.tobytes()]})
+
+        del_packed = (
+            ids.withColumn("rng", (F.col("doc_id") / span).cast("int"))
+            .groupBy("rng")
+            .applyInPandas(pack_ids, "rng int, del_ids binary")
+        )
         postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         rows = postings.withColumn(
             "rng",
             F.explode(F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))),
-        ).filter(F.col("rng").isin(affected))
+        ).join(del_packed, "rng")  # inner join == affected-range pruning
 
         def deltas(pdf: pd.DataFrame) -> pd.DataFrame:
             out_t, out_df, out_cf = [], [], []
             for row in pdf.itertuples(index=False):
+                ids_arr = np.frombuffer(row.del_ids, dtype=np.int64)
                 lo = int(row.rng) * span
                 hi = lo + span - 1
                 tl = _row_to_termlist(row)
@@ -215,6 +237,12 @@ def _delete_apply(spark: SparkSession, index_dir: str, tag: str, intent: dict) -
     txn.apply_swap(index_dir, tag, "term_stats", ts_path)
     txn.txn_commit(index_dir, tag)
     return _refresh_live_meta(spark, index_dir)
+
+
+def _delete_apply(spark: SparkSession, index_dir: str, tag: str, intent: dict) -> dict:
+    """Resume a crashed delete txn from its staged id set (recover_pending)."""
+    ids = spark.read.parquet(txn.staged_path(index_dir, tag, "ids"))
+    return _delete_df(spark, index_dir, ids, bool(intent.get("trace", True)), tag)
 
 
 def _row_to_termlist(row):
@@ -452,25 +480,20 @@ def delete_by_query(
     ``deleteByQuery`` (helper/SolrSearchIndex.java:498-528, used on every
     record purge).  Predicate → distributed postings scan
     (InvertedIndex.match_ids) → the same tombstone+stats txn as
-    :func:`delete_docs`.  The matched id set is pinned in the txn intent,
-    so a replay deletes exactly the originally-matched docs even if the
-    index moved underneath."""
+    :func:`delete_docs`.  The matched id set is pinned as a STAGED PARQUET
+    under the txn, so a replay deletes exactly the originally-matched docs
+    even if the index moved underneath."""
     from goobi_viewer_indexer_spark.operators.search import InvertedIndex
 
     if tag is None:
         tag = f"delq_{int(time.time() * 1000)}"
     if txn.txn_done(index_dir, tag):
         return load_meta(index_dir)
-    intent_path = os.path.join(txn.txn_root(index_dir), f"{tag}.intent.json")
-    if os.path.exists(intent_path):
-        with open(intent_path) as f:
-            intent = json.load(f)
-    else:
-        ids = sorted(
-            r["doc_id"] for r in InvertedIndex(spark, index_dir).match_ids(query, mode=mode).collect()
-        )
-        intent = txn.txn_intent(index_dir, tag, {"op": "delete", "ids": ids, "trace": bool(trace)})
-    return _delete_apply(spark, index_dir, tag, intent)
+    # the matched set stays a DataFrame end to end: _delete_df pins it as a
+    # staged parquet (millions of matches never touch the driver), and a
+    # replay short-circuits on the staged copy without re-running the scan
+    ids_df = InvertedIndex(spark, index_dir).match_ids(query, mode=mode)
+    return _delete_df(spark, index_dir, ids_df, trace, tag)
 
 
 def set_stored_fields(spark: SparkSession, index_dir: str, updates: DataFrame, tag: str | None = None) -> None:
