@@ -18,7 +18,9 @@ append one tombstone row per doc; appends build partials ONLY for the new
 segment ranges (new docs start at the next span boundary so appended
 posting rows can never collide with existing (term, rng) pairs — the
 scorer's ≤1-list-per-term-per-range invariant survives without rewriting
-old rows).  Compaction is the only full-rewrite job.
+old rows).  :func:`purge_compact` rewrites only tombstone-affected rows
+(the routine job at 100 TB); the full :func:`compact` (which also
+re-bases block maxima on the live avgdl) is the rare full rewrite.
 """
 
 from __future__ import annotations
@@ -49,6 +51,7 @@ __all__ = [
     "set_stored_fields",
     "get_stored",
     "compact",
+    "purge_compact",
     "live_corpus_stats",
     "recover_pending",
 ]
@@ -547,6 +550,197 @@ def get_stored(spark: SparkSession, index_dir: str) -> DataFrame | None:
     p = os.path.join(index_dir, "stored")
     txn.recover_dir(p)
     return spark.read.parquet(p) if os.path.exists(p) else None
+
+
+def purge_compact(spark: SparkSession, index_dir: str) -> dict:
+    """Purge-only compaction: rewrite ONLY tombstone-affected posting rows.
+
+    The full :func:`compact` decodes and re-encodes the ENTIRE index (it
+    also re-bases block maxima on the live avgdl) — at 100 TB that is a
+    full-corpus rewrite you schedule rarely.  This is the routine variant:
+
+    * affected row keys = posting rows whose doc ranges intersect a
+      tombstoned range (semi-join on rng — directory/row-group pruning
+      scale: untouched rows are moved by reference, never decoded);
+    * affected rows re-encode per range with the BUILD avgdl basis, so
+      their block maxima stay on the same basis as untouched rows (the
+      live-avgdl correction stays query-time ``ub_scale``, as before);
+    * term_stats are NOT recomputed — delete-time correction already made
+      them exact for the live corpus (invariant: stats == live postings);
+    * doc_stats/doclens drop tombstoned rows; tombstones clear; meta keeps
+      the build avgdl basis and records the live avgdl for scoring.
+    """
+    recover_pending(spark, index_dir)
+    for sub in ("postings", "doc_stats", "doclens_packed"):
+        txn.recover_dir(os.path.join(index_dir, sub))
+    meta = load_meta(index_dir)
+    cfg = _cfg_from_meta(meta)
+    span = cfg.docs_per_segment * cfg.merge_fanin
+    tomb = _tombstones(spark, index_dir)
+    if tomb is None:
+        return meta
+    fnames: list[str] = meta.get("fields", [])
+
+    def pack_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"rng": [], "del_ids": []}).astype({"rng": "int32"})
+        arr = np.sort(pdf["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame({"rng": [int(pdf["rng"].iloc[0])], "del_ids": [arr.tobytes()]})
+
+    del_packed = (
+        tomb.select("doc_id").distinct()
+        .withColumn("rng", (F.col("doc_id") / span).cast("int"))
+        .groupBy("rng")
+        .applyInPandas(pack_ids, "rng int, del_ids binary")
+    )
+
+    post_path = os.path.join(index_dir, "postings")
+    postings = spark.read.parquet(post_path)
+    key = ["term", "seg", "min_doc"]
+    expl = postings.select(
+        *key,
+        F.explode(
+            F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
+        ).alias("rng"),
+    )
+    affected_keys = expl.join(del_packed.select("rng"), "rng", "left_semi").select(*key).distinct()
+    untouched = postings.join(affected_keys, key, "left_anti")
+    # affected rows split per range (splitting preserves the ≤1-list-per-
+    # term-per-range invariant; unaffected ranges of a spanning row keep
+    # their postings via the LEFT join's null del_ids)
+    dl = spark.read.parquet(os.path.join(index_dir, "doclens_packed"))
+    aff_rows = (
+        postings.join(affected_keys, key)
+        .withColumn(
+            "rng",
+            F.explode(
+                F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
+            ),
+        )
+        .join(dl, "rng")
+        .join(del_packed, "rng", "left")
+    )
+    k1, b, bs = cfg.k1, cfg.b, cfg.block_size
+    build_avgdl = meta["avgdl"]
+    build_avgdls = meta.get("avgdl_by_field")
+
+    def reencode(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for row in pdf.itertuples(index=False):
+            rng = int(row.rng)
+            lo, hi = rng * span, (rng + 1) * span - 1
+            tl = _row_to_termlist(row)
+            d, t, p = tl.decode_range_with_positions(max(lo, int(row.min_doc)), min(hi, int(row.max_doc)))
+            if d.size == 0:
+                continue
+            if row.del_ids is not None:
+                dels = np.frombuffer(row.del_ids, dtype=np.int64)
+                pos = np.minimum(np.searchsorted(dels, d), dels.size - 1)
+                keep = dels[pos] != d
+                p = p[np.repeat(keep, t)]
+                d, t = d[keep], t[keep]
+            if d.size == 0:
+                continue
+            if fnames:
+                fname = row.term.split(spimi.FIELD_SEP, 1)[0]
+                lens = np.frombuffer(getattr(row, f"doclens_{fname}"), dtype=np.int32)[d - int(row.base)]
+                av = build_avgdls[fname]
+            else:
+                lens = np.frombuffer(row.doclens, dtype=np.int32)[d - int(row.base)]
+                av = build_avgdl
+            enc = codec.encode_postings(d, t, lens, av, k1, b, bs, positions=p)
+            out.append(
+                {
+                    "term": row.term,
+                    "seg": np.int32(rng),
+                    "df": np.int32(d.size),
+                    "cf": np.int64(t.sum()),
+                    "min_doc": enc["min_doc"],
+                    "max_doc": enc["max_doc"],
+                    "doc_bytes": enc["doc_bytes"],
+                    "tf_bytes": enc["tf_bytes"],
+                    "pos_bytes": enc["pos_bytes"],
+                    "block_last_doc": enc["block_last_doc"],
+                    "block_doc_off": enc["block_doc_off"],
+                    "block_tf_off": enc["block_tf_off"],
+                    "block_pos_off": enc["block_pos_off"],
+                    "block_max_w": enc["block_max_w"],
+                }
+            )
+        if not out:
+            return pd.DataFrame([], columns=[c.split(" ")[0] for c in spimi.POSTINGS_SCHEMA.split(", ")])
+        return pd.DataFrame(out)
+
+    cols = [c.split(" ")[0] for c in spimi.POSTINGS_SCHEMA.split(", ")]
+    rewritten = aff_rows.mapInPandas(lambda it: (reencode(pdf) for pdf in it), spimi.POSTINGS_SCHEMA)
+    final = (
+        untouched.select(*cols)
+        .unionByName(rewritten)
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
+    )
+    tmp = post_path + ".tmp"
+    final.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    _swap_dir(post_path, tmp)
+
+    _rewrite_docstats(spark, index_dir, span, fnames, tomb)
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "tombstones"))
+    # keep the BUILD avgdl basis; record live values for scoring/ub_scale
+    if fnames:
+        n_live, avgdls_live = live_corpus_stats_fielded(spark, index_dir, fnames)
+        meta["avgdl_live_by_field"] = avgdls_live
+    else:
+        n_live, avgdl_live = live_corpus_stats(spark, index_dir)
+        meta["avgdl_live"] = avgdl_live
+    meta["n_docs"] = n_live
+    meta.pop("n_docs_live", None)
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def _rewrite_docstats(spark: SparkSession, index_dir: str, span: int, fnames: list[str], tomb: DataFrame) -> None:
+    """Drop tombstoned rows from doc_stats and re-pack the doclens arrays."""
+    ds_path = os.path.join(index_dir, "doc_stats")
+    ds = spark.read.parquet(ds_path)
+    ds_live = ds.join(tomb.select("doc_id"), "doc_id", "left_anti")
+    tmp3 = ds_path + ".tmp"
+    ds_live.write.mode("overwrite").parquet(tmp3)
+    _swap_dir(ds_path, tmp3)
+
+    len_cols = [f"doclen_{f}" for f in fnames] if fnames else ["doclen"]
+    dl_out_cols = [f"doclens_{f}" for f in fnames] if fnames else ["doclens"]
+    dl_schema = "rng int, base long, " + ", ".join(f"{oc} binary" for oc in dl_out_cols)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            out = {"rng": pd.Series([], dtype="int32"), "base": pd.Series([], dtype="int64")}
+            for oc in dl_out_cols:
+                out[oc] = pd.Series([], dtype=object)
+            return pd.DataFrame(out)
+        pdf = pdf.sort_values("doc_id")
+        rng = int(pdf["rng"].iloc[0])
+        b0 = rng * span
+        idsv = pdf["doc_id"].to_numpy(np.int64)
+        row = {"rng": [rng], "base": [b0]}
+        for lc, oc in zip(len_cols, dl_out_cols):
+            arr = np.zeros(int(idsv[-1]) - b0 + 1, dtype=np.int32)
+            arr[idsv - b0] = pdf[lc].to_numpy(np.int32)
+            row[oc] = [arr.tobytes()]
+        return pd.DataFrame(row)
+
+    dlp = os.path.join(index_dir, "doclens_packed")
+    tmp4 = dlp + ".tmp"
+    (
+        spark.read.parquet(ds_path)
+        .withColumn("rng", (F.col("doc_id") / span).cast("int"))
+        .select("rng", "doc_id", *len_cols)
+        .groupBy("rng")
+        .applyInPandas(pack, dl_schema)
+        .write.mode("overwrite")
+        .parquet(tmp4)
+    )
+    _swap_dir(dlp, tmp4)
 
 
 def compact(spark: SparkSession, index_dir: str) -> dict:

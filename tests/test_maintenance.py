@@ -105,3 +105,47 @@ def test_compact_purges_and_matches(spark, idx_dir):
         got = [(r["doc_id"], r["score"]) for r in idx.search(terms, k=10, mode=mode).collect()]
         assert got == exp, (terms, mode)
         assert idx.open_local().search(terms, k=10, mode=mode) == exp
+
+
+def test_purge_compact_rewrites_only_affected(spark, tmp_path):
+    """Purge-only compaction: results identical to tombstone-filtered
+    search, untouched posting rows byte-identical, stats untouched."""
+    rows = [(i, f"alpha shared tail{i} " + ("hot " * (i % 3 + 1)) + ("zone " if i < 32 else "cold ")) for i in range(96)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "pidx")
+    cfg = IndexConfig(docs_per_segment=16, merge_fanin=2, block_size=16, postings_buckets=4,
+                      compact_below_bytes=0)  # no cross-range stitching: rows stay per-range
+    build_mod.build_index(docs, d, cfg)
+    victims = [1, 5, 9]  # all inside range 0 (span=32)
+    maint.delete_docs(spark, d, victims, tag="pc1")
+    before_ts = sorted(tuple(r) for r in spark.read.parquet(f"{d}/term_stats").collect())
+    # snapshot an untouched row ('cold' lives only in ranges >= 1)
+    cold_before = spark.read.parquet(f"{d}/postings").filter("term = 'cold'").collect()
+
+    import os
+
+    meta = maint.purge_compact(spark, d)
+    assert not os.path.exists(f"{d}/tombstones")
+    # stats unchanged (delete already corrected them exactly)
+    after_ts = sorted(tuple(r) for r in spark.read.parquet(f"{d}/term_stats").collect())
+    assert after_ts == before_ts
+    # untouched rows byte-identical
+    cold_after = spark.read.parquet(f"{d}/postings").filter("term = 'cold'").collect()
+    assert sorted((r["seg"], bytes(r["doc_bytes"])) for r in cold_after) == sorted(
+        (r["seg"], bytes(r["doc_bytes"])) for r in cold_before
+    )
+    # search == naive over live docs
+    from pyspark.sql import functions as F
+
+    live = docs.filter(~F.col("doc_id").isin(victims))
+    for terms, mode in [(["shared", "hot"], "or"), (["zone", "alpha"], "and")]:
+        exp = _expected(live, terms, mode)
+        got = [(r["doc_id"], r["score"]) for r in InvertedIndex(spark, d).search(terms, k=10, mode=mode).collect()]
+        assert got == exp, (terms, mode)
+    # physically purged: deleted ids gone from postings for 'zone'
+    from goobi_viewer_indexer_spark.plans.maintenance import _row_to_termlist
+
+    for r in spark.read.parquet(f"{d}/postings").filter("term = 'zone'").collect():
+        tl = _row_to_termlist(r)
+        dd, _t = tl.decode_range(int(r["min_doc"]), int(r["max_doc"]))
+        assert not any(v in dd for v in victims)
