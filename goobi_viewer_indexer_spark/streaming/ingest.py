@@ -87,11 +87,18 @@ def ingest_available_now(
     schema: str = "doc_id long, text string",
     text_col: str = "text",
     max_files_per_trigger: int | None = None,
+    fields: dict[str, str] | None = None,
 ) -> None:
     """Drain ``input_dir`` (parquet files) into the index, exactly once per
     file, resumable via the checkpoint.  First batch bootstraps the index;
-    subsequent batches append delta segments."""
-    from goobi_viewer_indexer_spark.plans.build import assign_sequential_ids, build_index
+    subsequent batches append delta segments.  ``fields`` (field name →
+    source column) bootstraps a MULTI-FIELD index instead; appends are
+    fielded automatically (add_docs reads the layout from meta)."""
+    from goobi_viewer_indexer_spark.plans.build import (
+        assign_sequential_ids,
+        build_index,
+        build_index_fielded,
+    )
     from goobi_viewer_indexer_spark.plans.maintenance import add_docs
 
     reader = spark.readStream.schema(schema)
@@ -114,9 +121,13 @@ def ingest_available_now(
                 # partition-parallel dense ids — a global orderBy window
                 # would pull the whole bootstrap corpus into one task
                 docs = assign_sequential_ids(docs, base=0)
-            build_index(docs, index_dir, cfg, id_col="doc_id", text_col=text_col)
+            if fields:
+                build_index_fielded(docs, index_dir, fields, cfg, id_col="doc_id")
+            else:
+                build_index(docs, index_dir, cfg, id_col="doc_id", text_col=text_col)
         else:
-            add_docs(spark, index_dir, batch_df.select(text_col), text_col=text_col,
+            cols = list(fields.values()) if fields else [text_col]
+            add_docs(spark, index_dir, batch_df.select(*cols), text_col=text_col,
                      tag=f"ingest_batch_{batch_id}")
 
     (

@@ -135,3 +135,30 @@ def test_debounced_stable_files_stateful(spark, tmp_path):
     q.awaitTermination()
     got = {(r["path"], r["size"]) for r in spark.sql("SELECT * FROM debounced").collect()}
     assert got == {("a", 100), ("b", 60)}
+
+
+def test_streaming_ingest_fielded(spark, tmp_path):
+    """Fielded bootstrap + fielded delta appends through the same
+    checkpointed AvailableNow loop."""
+    from goobi_viewer_indexer_spark.operators.search import FieldedIndex
+
+    inp = str(tmp_path / "fin")
+    idxd = str(tmp_path / "fidx")
+    ckpt = str(tmp_path / "fckpt")
+    os.makedirs(inp)
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").select("doc_id", "text", "source")
+    docs.filter("doc_id < 300").coalesce(1).write.parquet(f"{inp}/f1.parquet")
+    fields = {"text": "text", "source": "source"}
+    ingest_available_now(spark, inp + "/*/", idxd, ckpt, CFG,
+                         schema="doc_id long, text string, source string", fields=fields)
+    assert spark.read.parquet(f"{idxd}/doc_stats").count() == 300
+    assert FieldedIndex(spark, idxd).search([("text", "table")], k=5).count() == 5
+
+    docs.filter("doc_id >= 300").coalesce(1).write.parquet(f"{inp}/f2.parquet")
+    ingest_available_now(spark, inp + "/*/", idxd, ckpt, CFG,
+                         schema="doc_id long, text string, source string", fields=fields)
+    assert spark.read.parquet(f"{idxd}/doc_stats").count() == 500
+    # a doc appended in batch 2 is findable field-scoped
+    srcs = {r["source"] for r in spark.read.parquet(f"{SF01}/documents.parquet").filter("doc_id >= 300").select("source").distinct().collect()}
+    some = sorted(srcs)[0]
+    assert FieldedIndex(spark, idxd).search([("source", some)], k=500).count() > 0
