@@ -124,18 +124,24 @@ class InvertedIndex:
         reference's SolrSearchIndex.search) — rows [offset, offset+k).
         Each range still returns only its local top-(offset+k); the global
         reduce skips the first ``offset`` rows."""
-        if mode == "phrase":
-            return self.search_phrase(query, k=k)
         if offset:
             from pyspark.sql.window import Window
 
-            full = self.search(query, k=offset + k, mode=mode)
+            # phrase mode pages the same way: fetch offset+k, skip offset
+            # (ADVICE r2 — offset was silently ignored in phrase mode)
+            full = (
+                self.search_phrase(query, k=offset + k)
+                if mode == "phrase"
+                else self.search(query, k=offset + k, mode=mode)
+            )
             w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
             return (
                 full.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") > offset)
                 .drop("_rk")
             )
+        if mode == "phrase":
+            return self.search_phrase(query, k=k)
         terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
         meta = self.meta
         n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
@@ -814,6 +820,14 @@ class FieldedIndex:
         parsed: dict[str, tuple[list[str], dict[str, float], str, int]] = {}
         for qid, (q, mode, k) in queries.items():
             if isinstance(q, str):
+                # phrase clauses must not be silently flattened to a bag of
+                # terms (ADVICE r2): batching has no positional path — route
+                # quoted queries through search() instead
+                if any(quoted for *_rest, quoted in parse_fielded_clauses(q)[0]):
+                    raise ValueError(
+                        f"query {qid!r} contains a quoted phrase clause — "
+                        "phrase queries are not batchable, use search()"
+                    )
                 pairs, pair_boosts, mode = parse_fielded_query(q)
             else:
                 pairs, pair_boosts = list(q), {}

@@ -41,7 +41,9 @@ from goobi_viewer_indexer_spark.operators import spimi
 __all__ = ["build_index", "build_index_fielded", "assign_doc_ids", "assign_sequential_ids"]
 
 
-def assign_sequential_ids(docs: DataFrame, base: int = 0, id_col: str = "doc_id") -> DataFrame:
+def assign_sequential_ids(
+    docs: DataFrame, base: int = 0, id_col: str = "doc_id", barrier_dir: str | None = None
+) -> DataFrame:
     """Dense ids ``base..base+n-1`` without a global single-partition window.
 
     Same two-pass scheme as :func:`assign_doc_ids` but keyed on the input's
@@ -49,10 +51,20 @@ def assign_sequential_ids(docs: DataFrame, base: int = 0, id_col: str = "doc_id"
     partition id, count per partition (tiny driver-side cumsum), then offset
     partition-local row_numbers.  Every partition is numbered in parallel —
     the replacement for ``row_number().over(Window.orderBy(...))`` whose
-    empty partitionBy pulls the whole delta into ONE task."""
+    empty partitionBy pulls the whole delta into ONE task.
+
+    The counts pass and the id pass MUST see identical partition membership.
+    ``persist`` is best-effort (an evicted partition of a nondeterministic
+    shuffle could re-evaluate differently — ADVICE r2), so callers whose
+    upstream is not file-backed/deterministic pass ``barrier_dir``: the
+    input is materialized to parquet first (a REAL barrier — both passes
+    then read the same immutable files)."""
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
+    if barrier_dir is not None:
+        docs.write.mode("overwrite").parquet(barrier_dir)
+        docs = docs.sparkSession.read.parquet(barrier_dir)
     with_pid = (
         docs.withColumn("_pid", F.spark_partition_id())
         .withColumn("_mid", F.monotonically_increasing_id())

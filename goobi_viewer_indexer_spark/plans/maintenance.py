@@ -130,13 +130,18 @@ def delete_docs(
     return _delete_df(spark, index_dir, ids_df, trace, tag)
 
 
-def _delete_df(spark: SparkSession, index_dir: str, ids_df: DataFrame, trace: bool, tag: str) -> dict:
+def _delete_df(spark: SparkSession, index_dir: str, ids_df: DataFrame, trace: bool, tag: str,
+               recover: bool = True) -> dict:
     """Distributed delete core: the id set never touches the driver —
     dedup/filtering is an anti-join, the pinned copy is a staged parquet,
     per-range id arrays reach the stats decoder as packed binary columns
     (the delete-by-query path can carry millions of matches)."""
     if txn.txn_done(index_dir, tag):
         return load_meta(index_dir)
+    if recover:
+        # heal any OTHER crashed txn before mutating (ADVICE r2: a torn add
+        # leaves doc_stats ahead of postings until something recovers it)
+        recover_pending(spark, index_dir, skip_tag=tag)
     ts_path = os.path.join(index_dir, "term_stats")
     txn.recover_dir(ts_path)
     meta = load_meta(index_dir)
@@ -242,12 +247,6 @@ def _delete_df(spark: SparkSession, index_dir: str, ids_df: DataFrame, trace: bo
     return _refresh_live_meta(spark, index_dir)
 
 
-def _delete_apply(spark: SparkSession, index_dir: str, tag: str, intent: dict) -> dict:
-    """Resume a crashed delete txn from its staged id set (recover_pending)."""
-    ids = spark.read.parquet(txn.staged_path(index_dir, tag, "ids"))
-    return _delete_df(spark, index_dir, ids, bool(intent.get("trace", True)), tag)
-
-
 def _row_to_termlist(row):
     from goobi_viewer_indexer_spark.operators.wand import TermList
 
@@ -279,7 +278,8 @@ def _swap_dir(path: str, tmp: str) -> None:
 
 
 def add_docs(
-    spark: SparkSession, index_dir: str, new_docs: DataFrame, text_col: str = "text", tag: str | None = None
+    spark: SparkSession, index_dir: str, new_docs: DataFrame, text_col: str = "text", tag: str | None = None,
+    recover: bool = True,
 ) -> dict:
     """Append new documents (LSM-style delta segment), crash-atomically.
 
@@ -306,6 +306,8 @@ def add_docs(
         tag = f"add_{int(time.time() * 1000)}"
     if txn.txn_done(index_dir, tag):
         return load_meta(index_dir)
+    if recover:
+        recover_pending(spark, index_dir, skip_tag=tag)
     txn.recover_dir(ts_path)
 
     fields: dict[str, str] | None = meta.get("field_cols")
@@ -320,9 +322,11 @@ def add_docs(
             if fields
             else new_docs.select(F.col(text_col).alias("text"))
         )
-        docs = assign_sequential_ids(src, base=intent["base"]).withColumn(
-            "seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int")
-        )
+        # barrier_dir: arbitrary caller DataFrames (possibly nondeterministic
+        # shuffles upstream) are materialized before the two-pass id scheme
+        docs = assign_sequential_ids(
+            src, base=intent["base"], barrier_dir=txn.staged_path(index_dir, tag, "docs_raw")
+        ).withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
         docs.write.mode("overwrite").parquet(txn.staged_path(index_dir, tag, "docs"))
     docs = spark.read.parquet(txn.staged_path(index_dir, tag, "docs"))
     n_new = docs.count()
@@ -439,25 +443,31 @@ def add_docs(
     return meta
 
 
-def recover_pending(spark: SparkSession, index_dir: str) -> list[str]:
-    """Complete (or abort) transactions interrupted by a crash.  Called by
-    :func:`compact` and safe to call any time: delete intents re-apply from
-    their pinned id set; add intents re-apply from their staged delta, or
-    abort cleanly if nothing was staged (nothing was mutated yet)."""
+def recover_pending(spark: SparkSession, index_dir: str, skip_tag: str | None = None) -> list[str]:
+    """Complete (or abort) transactions interrupted by a crash.  Called
+    automatically at the top of :func:`delete_docs`/:func:`add_docs`/
+    :func:`compact` (``skip_tag`` excludes the caller's own in-flight txn)
+    and safe to call any time: delete intents re-apply from their pinned id
+    set; add intents re-apply from their staged delta, or abort cleanly if
+    nothing was staged (nothing was mutated yet).  Healing runs with
+    ``recover=False`` so two torn txns cannot recurse into each other."""
     import glob as _glob
 
     healed = []
     root = txn.txn_root(index_dir)
     for p in sorted(_glob.glob(os.path.join(root, "*.intent.json"))):
         tag = os.path.basename(p)[: -len(".intent.json")]
+        if tag == skip_tag:
+            continue
         with open(p) as f:
             intent = json.load(f)
         if intent.get("op") == "delete":
-            _delete_apply(spark, index_dir, tag, intent)
+            ids = spark.read.parquet(txn.staged_path(index_dir, tag, "ids"))
+            _delete_df(spark, index_dir, ids, bool(intent.get("trace", True)), tag, recover=False)
             healed.append(tag)
         elif intent.get("op") == "add":
             if txn.staging_complete(index_dir, tag, "docs"):
-                add_docs(spark, index_dir, spark.createDataFrame([], "text string"), tag=tag)
+                add_docs(spark, index_dir, spark.createDataFrame([], "text string"), tag=tag, recover=False)
             else:
                 txn.txn_commit(index_dir, tag)  # nothing applied — abort
             healed.append(tag)

@@ -115,7 +115,18 @@ def ingest_available_now(
         # (ADVICE r1; see plans/txn.py for the commit protocol).
         if batch_df.isEmpty():
             return
+        bootstrap_marker = os.path.join(index_dir, "_BOOTSTRAP_BATCH")
         if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+            # pin WHICH batch bootstraps the index BEFORE building: if the
+            # process dies after the build commits but before the checkpoint
+            # does, the replayed batch must not take the add_docs path and
+            # ingest its documents a second time as a delta (ADVICE r2)
+            os.makedirs(index_dir, exist_ok=True)
+            if not os.path.exists(bootstrap_marker):
+                tmp = bootstrap_marker + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(str(batch_id))
+                os.rename(tmp, bootstrap_marker)
             docs = batch_df
             if "doc_id" not in docs.columns:
                 # partition-parallel dense ids — a global orderBy window
@@ -125,6 +136,8 @@ def ingest_available_now(
                 build_index_fielded(docs, index_dir, fields, cfg, id_col="doc_id")
             else:
                 build_index(docs, index_dir, cfg, id_col="doc_id", text_col=text_col)
+        elif os.path.exists(bootstrap_marker) and int(open(bootstrap_marker).read()) == batch_id:
+            return  # replayed bootstrap batch after a pre-checkpoint crash: no-op
         else:
             cols = list(fields.values()) if fields else [text_col]
             add_docs(spark, index_dir, batch_df.select(*cols), text_col=text_col,

@@ -138,3 +138,10 @@ def test_local_fielded_searcher_rank_identity(spark, fidx):
     for q, mode, boosts in cases:
         dist = [tuple(r) for r in fidx.search(q, k=10, mode=mode, boosts=boosts).collect()]
         assert local.search(q, k=10, mode=mode, boosts=boosts) == dist, q
+
+
+def test_search_many_rejects_phrase_clauses(fidx):
+    """Batched execution has no positional path; a quoted clause must raise
+    instead of being silently flattened to a bag of terms (ADVICE r2)."""
+    with pytest.raises(ValueError, match="phrase"):
+        fidx.search_many({"q0": ('lang:en AND text:"spark window"', "and", 5)})

@@ -88,3 +88,11 @@ def test_phrase_positions_after_append(spark, tmp_path):
     hits = {r["doc_id"] for r in engine.search_phrase(["alpha", "beta"], k=50).collect()}
     assert set(range(20)) < hits and len(hits) == 21  # one appended doc matches
     assert engine.open_local().search_phrase(["omega", "alpha", "beta"], k=5)[0][0] >= 20
+
+
+def test_phrase_offset_pages(spark, idx):
+    """offset must apply in phrase mode too (ADVICE r2: it was ignored)."""
+    engine = InvertedIndex(spark, idx)
+    full = [tuple(r) for r in engine.search_phrase(["spark", "window"], k=6).collect()]
+    page2 = [tuple(r) for r in engine.search(["spark", "window"], k=3, mode="phrase", offset=3).collect()]
+    assert page2 == full[3:6]

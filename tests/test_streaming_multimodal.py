@@ -162,3 +162,25 @@ def test_streaming_ingest_fielded(spark, tmp_path):
     srcs = {r["source"] for r in spark.read.parquet(f"{SF01}/documents.parquet").filter("doc_id >= 300").select("source").distinct().collect()}
     some = sorted(srcs)[0]
     assert FieldedIndex(spark, idxd).search([("source", some)], k=500).count() > 0
+
+
+def test_bootstrap_replay_after_lost_checkpoint_is_noop(spark, tmp_path):
+    """ADVICE r2 exactly-once hole: if the process dies after the bootstrap
+    build commits but before the checkpoint does, the replayed batch 0 must
+    NOT re-ingest the bootstrap documents as a delta.  Simulated by redriving
+    the same input with a fresh checkpoint (the replay reads the identical
+    file set as batch 0 again)."""
+    inp = str(tmp_path / "in")
+    idxd = str(tmp_path / "idx")
+    os.makedirs(inp)
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    docs.filter("doc_id < 200").coalesce(1).write.parquet(f"{inp}/f1.parquet")
+    ingest_available_now(spark, inp + "/*/", idxd, str(tmp_path / "ckpt1"), CFG)
+    assert spark.read.parquet(f"{idxd}/doc_stats").count() == 200
+    # replayed bootstrap batch (checkpoint never committed)
+    ingest_available_now(spark, inp + "/*/", idxd, str(tmp_path / "ckpt2"), CFG)
+    assert spark.read.parquet(f"{idxd}/doc_stats").count() == 200
+    # genuinely new files after the replay still append normally
+    docs.filter("doc_id >= 200").coalesce(1).write.parquet(f"{inp}/f2.parquet")
+    ingest_available_now(spark, inp + "/*/", idxd, str(tmp_path / "ckpt2"), CFG)
+    assert spark.read.parquet(f"{idxd}/doc_stats").count() == 500

@@ -116,10 +116,18 @@ def test_crash_mid_add_heals(spark, idx, monkeypatch):
     assert "acrash" in healed and txn.txn_done(idx, "acrash")
 
     # exactly ONE copy of the delta, searchable, stats consistent
+    # (ids are dense + unique; WHICH text got which id is pinned by the
+    # staged parquet, not by input order — recover the pairing via sha256)
+    import hashlib
+
+    sha2text = {
+        hashlib.sha256(t.encode()).hexdigest(): t
+        for t in ["alpha shared omega", "omega omega shared"]
+    }
     ds = spark.read.parquet(f"{idx}/doc_stats")
-    new_ids = sorted(r["doc_id"] for r in ds.filter(F.col("doc_id") >= 60).collect())
-    assert len(new_ids) == 2
-    live = list(CORPUS) + list(zip(new_ids, ["alpha shared omega", "omega omega shared"]))
+    new_rows = ds.filter(F.col("doc_id") >= 60).select("doc_id", "sha256").collect()
+    assert len(new_rows) == 2
+    live = list(CORPUS) + [(r["doc_id"], sha2text[r["sha256"]]) for r in new_rows]
     assert _search(spark, idx, terms=("omega", "shared")) == _expected(spark, live, terms=("omega", "shared"))
 
 
@@ -142,3 +150,35 @@ def test_swap_interrupted_between_renames_recovers(tmp_path):
     os.rename(live, str(live) + ".bak")
     txn.recover_dir(str(live))
     assert live.exists() and (live / "data.parquet").read_text() == "v1"
+
+
+def test_torn_add_healed_by_next_maintenance_call(spark, idx, monkeypatch):
+    """ADVICE r2: delete_docs/add_docs auto-heal pending txns on entry —
+    a torn add (doc_stats applied, postings not) must not leave searches
+    scoring with phantom docs until a compact happens to run."""
+    real_append = txn.apply_append
+    calls = {"n": 0}
+
+    def flaky(index_dir, tag, step, live_dir):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash mid-add")
+        return real_append(index_dir, tag, step, live_dir)
+
+    monkeypatch.setattr(maint.txn, "apply_append", flaky)
+    new = spark.createDataFrame([("alpha shared omega",)], "text string")
+    with pytest.raises(RuntimeError):
+        maint.add_docs(spark, idx, new, tag="acrash2")
+    monkeypatch.setattr(maint.txn, "apply_append", real_append)
+    assert not txn.txn_done(idx, "acrash2")
+
+    # a DIFFERENT maintenance op heals it before doing its own work
+    maint.delete_docs(spark, idx, [0], tag="dafter")
+    assert txn.txn_done(idx, "acrash2") and txn.txn_done(idx, "dafter")
+    new_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/doc_stats").filter(F.col("doc_id") >= 60).collect()
+    )
+    assert len(new_ids) == 1
+    live = [(i, t) for i, t in CORPUS if i != 0] + list(zip(new_ids, ["alpha shared omega"]))
+    assert _search(spark, idx, terms=("omega", "shared")) == _expected(spark, live, terms=("omega", "shared"))
