@@ -408,8 +408,23 @@ def simhash_candidate_pairs(
     groupBy-chunk self-join (same shape as MinHash LSH — shuffle keyed by
     (band, chunk value), linear in N) has recall 1.0 for the default
     radius.  Candidates are then verified with the exact popcount, so the
-    output EQUALS the all-pairs oracle — no approximation."""
-    fp = simhash_fingerprint(docs, id_col, text_col)
+    output EQUALS the all-pairs oracle — no approximation.
+
+    Zero-token docs are EXCLUDED before banding: they all fingerprint to
+    (0, 0) and would land in the same bucket in all four bands — at web
+    scale, millions of empty/boilerplate docs make the self-join (and the
+    output itself) quadratic.  Empty docs are trivially exact duplicates
+    of each other; surface them via :func:`exact_duplicates` instead."""
+    toks = F.col("_toks")
+    fp = (
+        docs.select(F.col(id_col).alias("doc_id"), tokenize_expr(text_col).alias("_toks"))
+        .filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            _simhash32_expr(toks, 1).alias("simhash_hi"),
+            _simhash32_expr(toks, 9).alias("simhash_lo"),
+        )
+    )
     hi, lo = F.col("simhash_hi"), F.col("simhash_lo")
     chunks = F.array(
         F.struct(F.lit(0).alias("band"), F.floor(hi / F.lit(65536)).cast("long").alias("chunk")),
@@ -446,7 +461,7 @@ def simhash_candidate_pairs(
 def simhash_pairs_sql(max_hamming: int = 3) -> str:
     toks = duckdb_tokenize_sql("text")
     return f"""
-WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents WHERE len({toks}) > 0),
 fp AS (
   SELECT doc_id,
          {_simhash_half_sql(1)} AS hi,

@@ -156,3 +156,24 @@ def test_ivf_index_recall(spark, tmp_path):
     # reopening from disk routes identically (centroids persisted)
     ivf2 = similarity.IvfIndex(spark, str(tmp_path / "ivf"))
     assert [tuple(r) for r in ivf2.query(qv, k=10, nprobe=4).collect()] == got
+
+
+def test_simhash_pairs_exclude_empty_docs(spark):
+    """Zero-token docs all fingerprint to (0,0) and used to collide in every
+    band (quadratic bucket — VERDICT r2).  They must be excluded from
+    banding entirely; nonempty-doc pairs are unaffected."""
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    empties = spark.createDataFrame(
+        [(100000 + i, "" if i % 2 == 0 else "!!! ???") for i in range(40)], "doc_id long, text string"
+    )
+    docs = base.unionByName(empties)
+    with_e = {(r["doc_a"], r["doc_b"], r["hamming"])
+              for r in dedup.simhash_candidate_pairs(docs, max_hamming=3).collect()}
+    without = {(r["doc_a"], r["doc_b"], r["hamming"])
+               for r in dedup.simhash_candidate_pairs(base, max_hamming=3).collect()}
+    assert with_e == without  # no pair touches an empty doc; output stays linear
+    assert not any(a >= 100000 or b >= 100000 for a, b, _ in with_e)
+    # empty docs surface through exact dedup instead (doc_ids is a csv string)
+    groups = dedup.exact_duplicates(empties.unionByName(base)).collect()
+    empty_ids = {int(i) for g in groups for i in g["doc_ids"].split(",") if int(i) >= 100000}
+    assert len(empty_ids) == 40  # the two planted empty-content groups
