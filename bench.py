@@ -99,12 +99,15 @@ def main() -> None:
         lambda: idx.search_many({f"q{i}": (t, m, k) for i, (t, m, k) in enumerate(BENCH_QUERIES)}),
     )
 
-    # phrase queries over the positional stream
+    # phrase queries over the positional stream; the third is a common-term
+    # phrase (both terms in ~78% of docs → ~3.2k AND-candidates at sf0.1),
+    # the shape that stresses the vectorized position-verify kernel
     def run_phrases():
         idx.search_phrase(["table", "join"], k=10).collect()
         idx.search_phrase(["spark", "window"], k=10).collect()
 
     timed("search_phrase_2q", run_phrases)
+    timed("search_phrase_common", lambda: idx.search_phrase(["stream", "value"], k=10).collect())
 
     # ---- 2b. multi-field index: build + field-scoped BM25F queries ----
     fidx_dir = tempfile.mkdtemp(prefix="bench_fidx_")
