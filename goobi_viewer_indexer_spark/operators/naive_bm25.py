@@ -27,7 +27,132 @@ from pyspark.sql import functions as F
 from goobi_viewer_indexer_spark.config import IndexConfig
 from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr, duckdb_tokenize_sql
 
-__all__ = ["bm25_topk", "bm25_topk_sql", "bm25_phrase_topk", "bm25_phrase_topk_sql", "bm25f_topk_sql"]
+__all__ = [
+    "bm25_topk", "bm25_topk_sql", "bm25_phrase_topk", "bm25_phrase_topk_sql",
+    "bm25f_topk_sql", "bm25_boolean_topk", "bm25_boolean_topk_sql", "boolean_match_sql",
+]
+
+
+def _boolean_member_expr(groups: list[list[str]], negs: list[list[str]], text_col: str):
+    """Catalyst membership predicate: AND over groups (OR within a group),
+    NOT over every negative group."""
+    toks = tokenize_expr(text_col)
+    cond = F.lit(True)
+    for g in groups:
+        gc = F.lit(False)
+        for t in g:
+            gc = gc | F.array_contains(toks, t)
+        cond = cond & gc
+    for ng in negs:
+        nc = F.lit(False)
+        for t in ng:
+            nc = nc | F.array_contains(toks, t)
+        cond = cond & ~nc
+    return cond
+
+
+def _boolean_member_sql(groups: list[list[str]], negs: list[list[str]], tok: str) -> str:
+    def or_group(g):
+        return "(" + " OR ".join(f"list_contains({tok}, '{t.replace(chr(39), chr(39) * 2)}')" for t in g) + ")"
+
+    parts = [or_group(g) for g in groups] + [f"NOT {or_group(ng)}" for ng in negs]
+    return " AND ".join(parts)
+
+
+def boolean_match_sql(
+    groups: list[list[str]], negs: list[list[str]], table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """DuckDB oracle for the NOT-capable match scan (delete-by-query twin)."""
+    tok = duckdb_tokenize_sql(text_col)
+    return f"SELECT {id_col} AS doc_id FROM {table} WHERE {_boolean_member_sql(groups, negs, tok)} ORDER BY doc_id"
+
+
+def bm25_boolean_topk(
+    docs: DataFrame,
+    groups: list[list[str]],
+    negs: list[list[str]],
+    k: int = 10,
+    cfg: IndexConfig = IndexConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Naive twin of ``InvertedIndex.search_boolean``: membership = AND over
+    clause groups (OR within a group) minus any negative group; score = bag
+    BM25 over the distinct positive terms present in each matching doc
+    (negative clauses never score — Solr prohibited-clause semantics,
+    reference helper/SolrSearchIndex.java:918-921)."""
+    spark = docs.sparkSession
+    terms = sorted({t for g in groups for t in g})
+    qt = spark.createDataFrame([(t,) for t in terms], "term string")
+
+    matching = docs.filter(_boolean_member_expr(groups, negs, text_col)).select(
+        F.col(id_col).alias("doc_id")
+    )
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize_expr(text_col)).alias("term"))
+    tf_all = toks.join(F.broadcast(qt), "term").groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dstats = docs.select(F.col(id_col).alias("doc_id"), F.size(tokenize_expr(text_col)).alias("doclen"))
+    g = dstats.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 1.0)
+    df_stats = tf_all.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+    k1, b = cfg.k1, cfg.b
+    return (
+        tf_all.join(F.broadcast(matching), "doc_id")
+        .join(F.broadcast(df_stats), "term")
+        .join(dstats, "doc_id")
+        .withColumn("idf", F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "w",
+            (F.col("tf") * (k1 + 1.0)) / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / avgdl)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf") * F.col("w")).alias("score_raw"))
+        .orderBy(F.desc("score_raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score_raw", 6).alias("score"))
+    )
+
+
+def bm25_boolean_topk_sql(
+    groups: list[list[str]],
+    negs: list[list[str]],
+    k: int = 10,
+    cfg: IndexConfig = IndexConfig(),
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`bm25_boolean_topk` (same membership, same
+    bag scoring over positive terms, same rounding/tie-break)."""
+    terms = sorted({t for g in groups for t in g})
+    terms_sql = ", ".join("('" + t.replace("'", "''") + "')" for t in terms)
+    k1, b = cfg.k1, cfg.b
+    tok = duckdb_tokenize_sql(text_col)
+    member = _boolean_member_sql(groups, negs, tok)
+    return f"""
+WITH qt(term) AS (VALUES {terms_sql}),
+m AS (SELECT {id_col} AS doc_id FROM {table} WHERE {member}),
+tok AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+dl AS (SELECT {id_col} AS doc_id, len({tok}) AS doclen FROM {table}),
+g AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf FROM tok t JOIN qt USING (term) GROUP BY 1, 2),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.doclen / g.avgdl)) ) AS score_raw
+  FROM tf
+  JOIN m   USING (doc_id)
+  JOIN dfs USING (term)
+  JOIN dl  USING (doc_id)
+  CROSS JOIN g
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
+""".strip()
 
 
 def bm25f_topk_sql(
@@ -40,13 +165,16 @@ def bm25f_topk_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     phrase_filters: list[tuple[str, list[str]]] | None = None,
+    neg_filters: list[tuple[str, str]] | None = None,
 ) -> str:
     """DuckDB oracle for field-scoped BM25F-lite (operators/search.
     FieldedIndex.search): per-pair BM25 with FIELD-local df/doclen/avgdl,
     N = global doc count, boost multiplying idf; AND = every pair matches.
     ``phrase_filters``: quoted clauses — each (field, tokens) additionally
     restricts results to docs whose FIELD token stream contains the tokens
-    consecutively (the mixed ``pi:x AND text:"a b"`` shape)."""
+    consecutively (the mixed ``pi:x AND text:"a b"`` shape).
+    ``neg_filters``: prohibited clauses — each (field, term) EXCLUDES docs
+    whose field contains the term (``-lang:de``; filters, never scores)."""
     boosts = boosts or {}
     field_cols = field_cols or {f: f for f, _ in pairs}
     k1, b = cfg.k1, cfg.b
@@ -78,6 +206,14 @@ def bm25f_topk_sql(
             f"\n  JOIN (SELECT {id_col} AS doc_id FROM {table} "
             f"WHERE contains(' ' || array_to_string({tok}, ' ') || ' ', '{needle}')) "
             f"USING (doc_id)"
+        )
+    for fname, term in neg_filters or []:
+        col = field_cols.get(fname, fname)
+        tok = duckdb_tokenize_sql(col)
+        t = term.replace("'", "''")
+        phrase_joins += (
+            f"\n  JOIN (SELECT {id_col} AS doc_id FROM {table} "
+            f"WHERE NOT list_contains({tok}, '{t}')) USING (doc_id)"
         )
     return f"""
 WITH u AS ({union}),

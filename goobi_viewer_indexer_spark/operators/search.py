@@ -18,6 +18,8 @@ oracle: same tokenizer, idf, tie-break (score desc, doc_id asc).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -27,7 +29,40 @@ from goobi_viewer_indexer_spark.functions.tokenize import tokenize_py
 from goobi_viewer_indexer_spark.operators import wand
 from goobi_viewer_indexer_spark.plans.build import load_meta
 
-__all__ = ["InvertedIndex", "LocalSearcher", "FieldedIndex", "LocalFieldedSearcher", "parse_fielded_query", "parse_fielded_clauses"]
+__all__ = [
+    "InvertedIndex", "LocalSearcher", "FieldedIndex", "LocalFieldedSearcher",
+    "parse_fielded_query", "parse_fielded_clauses", "parse_boolean_query",
+]
+
+
+import re as _re
+
+# clause := [-] ( "(" terms ")" | word )   — clauses are AND-joined (Lucene
+# '+' default); parens = OR-group; '-' = prohibited.  Matches the
+# reference's own generated negated query shape `+(URN:(v1 v2)) -PI:"x"`
+# (helper/SolrSearchIndex.java:918-921).
+_BOOL_CLAUSE_RE = _re.compile(r"(-?)(?:\(([^()]*)\)|([^\s()]+))")
+
+
+def parse_boolean_query(q: str) -> tuple[list[list[str]], list[list[str]]]:
+    """``'(table join) spark -window -(foo bar)'`` → (groups, negs):
+    groups = [[table, join], [spark]] (each AND-required, OR within),
+    negs = [[window], [foo, bar]] (docs matching any are excluded).
+    Literal AND/OR connectives are noise (clauses AND-join).  At least one
+    positive clause is required (Solr rejects pure-negative queries too)."""
+    groups: list[list[str]] = []
+    negs: list[list[str]] = []
+    for neg, grp, single in _BOOL_CLAUSE_RE.findall(q):
+        body = grp if grp else single
+        if body in ("AND", "OR", "NOT"):
+            continue
+        toks = sorted(set(tokenize_py(body)))
+        if not toks:
+            continue
+        (negs if neg else groups).append(toks)
+    if not groups:
+        raise ValueError("boolean query needs at least one positive clause")
+    return groups, negs
 
 
 def _mk_termlist(row, idf_val: float, df: int) -> wand.TermList:
@@ -234,6 +269,135 @@ class InvertedIndex:
             if mode == "and" and len(lists) < n_terms:
                 return pd.DataFrame({"doc_id": []}).astype({"doc_id": np.int64})
             docs = wand.match_docs(lists, mode, lo, hi, deleted=deleted)
+            return pd.DataFrame({"doc_id": docs})
+
+        joined = rows
+        if self._tomb_packed is not None:
+            joined = joined.join(self._tomb_packed, "rng", "left")
+        else:
+            joined = joined.withColumn("deleted", F.lit(None).cast("binary"))
+        return joined.groupBy("rng").applyInPandas(match_range, "doc_id long")
+
+    # -- boolean (NOT + AND-of-OR-groups) -----------------------------------
+    def _boolean_parts(self, query) -> tuple[list[list[str]], list[list[str]], dict] | None:
+        """Parse + presence-filter a boolean query.  None = provably empty
+        (an AND-required group has no indexed term)."""
+        groups, negs = parse_boolean_query(query) if isinstance(query, str) else query
+        all_terms = sorted({t for g in groups for t in g} | {t for ng in negs for t in ng})
+        stats = self.term_stats_for(all_terms)
+        pos_groups: list[list[str]] = []
+        for g in groups:
+            present = [t for t in g if t in stats]
+            if not present:
+                return None
+            pos_groups.append(present)
+        neg_groups = [[t for t in ng if t in stats] for ng in negs]
+        neg_groups = [ng for ng in neg_groups if ng]
+        return pos_groups, neg_groups, stats
+
+    def search_boolean(self, query: str | tuple, k: int = 10) -> DataFrame:
+        """Top-k BM25 over a boolean query with prohibited clauses and
+        OR-groups: ``'(table join) spark -window'`` = (table OR join) AND
+        spark AND NOT window.  The reference's own generated queries use
+        this shape (`+(URN:(v1 v2…)) -PI_TOPSTRUCT:"pi"`,
+        helper/SolrSearchIndex.java:918-921).  Scoring = bag BM25 over the
+        positive terms present in each match; negative clauses only filter."""
+        parts = self._boolean_parts(query)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if parts is None:
+            return empty
+        pos_groups, neg_groups, stats = parts
+        meta = self.meta
+        n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
+        idfs = {t: wand.idf(n_docs, stats[t][0]) for g in pos_groups for t in g}
+        needed = sorted({t for g in pos_groups for t in g} | {t for ng in neg_groups for t in ng})
+
+        rows = self.postings_for(needed).withColumn(
+            "rng",
+            F.explode(
+                F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
+            ),
+        )
+
+        def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            emptypdf = pd.DataFrame({"doc_id": [], "score": []}).astype({"doc_id": np.int64, "score": np.float64})
+            if len(pdf) == 0:
+                return emptypdf
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * span, (rng + 1) * span - 1
+            base = int(pdf["base"].iloc[0])
+            lens = np.frombuffer(pdf["doclens"].iloc[0], dtype=np.int32)
+            deleted = None
+            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
+                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            by_term = {
+                row["term"]: _mk_termlist(row, idfs.get(row["term"], 0.0), stats[row["term"]][0])
+                for row in pdf.to_dict("records")
+            }
+            groups_tl = []
+            for g in pos_groups:
+                lists = [(by_term[t], []) for t in g if t in by_term]
+                if not lists:
+                    return emptypdf  # AND-required group absent in this range
+                groups_tl.append(lists)
+            negs_tl = [
+                [(by_term[t], []) for t in ng if t in by_term] for ng in neg_groups
+            ]
+            negs_tl = [ng for ng in negs_tl if ng]
+            docs, scores = wand.score_boolean(
+                groups_tl, negs_tl, wand.DenseDoclens(base, lens), avgdl, k1, b, k, lo, hi,
+                deleted=deleted,
+            )
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        joined = rows.join(self._doclens, "rng")
+        if self._tomb_packed is not None:
+            joined = joined.join(self._tomb_packed, "rng", "left")
+        local_topk = joined.groupBy("rng").applyInPandas(score_range, "doc_id long, score double")
+        return (
+            local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", F.round("score", 6).alias("score"))
+        )
+
+    def match_ids_boolean(self, query: str | tuple) -> DataFrame:
+        """ALL doc_ids matching a boolean query (no scoring) — the
+        NOT-capable delete-by-query scan."""
+        parts = self._boolean_parts(query)
+        empty = self.spark.createDataFrame([], "doc_id long")
+        if parts is None:
+            return empty
+        pos_groups, neg_groups, stats = parts
+        span = self.span
+        dfs = {t: stats[t][0] for g in pos_groups + neg_groups for t in g}
+        needed = sorted(dfs)
+
+        rows = self.postings_for(needed).withColumn(
+            "rng",
+            F.explode(
+                F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
+            ),
+        )
+
+        def match_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            emptypdf = pd.DataFrame({"doc_id": []}).astype({"doc_id": np.int64})
+            if len(pdf) == 0:
+                return emptypdf
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * span, (rng + 1) * span - 1
+            deleted = None
+            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
+                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            by_term = {row["term"]: _mk_termlist(row, 0.0, dfs[row["term"]]) for row in pdf.to_dict("records")}
+            groups_tl = []
+            for g in pos_groups:
+                lists = [(by_term[t], []) for t in g if t in by_term]
+                if not lists:
+                    return emptypdf
+                groups_tl.append(lists)
+            negs_tl = [[(by_term[t], []) for t in ng if t in by_term] for ng in neg_groups]
+            negs_tl = [ng for ng in negs_tl if ng]
+            docs = wand.match_docs_boolean(groups_tl, negs_tl, lo, hi, deleted=deleted)
             return pd.DataFrame({"doc_id": docs})
 
         joined = rows
@@ -542,44 +706,93 @@ class LocalSearcher:
         )
         return [(int(d), round(float(s), 6)) for d, s in zip(docs, scores)]
 
+    def search_boolean(self, query: str | tuple, k: int = 10) -> list[tuple[int, float]]:
+        """Driver-side twin of :meth:`InvertedIndex.search_boolean`."""
+        groups, negs = parse_boolean_query(query) if isinstance(query, str) else query
+        all_terms = sorted({t for g in groups for t in g} | {t for ng in negs for t in ng})
+        self._rows_for(all_terms)
+        groups_tl = []
+        for g in groups:
+            lists = [(L, []) for t in g if (L := self._merged_list(t)) is not None]
+            if not lists:
+                return []
+            groups_tl.append(lists)
+        negs_tl = [
+            [(L, []) for t in ng if (L := self._merged_list(t)) is not None] for ng in negs
+        ]
+        negs_tl = [ng for ng in negs_tl if ng]
+        docs, scores = wand.score_boolean(
+            groups_tl, negs_tl, wand.DenseDoclens(0, self.doclens),
+            self.index.avgdl_live, self.meta["k1"], self.meta["b"], k,
+            0, self.doclens.size - 1,
+            deleted=self.deleted if self.deleted.size else None,
+        )
+        return [(int(d), round(float(s), 6)) for d, s in zip(docs, scores)]
 
-def parse_fielded_clauses(q: str) -> tuple[list[tuple[str, list[str], float, bool]], str]:
-    """Solr-style field-scoped query parser with quoted phrases:
-    ``'source:src42 AND text:"spark window"'`` → clauses
-    [(field, tokens, boost, is_phrase), ...] + mode.  Clauses join by
-    all-AND or all-OR (no mixing — the reference's generated queries are
-    single-connective too); ``^2.0`` boosts a whole clause; a quoted body
-    is an exact-phrase clause (token order preserved)."""
+
+class FieldedClause(NamedTuple):
+    """One parsed clause of a Solr-style fielded query."""
+
+    field: str
+    toks: list[str]
+    boost: float
+    quoted: bool   # exact-phrase clause (token order preserved)
+    neg: bool      # prohibited clause (-f:x) — filters, never scores
+    group: bool    # parenthesized OR-group (f:(a b c))
+
+
+def parse_fielded_clauses(q: str) -> tuple[list[FieldedClause], str]:
+    """Solr-style field-scoped query parser: quoted phrases, ``^2.0``
+    boosts, prohibited clauses (``-f:x``), and parenthesized OR-groups
+    (``f:(a b c)``) — together these express the reference's own generated
+    negated query `+(URN:(v1 v2…)) -PI_TOPSTRUCT:"pi"`
+    (helper/SolrSearchIndex.java:918-921).  Top-level clauses join by
+    all-AND or all-OR (mixing is expressed as AND of OR-groups); at least
+    one positive clause is required."""
     import re as _re
 
     if " AND " in q and " OR " in q:
-        raise ValueError("mixed AND/OR not supported")
+        raise ValueError("mixed top-level AND/OR not supported — use f:(a b) OR-groups inside an AND query")
     mode = "and" if " AND " in q else "or"
-    clauses: list[tuple[str, list[str], float, bool]] = []
+    clauses: list[FieldedClause] = []
     for clause in _re.split(r"\s+(?:AND|OR)\s+", q.strip()):
-        m = _re.match(r'^(\w+):"([^"]*)"(?:\^([0-9.]+))?$', clause.strip())
+        clause = clause.strip()
+        neg = clause.startswith("-")
+        if neg:
+            clause = clause[1:].lstrip()
+        m = _re.match(r'^(\w+):"([^"]*)"(?:\^([0-9.]+))?$', clause)
         quoted = m is not None
+        group = False
         if not m:
-            m = _re.match(r"^(\w+):(.+?)(?:\^([0-9.]+))?$", clause.strip())
+            m = _re.match(r"^(\w+):\(([^()]*)\)(?:\^([0-9.]+))?$", clause)
+            group = m is not None
+        if not m:
+            m = _re.match(r"^(\w+):(.+?)(?:\^([0-9.]+))?$", clause)
         if not m:
             raise ValueError(f"cannot parse clause {clause!r}")
         fname, body, boost = m.group(1), m.group(2), float(m.group(3) or 1.0)
         toks = tokenize_py(body)
         if toks:
-            clauses.append((fname, toks, boost, quoted))
+            clauses.append(FieldedClause(fname, toks, boost, quoted, neg, group))
+    if clauses and all(c.neg for c in clauses):
+        raise ValueError("query needs at least one positive clause")
     return clauses, mode
 
 
 def parse_fielded_query(q: str) -> tuple[list[tuple[str, str]], dict[int, float], str]:
-    """Flattened form of :func:`parse_fielded_clauses` (no phrase info):
-    ([(field, token), ...], per-pair boosts, mode)."""
+    """Flattened form of :func:`parse_fielded_clauses` (no phrase/boolean
+    info): ([(field, token), ...], per-pair boosts, mode).  Raises on
+    prohibited clauses and OR-groups — those aren't expressible as flat
+    pairs; route them through ``search()``."""
     clauses, mode = parse_fielded_clauses(q)
     pairs: list[tuple[str, str]] = []
     boosts: dict[int, float] = {}
-    for fname, toks, boost, _quoted in clauses:
-        for tok in toks:
-            boosts[len(pairs)] = boost
-            pairs.append((fname, tok))
+    for c in clauses:
+        if c.neg or c.group:
+            raise ValueError("boolean clause (-f:x / f:(a b)) is not expressible as flat pairs — use search()")
+        for tok in c.toks:
+            boosts[len(pairs)] = c.boost
+            pairs.append((c.field, tok))
     return pairs, boosts, mode
 
 
@@ -588,44 +801,64 @@ def _fielded_query_parts(
     query,
     mode: str,
     boosts: dict[str, float] | None,
-) -> tuple[dict[str, float], str, list[list[tuple[str, list[int]]]] | None]:
+) -> tuple[dict[str, float], str, list[list[tuple[str, list[int]]]] | None, list[list[tuple[str, list[int]]]]]:
     """Shared parse for the distributed and local fielded engines:
-    (tagged term → weight, mode, phrase groups or None).  Groups is non-None
-    iff the query contains quoted phrase clauses (then mode is 'phrase'
-    semantics: AND of all clause groups)."""
+    (tagged term → weight, mode, positive groups or None, negative groups).
+
+    mode 'and'/'or' with groups None → the plain fast paths.  mode 'phrase'
+    → AND of clause groups incl. positional verify (score_mixed).  mode
+    'boolean'/'boolean_or' → group/NOT execution (score_boolean): each
+    positive group is OR-within (a phrase group carries offsets), negative
+    groups exclude.  Only positive terms get weights (negs never score)."""
     from goobi_viewer_indexer_spark.operators.spimi import tag_term
 
     boosts = boosts or {}
     if isinstance(query, str):
         clauses, mode = parse_fielded_clauses(query)
-        for fname, _toks, _bo, _q in clauses:
-            if fname not in fields:
-                raise ValueError(f"unknown field {fname!r} (have {fields})")
-        if any(quoted for _f, _t, _b, quoted in clauses):
-            if mode != "and" and len(clauses) > 1:
+        for c in clauses:
+            if c.field not in fields:
+                raise ValueError(f"unknown field {c.field!r} (have {fields})")
+        has_bool = any(c.neg or c.group for c in clauses)
+        if has_bool or any(c.quoted for c in clauses):
+            n_pos = sum(1 for c in clauses if not c.neg)
+            if any(c.quoted for c in clauses) and mode != "and" and n_pos > 1:
                 raise ValueError("phrase clauses require AND (or a single clause)")
             tagged_weights: dict[str, float] = {}
-            groups: list[list[tuple[str, list[int]]]] = []
-            for fname, toks, boost, quoted in clauses:
-                distinct = list(dict.fromkeys(toks))
-                for t in distinct:
-                    tagged_weights[tag_term(fname, t)] = boost * boosts.get(fname, 1.0)
-                if quoted:
-                    groups.append(
-                        [
-                            (tag_term(fname, t), [i for i, x in enumerate(toks) if x == t])
-                            for t in distinct
-                        ]
+            pos_groups: list[list[tuple[str, list[int]]]] = []
+            neg_groups: list[list[tuple[str, list[int]]]] = []
+
+            def entries(c: FieldedClause) -> list[tuple[str, list[int]]]:
+                distinct = list(dict.fromkeys(c.toks))
+                return [
+                    (
+                        tag_term(c.field, t),
+                        [i for i, x in enumerate(c.toks) if x == t] if c.quoted else [],
                     )
+                    for t in distinct
+                ]
+
+            for c in clauses:
+                ent = entries(c)
+                if c.neg:
+                    neg_groups.append(ent)
+                    continue
+                for t, _offs in ent:
+                    tagged_weights[t] = c.boost * boosts.get(c.field, 1.0)
+                if c.quoted or c.group:
+                    pos_groups.append(ent)
                 else:
-                    groups.extend([(tag_term(fname, t), [])] for t in distinct)
-            return tagged_weights, "phrase", groups
-        pairs = [(f, t) for f, toks, _b, _q in clauses for t in toks]
+                    # bare multi-token body: each token its own clause,
+                    # joined by the top-level connective (legacy semantics)
+                    pos_groups.extend([e] for e in ent)
+            if has_bool:
+                return tagged_weights, ("boolean" if mode == "and" else "boolean_or"), pos_groups, neg_groups
+            return tagged_weights, "phrase", pos_groups, []
+        pairs = [(c.field, t) for c in clauses for t in c.toks]
         pair_boosts = {}
         i = 0
-        for _f, toks, boost, _q in clauses:
-            for _t in toks:
-                pair_boosts[i] = boost
+        for c in clauses:
+            for _t in c.toks:
+                pair_boosts[i] = c.boost
                 i += 1
     else:
         pairs = list(query)
@@ -635,7 +868,7 @@ def _fielded_query_parts(
         if fname not in fields:
             raise ValueError(f"unknown field {fname!r} (have {fields})")
         tagged_weights[tag_term(fname, term)] = pair_boosts.get(i, 1.0) * boosts.get(fname, 1.0)
-    return tagged_weights, mode, None
+    return tagged_weights, mode, None, []
 
 
 class FieldedIndex:
@@ -710,28 +943,64 @@ class FieldedIndex:
 
     def _score_plan(self, tagged_weights: dict[str, float], k: int, mode: str,
                     n_required: int, with_positions: bool = False,
-                    phrase_groups: list[list[tuple[str, list[int]]]] | None = None) -> DataFrame:
-        """Shared range-parallel scoring plan for fielded and/or/phrase."""
+                    phrase_groups: list[list[tuple[str, list[int]]]] | None = None,
+                    neg_groups: list[list[tuple[str, list[int]]]] | None = None) -> DataFrame:
+        """Shared range-parallel scoring plan for fielded and/or/phrase/
+        boolean.  ``mode`` 'boolean'/'boolean_or': ``phrase_groups`` holds
+        the POSITIVE clause groups (OR-within; offsets mark phrase groups)
+        and ``neg_groups`` the prohibited clauses — executed by
+        wand.score_boolean (negs filter, never score)."""
         from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP
 
         meta = self.meta
         k1, b, span = meta["k1"], meta["b"], self.span
         avgdls, fields, ub_scales = self.avgdls, self.fields, self.ub_scales
-        stats = self.term_stats_for(list(tagged_weights))
+        neg_groups = neg_groups or []
+        neg_terms = sorted({t for g in neg_groups for t, _ in g})
+        stats = self.term_stats_for(sorted(tagged_weights) + neg_terms)
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         present = {t: w for t, w in tagged_weights.items() if t in stats}
         if not present or (mode in ("and", "phrase") and len(present) < n_required):
             return empty
+        bool_or = mode == "boolean_or"
+        if mode in ("boolean", "boolean_or"):
+            kept_groups = []
+            for g in phrase_groups:
+                is_phrase = any(offs for _, offs in g)
+                ent = [(t, offs) for t, offs in g if t in stats]
+                if is_phrase and len(ent) < len(g):
+                    if not bool_or:
+                        return empty  # required phrase has an unindexed term
+                    continue
+                if not ent:
+                    if not bool_or:
+                        return empty  # required OR-group fully unindexed
+                    continue
+                kept_groups.append(ent)
+            if not kept_groups:
+                return empty
+            phrase_groups = kept_groups
+            kept_negs = []
+            for g in neg_groups:
+                ent = [(t, offs) for t, offs in g if t in stats]
+                # a NEG PHRASE with an unindexed term can never match → drop
+                # whole group; a neg OR-group keeps its present terms
+                if ent and not (any(offs for _, offs in g) and len(ent) < len(g)):
+                    kept_negs.append(ent)
+            neg_groups = kept_negs
         n_docs = self.n_docs
         idfs = {t: w * wand.idf(n_docs, stats[t][0]) for t, w in present.items()}
         n_terms = len(present)
+        all_needed = sorted(set(present) | {t for g in (phrase_groups or []) for t, _ in g if t in stats}
+                            | {t for g in neg_groups for t, _ in g})
 
-        rows = self.postings_for(list(present), with_positions=with_positions).withColumn(
+        rows = self.postings_for(all_needed, with_positions=with_positions).withColumn(
             "rng",
             F.explode(
                 F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
             ),
         )
+        pos_groups = phrase_groups
 
         def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
             emptypdf = pd.DataFrame({"doc_id": [], "score": []}).astype({"doc_id": np.int64, "score": np.float64})
@@ -751,21 +1020,46 @@ class FieldedIndex:
             for row in pdf.to_dict("records"):
                 t = row["term"]
                 fname = t.split(FIELD_SEP, 1)[0]
-                L = _mk_termlist(row, idfs[t], stats[t][0])
+                L = _mk_termlist(row, idfs.get(t, 0.0), stats[t][0])
                 L.dl_fn = dl_by_field[fname]
                 L.avgdl_f = avgdls[fname]
                 L.ub_scale_f = ub_scales[fname]
                 by_term[t] = L
-            if mode in ("and", "phrase") and len(by_term) < n_terms:
-                return emptypdf
-            if mode == "phrase":
-                groups = [[(by_term[t], offs) for t, offs in g] for g in phrase_groups]
+            if mode in ("boolean", "boolean_or"):
+                groups_tl = []
+                for g in pos_groups:
+                    is_phrase = any(offs for _, offs in g)
+                    ent = [(by_term[t], offs) for t, offs in g if t in by_term]
+                    if (is_phrase and len(ent) < len(g)) or not ent:
+                        if bool_or:
+                            continue
+                        return emptypdf  # required group absent in range
+                    groups_tl.append(ent)
+                if not groups_tl:
+                    return emptypdf
+                negs_tl = []
+                for og in neg_groups:
+                    ent = [(by_term[t], offs) for t, offs in og if t in by_term]
+                    # a neg phrase missing a term in this range cannot match here
+                    if ent and not (any(offs for _, offs in og) and len(ent) < len(og)):
+                        negs_tl.append(ent)
+                docs, scores = wand.score_boolean(
+                    groups_tl, negs_tl, None, 0.0, k1, b, k, lo, hi,
+                    deleted=deleted, mode="or" if bool_or else "and",
+                )
+            elif mode == "phrase":
+                if len(by_term) < n_terms:
+                    return emptypdf
+                groups = [[(by_term[t], offs) for t, offs in g] for g in pos_groups]
                 docs, scores = wand.score_mixed(
                     groups, None, 0.0, k1, b, k, lo, hi, deleted=deleted
                 )
             else:
+                if mode == "and" and len(by_term) < n_terms:
+                    return emptypdf
                 docs, scores = wand.score_topk(
-                    list(by_term.values()), None, 0.0, k1, b, k, mode, lo, hi, deleted=deleted
+                    [by_term[t] for t in by_term if t in present], None, 0.0, k1, b, k, mode, lo, hi,
+                    deleted=deleted,
                 )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -787,16 +1081,20 @@ class FieldedIndex:
         boosts: dict[str, float] | None = None,
     ) -> DataFrame:
         """``query``: a Solr-style string — ``source:src42 AND text:spark``,
-        quoted phrases allowed (``pi:x AND text:"a b"``, the reference's
-        bread-and-butter shape) — or a list of (field, term) pairs.
-        ``boosts``: per-FIELD multiplier on idf (BM25F-lite)."""
-        tagged_weights, mode, groups = _fielded_query_parts(self.fields, query, mode, boosts)
+        quoted phrases (``pi:x AND text:"a b"``, the reference's
+        bread-and-butter shape), OR-groups (``text:(a b c)``) and
+        prohibited clauses (``-lang:de``, ``-text:"a b"``) allowed — or a
+        list of (field, term) pairs.  ``boosts``: per-FIELD multiplier on
+        idf (BM25F-lite).  Negative clauses filter and never score."""
+        tagged_weights, mode, groups, negs = _fielded_query_parts(self.fields, query, mode, boosts)
         if not tagged_weights:
             return self.spark.createDataFrame([], "doc_id long, score double")
         if groups is not None:
+            with_pos = any(offs for g in groups + negs for _, offs in g)
             return self._score_plan(
-                tagged_weights, k, "phrase", n_required=len(tagged_weights),
-                with_positions=True, phrase_groups=groups,
+                tagged_weights, k, mode if mode.startswith("boolean") else "phrase",
+                n_required=len(tagged_weights),
+                with_positions=with_pos, phrase_groups=groups, neg_groups=negs,
             )
         return self._score_plan(tagged_weights, k, mode, n_required=len(tagged_weights))
 
@@ -822,8 +1120,9 @@ class FieldedIndex:
             if isinstance(q, str):
                 # phrase clauses must not be silently flattened to a bag of
                 # terms (ADVICE r2): batching has no positional path — route
-                # quoted queries through search() instead
-                if any(quoted for *_rest, quoted in parse_fielded_clauses(q)[0]):
+                # quoted queries through search() instead (parse_fielded_query
+                # below additionally rejects -clauses / OR-groups)
+                if any(c.quoted for c in parse_fielded_clauses(q)[0]):
                     raise ValueError(
                         f"query {qid!r} contains a quoted phrase clause — "
                         "phrase queries are not batchable, use search()"
@@ -1034,10 +1333,41 @@ class LocalFieldedSearcher:
     def search(self, query, k: int = 10, mode: str = "or", boosts: dict[str, float] | None = None) -> list[tuple[int, float]]:
         from dataclasses import replace
 
-        tagged_weights, mode, groups = _fielded_query_parts(self.index.fields, query, mode, boosts)
+        tagged_weights, mode, groups, negs = _fielded_query_parts(self.index.fields, query, mode, boosts)
         if not tagged_weights:
             return []
-        self._rows_for(sorted(tagged_weights))
+        neg_terms = sorted({t for g in negs for t, _ in g})
+        self._rows_for(sorted(tagged_weights) + neg_terms)
+        if mode.startswith("boolean"):
+            bool_or = mode == "boolean_or"
+            deleted = self.deleted if self.deleted.size else None
+            hi = max(a.size for a in self.doclens.values()) - 1
+            k1, b = self.meta["k1"], self.meta["b"]
+            groups_tl = []
+            for g in groups:
+                is_phrase = any(offs for _, offs in g)
+                ent = [
+                    (replace(L, idf=L.idf * tagged_weights[t], _cache=L._cache), offs)
+                    for t, offs in g
+                    if (L := self._merged_list(t)) is not None
+                ]
+                if (is_phrase and len(ent) < len(g)) or not ent:
+                    if bool_or:
+                        continue
+                    return []
+                groups_tl.append(ent)
+            if not groups_tl:
+                return []
+            negs_tl = []
+            for g in negs:
+                ent = [(L, offs) for t, offs in g if (L := self._merged_list(t)) is not None]
+                if ent and not (any(offs for _, offs in g) and len(ent) < len(g)):
+                    negs_tl.append(ent)
+            docs, scores = wand.score_boolean(
+                groups_tl, negs_tl, None, 0.0, k1, b, k, 0, hi,
+                deleted=deleted, mode="or" if bool_or else "and",
+            )
+            return [(int(d), round(float(s), 6)) for d, s in zip(docs, scores)]
         lists: dict[str, wand.TermList] = {}
         for t, w in tagged_weights.items():
             L = self._merged_list(t)

@@ -29,7 +29,10 @@ import numpy as np
 
 from goobi_viewer_indexer_spark.functions import codec
 
-__all__ = ["TermList", "score_topk", "score_phrase", "score_mixed", "match_docs", "idf"]
+__all__ = [
+    "TermList", "score_topk", "score_phrase", "score_mixed", "score_boolean",
+    "match_docs", "match_docs_boolean", "idf",
+]
 
 
 def idf(n_docs: int, df: int) -> float:
@@ -299,53 +302,179 @@ def score_mixed(
     docs, scores = _score_and(lists, dl, avgdl, k1, b, k, lo, hi, deleted, return_all=True)
     if docs.size == 0:
         return docs, scores
-
-    _P = np.int64(1) << np.int64(32)  # doc-index stride (positions are int32-safe)
-    _PAD = np.int64(65536)            # keeps pos - off non-negative for any query
-
-    def flat_positions(L: "TermList") -> tuple[np.ndarray, np.ndarray]:
-        """(cand_idx, position) flat pairs of term L over the candidate
-        docs, decoding only blocks that contain at least one candidate."""
-        bl = L.block_last_doc
-        blks = np.unique(np.searchsorted(bl, docs, side="left"))
-        out_i, out_p = [], []
-        for bi in blks[blks < len(bl)]:
-            d, t = L.decode_block(int(bi))
-            ci = np.minimum(np.searchsorted(docs, d), docs.size - 1)
-            m = docs[ci] == d  # postings belonging to candidate docs
-            if not m.any():
-                continue
-            pos = L.decode_block_positions(int(bi))
-            out_i.append(np.repeat(ci[m], t[m]))
-            out_p.append(pos[np.repeat(m, t)])
-        if not out_i:
-            e = np.zeros(0, np.int64)
-            return e, e
-        return np.concatenate(out_i).astype(np.int64), np.concatenate(out_p).astype(np.int64)
-
     keep = np.ones(docs.size, dtype=bool)
     for g in groups:
         if all(len(offs) == 0 for _, offs in g):
             continue  # plain clause: the AND intersection already enforced it
-        keys: np.ndarray | None = None
-        for L, offs in g:
-            if not offs:
-                continue
-            ci, pos = flat_positions(L)
-            for off in offs:
-                k_arr = ci * _P + (pos - np.int64(off) + _PAD)
-                keys = k_arr if keys is None else np.intersect1d(keys, k_arr, assume_unique=True)
-                if keys.size == 0:
-                    break
-            if keys is not None and keys.size == 0:
-                break
-        g_keep = np.zeros(docs.size, dtype=bool)
-        if keys is not None and keys.size:
-            g_keep[np.unique(keys // _P)] = True
-        keep &= g_keep
+        keep &= _phrase_keep(g, docs)
         if not keep.any():
             break
     return _topk_select(docs[keep], scores[keep], k)
+
+
+_P64 = np.int64(1) << np.int64(32)  # doc-index stride (positions are int32-safe)
+_PAD64 = np.int64(65536)            # keeps pos - off non-negative for any query
+
+
+def _flat_positions(L: "TermList", docs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index_into_docs, position) flat pairs of term L over ``docs``
+    (sorted), decoding only blocks that contain at least one of them."""
+    bl = L.block_last_doc
+    blks = np.unique(np.searchsorted(bl, docs, side="left"))
+    out_i, out_p = [], []
+    for bi in blks[blks < len(bl)]:
+        d, t = L.decode_block(int(bi))
+        ci = np.minimum(np.searchsorted(docs, d), docs.size - 1)
+        m = docs[ci] == d  # postings belonging to candidate docs
+        if not m.any():
+            continue
+        pos = L.decode_block_positions(int(bi))
+        out_i.append(np.repeat(ci[m], t[m]))
+        out_p.append(pos[np.repeat(m, t)])
+    if not out_i:
+        e = np.zeros(0, np.int64)
+        return e, e
+    return np.concatenate(out_i).astype(np.int64), np.concatenate(out_p).astype(np.int64)
+
+
+def _phrase_keep(g: list[tuple["TermList", list[int]]], docs: np.ndarray) -> np.ndarray:
+    """Boolean mask over ``docs`` (sorted, all containing every term of g):
+    True where the group's phrase matches.  Anchor-key intersection per
+    (term, offset): ``key = doc_idx * 2^32 + (pos - off + PAD)``."""
+    keys: np.ndarray | None = None
+    for L, offs in g:
+        if not offs:
+            continue
+        ci, pos = _flat_positions(L, docs)
+        for off in offs:
+            k_arr = ci * _P64 + (pos - np.int64(off) + _PAD64)
+            keys = k_arr if keys is None else np.intersect1d(keys, k_arr, assume_unique=True)
+            if keys.size == 0:
+                break
+        if keys is not None and keys.size == 0:
+            break
+    out = np.zeros(docs.size, dtype=bool)
+    if keys is not None and keys.size:
+        out[np.unique(keys // _P64)] = True
+    return out
+
+
+def _isect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Sorted-unique intersection via searchsorted."""
+    if a.size == 0 or b.size == 0:
+        return np.zeros(0, np.int64)
+    pos = np.minimum(np.searchsorted(b, a), b.size - 1)
+    return a[b[pos] == a]
+
+
+def _boolean_members(
+    groups: list[list[tuple["TermList", list[int]]]],
+    negs: list[list[tuple["TermList", list[int]]]],
+    lo: int,
+    hi: int,
+    deleted: np.ndarray | None = None,
+    mode: str = "and",
+) -> np.ndarray:
+    """Sorted doc_ids in [lo, hi] matching the boolean query.
+
+    ``groups``: positive clause groups — a group with positional offsets is
+    a phrase (doc must contain the consecutive sequence); otherwise the
+    group matches docs containing ANY of its terms (OR-within,
+    Solr ``F:(a b c)``).  ``mode``: how the positive groups combine
+    ('and' = all must match, the Lucene '+' default; 'or' = any).
+    ``negs``: docs matching any negative group are excluded — the
+    reference's ``-PI_TOPSTRUCT:"x"`` shape (helper/SolrSearchIndex.java:
+    918-921).  Pure-negative queries are rejected upstream (Solr needs a
+    positive clause too)."""
+    def members(g: list[tuple["TermList", list[int]]], within: np.ndarray | None) -> np.ndarray:
+        is_phrase = any(offs for _, offs in g)
+        if is_phrase:
+            m: np.ndarray | None = None
+            for L, _offs in g:
+                d = L.decode_range(lo, hi)[0]
+                m = d if m is None else _isect(m, d)
+                if m.size == 0:
+                    return m
+            if within is not None:
+                m = _isect(m, within)
+            if m.size == 0:
+                return m
+            return m[_phrase_keep(g, m)]
+        parts = [L.decode_range(lo, hi)[0] for L, _ in g]
+        m = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+        return _isect(m, within) if within is not None else m
+
+    cand: np.ndarray | None = None
+    if mode == "or":
+        parts = [members(g, None) for g in groups]
+        cand = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+    else:
+        # plain groups first (cheap set ops) so phrase groups verify only
+        # the already-restricted candidate set
+        for g in sorted(groups, key=lambda g: any(offs for _, offs in g)):
+            cand = members(g, cand)
+            if cand.size == 0:
+                return cand
+    if cand is None:
+        return np.zeros(0, np.int64)
+    cand = cand[_drop_deleted(cand, deleted)]
+    for ng in negs:
+        if cand.size == 0:
+            break
+        ex = members(ng, cand)
+        if ex.size:
+            pos = np.minimum(np.searchsorted(ex, cand), ex.size - 1)
+            cand = cand[ex[pos] != cand]
+    return cand
+
+
+def match_docs_boolean(
+    groups, negs, lo: int, hi: int, deleted: np.ndarray | None = None, mode: str = "and"
+) -> np.ndarray:
+    """ALL doc_ids matching the boolean query (no scoring) — the NOT-capable
+    delete-by-query scan."""
+    return _boolean_members(groups, negs, lo, hi, deleted, mode)
+
+
+def score_boolean(
+    groups,
+    negs,
+    dl,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    lo: int,
+    hi: int,
+    deleted: np.ndarray | None = None,
+    mode: str = "and",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k BM25 over the boolean match set.  Scoring = bag BM25 over the
+    distinct POSITIVE lists, counting only terms actually present in each
+    matching doc (negative clauses filter membership, never score — Solr's
+    prohibited-clause semantics)."""
+    cand = _boolean_members(groups, negs, lo, hi, deleted, mode)
+    if cand.size == 0:
+        return cand, np.zeros(0, np.float64)
+    scores = np.zeros(cand.size, dtype=np.float64)
+    seen: set[int] = set()
+    for g in groups:
+        for L, _offs in g:
+            if id(L) in seen:
+                continue
+            seen.add(id(L))
+            d, t = L.decode_range(lo, hi)
+            if d.size == 0:
+                continue
+            idx = np.minimum(np.searchsorted(cand, d), cand.size - 1)
+            m = cand[idx] == d
+            if not m.any():
+                continue
+            scores[idx[m]] += _bm25(
+                t[m], (L.dl_fn or dl)(d[m]), L.idf,
+                L.avgdl_f if L.avgdl_f is not None else avgdl, k1, b,
+            )
+    return _topk_select(cand, scores, k)
 
 
 def score_phrase(

@@ -495,7 +495,11 @@ def delete_by_query(
     (InvertedIndex.match_ids) → the same tombstone+stats txn as
     :func:`delete_docs`.  The matched id set is pinned as a STAGED PARQUET
     under the txn, so a replay deletes exactly the originally-matched docs
-    even if the index moved underneath."""
+    even if the index moved underneath.
+
+    ``mode='boolean'``: NOT + OR-group syntax ``'(a b) c -d'`` = docs with
+    (a OR b) AND c AND NOT d (the reference's negated purge shape,
+    helper/SolrSearchIndex.java:918-921)."""
     from goobi_viewer_indexer_spark.operators.search import InvertedIndex
 
     if tag is None:
@@ -505,7 +509,8 @@ def delete_by_query(
     # the matched set stays a DataFrame end to end: _delete_df pins it as a
     # staged parquet (millions of matches never touch the driver), and a
     # replay short-circuits on the staged copy without re-running the scan
-    ids_df = InvertedIndex(spark, index_dir).match_ids(query, mode=mode)
+    idx = InvertedIndex(spark, index_dir)
+    ids_df = idx.match_ids_boolean(query) if mode == "boolean" else idx.match_ids(query, mode=mode)
     return _delete_df(spark, index_dir, ids_df, trace, tag)
 
 

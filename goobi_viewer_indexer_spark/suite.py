@@ -211,6 +211,53 @@ def q_bm25_page2(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# boolean queries: NOT (prohibited clauses) + AND-of-OR-groups — the
+# reference's own generated negated shape `+(URN:(v1 v2)) -PI_TOPSTRUCT:"x"`
+# (helper/SolrSearchIndex.java:918-921)
+# --------------------------------------------------------------------------
+@register("bm25_not_clause", naive_bm25.bm25_boolean_topk_sql([["table"], ["join"]], [["spark"]], k=10))
+def q_bool_not(spark, sf_dir):
+    return _index_for(spark, sf_dir).search_boolean("table join -spark", k=10)
+
+
+@register(
+    "bm25_or_groups_not",
+    naive_bm25.bm25_boolean_topk_sql([["spark", "window"], ["value"]], [["join"]], k=10),
+)
+def q_bool_groups(spark, sf_dir):
+    return _index_for(spark, sf_dir).search_boolean("(spark window) value -join", k=10)
+
+
+@register(
+    "delete_by_query_not",
+    f"""
+SELECT doc_id FROM documents
+WHERE list_contains({duckdb_tokenize_sql('text')}, 'table')
+  AND list_contains({duckdb_tokenize_sql('text')}, 'spark')
+ORDER BY doc_id
+""".strip(),
+)
+def q_delq_not(spark, sf_dir):
+    """End-to-end NOT-capable delete-by-query: on a scratch index, delete
+    docs matching ``table -spark``; the live matches of 'table' must then be
+    exactly the table∧spark docs (which the oracle computes directly)."""
+    import tempfile
+
+    from goobi_viewer_indexer_spark.operators.search import InvertedIndex
+    from goobi_viewer_indexer_spark.plans import maintenance
+    from goobi_viewer_indexer_spark.plans.build import build_index
+
+    key = "delq:" + sf_dir.rstrip("/")
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="gvi_delq_")
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        build_index(docs, d, IDX_CFG)
+        maintenance.delete_by_query(spark, d, "table -spark", mode="boolean")
+        _INDEX_CACHE[key] = InvertedIndex(spark, d)
+    return _INDEX_CACHE[key].match_ids(["table"], mode="and").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # multi-field index (DEFAULT/FULLTEXT analog): field-scoped BM25F-lite —
 # every reference §2-B query is field-scoped (model/SolrConstants.java)
 # --------------------------------------------------------------------------
@@ -268,6 +315,15 @@ def q_bm25f_mixed(spark, sf_dir):
     # the reference's bread-and-butter Solr shape: PI:x AND FULLTEXT:"a b"
     # (15 matching docs at sf0.01)
     return _fielded_index_for(spark, sf_dir).search('lang:en AND text:"spark window"', k=10)
+
+
+@register(
+    "bm25f_not_clause",
+    naive_bm25.bm25f_topk_sql([("text", "table")], k=10, neg_filters=[("lang", "de")]),
+)
+def q_bm25f_not(spark, sf_dir):
+    # prohibited clause in the fielded engine: -lang:de filters, never scores
+    return _fielded_index_for(spark, sf_dir).search("text:table AND -lang:de", k=10)
 
 
 @register("bm25f_phrase_field", naive_bm25.bm25_phrase_topk_sql(PHRASE_2GRAM, k=10))

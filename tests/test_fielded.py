@@ -80,7 +80,11 @@ def test_parse_quoted_phrase_clause():
     from goobi_viewer_indexer_spark.operators.search import parse_fielded_clauses
 
     clauses, mode = parse_fielded_clauses('source:src42 AND text:"spark window"^2.0')
-    assert clauses == [("source", ["src42"], 1.0, False), ("text", ["spark", "window"], 2.0, True)]
+    assert [(c.field, c.toks, c.boost, c.quoted) for c in clauses] == [
+        ("source", ["src42"], 1.0, False),
+        ("text", ["spark", "window"], 2.0, True),
+    ]
+    assert not any(c.neg or c.group for c in clauses)
     assert mode == "and"
 
 
