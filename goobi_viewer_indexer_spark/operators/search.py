@@ -278,6 +278,36 @@ class InvertedIndex:
             joined = joined.withColumn("deleted", F.lit(None).cast("binary"))
         return joined.groupBy("rng").applyInPandas(match_range, "doc_id long")
 
+    # -- prefix (wildcard) queries -------------------------------------------
+    def expand_prefix(self, prefix: str, max_expansions: int = 1024) -> list[str]:
+        """Terms matching ``prefix*`` from the term dictionary — a parquet
+        RANGE scan on term_stats (``term >= p AND term < p + U+10FFFF``
+        reaches the scan as pushed row-group predicates; the postings reads
+        that follow are bucket-pruned as usual since the terms are then
+        known).  Solr's wildcard surface (viewer-side q=pre*); deterministic
+        cap: raising beats silently truncating the expansion."""
+        if not prefix:
+            raise ValueError("empty prefix")
+        hi = prefix + "\U0010ffff"
+        rows = (
+            self._term_stats
+            .filter((F.col("term") >= prefix) & (F.col("term") < hi))
+            .select("term")
+            .collect()
+        )
+        terms = sorted(r["term"] for r in rows)
+        if len(terms) > max_expansions:
+            raise ValueError(f"prefix {prefix!r} expands to {len(terms)} terms (> {max_expansions})")
+        return terms
+
+    def search_prefix(self, prefix: str, k: int = 10, max_expansions: int = 1024) -> DataFrame:
+        """Top-k BM25 over ``prefix*`` = OR over every matching term (each
+        with its own idf, Solr multi-term rewrite)."""
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(terms, k=k, mode="or")
+
     # -- boolean (NOT + AND-of-OR-groups) -----------------------------------
     def _boolean_parts(self, query) -> tuple[list[list[str]], list[list[str]], dict] | None:
         """Parse + presence-filter a boolean query.  None = provably empty

@@ -228,6 +228,13 @@ def q_bool_groups(spark, sf_dir):
     return _index_for(spark, sf_dir).search_boolean("(spark window) value -join", k=10)
 
 
+@register("bm25_prefix_or", naive_bm25.bm25_prefix_topk_sql("s", k=10))
+def q_prefix(spark, sf_dir):
+    # wildcard s* → {scan, slow, stream, small, sort, spark} at sf0.01:
+    # term-dictionary range scan, then the ordinary OR scorer
+    return _index_for(spark, sf_dir).search_prefix("s", k=10)
+
+
 @register(
     "delete_by_query_not",
     f"""

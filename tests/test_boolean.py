@@ -174,3 +174,34 @@ def test_fielded_mixed_phrase_and_not(spark, fidx):
     assert dist == loc
     only_phrase = [tuple(r) for r in fidx.search('text:"spark window"', k=50).collect()]
     assert {d for d, _ in dist} <= {d for d, _ in only_phrase}
+
+
+def test_prefix_search_equals_expanded_or(spark, idx):
+    terms = idx.expand_prefix("s")
+    assert set(terms) == {"scan", "slow", "stream", "small", "sort", "spark"}
+    got = [tuple(r) for r in idx.search_prefix("s", k=10).collect()]
+    exp = [tuple(r) for r in idx.search(terms, k=10, mode="or").collect()]
+    assert got == exp and len(got) == 10
+
+
+def test_prefix_expansion_plan_pushes_range_filter(idx):
+    """The term-dictionary expansion must reach parquet as a pushed range
+    predicate, not a post-scan filter."""
+    hi = "s" + "\U0010ffff"
+    plan = (
+        idx._term_stats.filter((F.col("term") >= "s") & (F.col("term") < hi))
+        .select("term")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(term,s)" in plan, plan
+
+
+def test_prefix_max_expansions_raises(idx):
+    with pytest.raises(ValueError, match="expands to"):
+        idx.search_prefix("s", k=5, max_expansions=2)
+    with pytest.raises(ValueError, match="empty"):
+        idx.expand_prefix("")
+
+
+def test_prefix_no_match_empty(idx):
+    assert idx.search_prefix("zzz", k=5).count() == 0
