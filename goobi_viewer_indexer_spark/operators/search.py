@@ -154,11 +154,75 @@ class InvertedIndex:
         return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
 
     # -- distributed search ------------------------------------------------
-    def search(self, query: str | list[str], k: int = 10, mode: str = "or", offset: int = 0) -> DataFrame:
+    def stored(self) -> DataFrame | None:
+        """The stored-fields side table (maintenance.set_stored_fields) —
+        the engine's analog of Solr stored fields, read via ``fl``."""
+        import os
+
+        from goobi_viewer_indexer_spark.plans import txn as _txn
+
+        p = f"{self.dir}/stored"
+        _txn.recover_dir(p)
+        return self.spark.read.parquet(p) if os.path.exists(p) else None
+
+    def search(
+        self,
+        query: str | list[str],
+        k: int = 10,
+        mode: str = "or",
+        offset: int = 0,
+        fl: list[str] | None = None,
+        sort: str | None = None,
+    ) -> DataFrame:
         """``offset``: Solr-style pagination (``start`` param of the
         reference's SolrSearchIndex.search) — rows [offset, offset+k).
         Each range still returns only its local top-(offset+k); the global
-        reduce skips the first ``offset`` rows."""
+        reduce skips the first ``offset`` rows.
+
+        ``fl``: stored-field projection — every reference query passes an
+        ``fl`` list (Indexer.java:382-388); results join the stored side
+        table and carry those columns.  ``sort``: ``"col asc|desc"`` orders
+        by a STORED column instead of score (the indexer writes SORT_
+        twins precisely for this, helper/MetadataHelper.java:905-931);
+        execution is match scan → join stored → orderBy → limit, score is
+        not computed (Solr field-sort semantics).  Ties break on doc_id."""
+        if sort is not None:
+            scol, _, sdir = sort.partition(" ")
+            sdir = (sdir or "asc").strip().lower()
+            if sdir not in ("asc", "desc"):
+                raise ValueError(f"bad sort direction {sdir!r}")
+            st = self.stored()
+            if st is None:
+                raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
+            cols = fl if fl is not None else [scol]
+            ids = self.match_ids(query, mode=mode)
+            key = F.col(scol).asc() if sdir == "asc" else F.col(scol).desc()
+            out = (
+                ids.join(st.select("doc_id", *dict.fromkeys(cols + [scol])), "doc_id")
+                .orderBy(key, F.asc("doc_id"))
+            )
+            if offset:
+                from pyspark.sql.window import Window
+
+                w = Window.orderBy(key, F.asc("doc_id"))
+                out = (
+                    out.withColumn("_rk", F.row_number().over(w))
+                    .filter((F.col("_rk") > offset) & (F.col("_rk") <= offset + k))
+                    .drop("_rk")
+                )
+            else:
+                out = out.limit(k)
+            return out.select("doc_id", *cols)
+        if fl is not None:
+            st = self.stored()
+            if st is None:
+                raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
+            topk = self.search(query, k=k, mode=mode, offset=offset)
+            return (
+                topk.join(st.select("doc_id", *fl), "doc_id", "left")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .select("doc_id", "score", *fl)
+            )
         if offset:
             from pyspark.sql.window import Window
 

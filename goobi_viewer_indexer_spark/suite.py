@@ -228,6 +228,55 @@ def q_bool_groups(spark, sf_dir):
     return _index_for(spark, sf_dir).search_boolean("(spark window) value -join", k=10)
 
 
+# --------------------------------------------------------------------------
+# fl stored-field projection + field sort — the reference's read contract:
+# every query passes fl (Indexer.java:382-388) and the indexer writes SORT_
+# twins for field ordering (helper/MetadataHelper.java:905-931)
+# --------------------------------------------------------------------------
+def _stored_index_for(spark, sf_dir):
+    """Suite index with stored fields (source, lang) populated once."""
+    idx = _index_for(spark, sf_dir)
+    key = "stored:" + sf_dir.rstrip("/")
+    if key not in _INDEX_CACHE:
+        from goobi_viewer_indexer_spark.plans.maintenance import set_stored_fields
+
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        # fixed tag: replays (same disk-cached index across driver runs) no-op
+        set_stored_fields(spark, idx.dir, docs.select("doc_id", "source", "lang"), tag="suite_stored_v1")
+        _INDEX_CACHE[key] = True
+    return idx
+
+
+@register(
+    "q_search_fl_sort",
+    f"""
+SELECT doc_id, source, lang FROM documents
+WHERE list_contains({duckdb_tokenize_sql('text')}, 'table')
+  AND list_contains({duckdb_tokenize_sql('text')}, 'join')
+ORDER BY source ASC, doc_id ASC LIMIT 15
+""".strip(),
+)
+def q_fl_sort(spark, sf_dir):
+    # sort="SORT_X asc" analog: match scan → join stored → orderBy → limit
+    return _stored_index_for(spark, sf_dir).search(
+        ["table", "join"], k=15, mode="and", fl=["source", "lang"], sort="source asc"
+    )
+
+
+@register(
+    "q_search_fl_projection",
+    f"""
+WITH base AS ({naive_bm25.bm25_topk_sql(Q_MIXED3, k=10, mode="or")})
+SELECT b.doc_id, b.score, d.source
+FROM base b JOIN documents d USING (doc_id)
+ORDER BY b.score DESC, b.doc_id ASC
+""".strip(),
+)
+def q_fl_projection(spark, sf_dir):
+    # fl on a scored search: top-k first, stored fields joined after
+    return _stored_index_for(spark, sf_dir).search(Q_MIXED3, k=10, mode="or", fl=["source"])
+
+
 @register("bm25_prefix_or", naive_bm25.bm25_prefix_topk_sql("s", k=10))
 def q_prefix(spark, sf_dir):
     # wildcard s* → {scan, slow, stream, small, sort, spark} at sf0.01:

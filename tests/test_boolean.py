@@ -205,3 +205,26 @@ def test_prefix_max_expansions_raises(idx):
 
 def test_prefix_no_match_empty(idx):
     assert idx.search_prefix("zzz", k=5).count() == 0
+
+
+def test_search_fl_requires_stored(idx):
+    with pytest.raises(ValueError, match="stored"):
+        idx.search(["table"], k=5, fl=["source"])
+
+
+def test_search_fl_sort_paging(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_index(docs, d, CFG)
+    maint.set_stored_fields(spark, d, docs.select("doc_id", "source", "lang"), tag="t1")
+    engine = InvertedIndex(spark, d)
+    full = [tuple(r) for r in engine.search(["table"], k=20, mode="and", sort="source asc").collect()]
+    page2 = [tuple(r) for r in engine.search(["table"], k=5, mode="and", sort="source asc", offset=5).collect()]
+    assert page2 == full[5:10]
+    # fl joins stored columns onto the scored top-k without changing ranks
+    plain = [r["doc_id"] for r in engine.search(["table", "join"], k=8).collect()]
+    with_fl = engine.search(["table", "join"], k=8, fl=["lang"]).collect()
+    assert [r["doc_id"] for r in with_fl] == plain
+    assert all(r["lang"] is not None for r in with_fl)
+    with pytest.raises(ValueError, match="direction"):
+        engine.search(["table"], k=5, sort="source sideways")
