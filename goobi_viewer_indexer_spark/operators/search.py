@@ -91,16 +91,25 @@ _BM25_COLS = [
 
 
 class InvertedIndex:
+    """A SNAPSHOT handle: table paths resolve through the generation
+    pointer (txn.table_path / current.json) at construction, so concurrent
+    maintenance can publish new generations without this reader ever seeing
+    a torn directory.  ``rev`` records the revision at open;
+    :meth:`is_stale` / re-opening pick up later commits."""
+
     def __init__(self, spark: SparkSession, index_dir: str):
         import os
+
+        from goobi_viewer_indexer_spark.plans import txn as _txn
 
         self.spark = spark
         self.dir = index_dir
         self.meta = load_meta(index_dir)
+        self.rev = _txn.current_rev(index_dir)
         self.span = self.meta["docs_per_segment"] * self.meta["merge_fanin"]
-        self._postings = spark.read.parquet(f"{index_dir}/postings")
-        self._term_stats = spark.read.parquet(f"{index_dir}/term_stats")
-        self._doclens = spark.read.parquet(f"{index_dir}/doclens_packed")
+        self._postings = spark.read.parquet(_txn.table_path(index_dir, "postings"))
+        self._term_stats = spark.read.parquet(_txn.table_path(index_dir, "term_stats"))
+        self._doclens = spark.read.parquet(_txn.table_path(index_dir, "doclens_packed"))
         # live-corpus scoring params (diverge from build values only after
         # incremental deletes; see plans/maintenance.py)
         self.n_live = self.meta.get("n_docs_live", self.meta["n_docs"])
@@ -109,7 +118,8 @@ class InvertedIndex:
         # avgdl grew they must be inflated to stay upper bounds
         self.ub_scale = max(1.0, self.avgdl_live / self.meta["avgdl"]) if self.meta["avgdl"] else 1.0
         self._tomb_packed = None
-        if os.path.exists(f"{index_dir}/tombstones"):
+        tomb_path = _txn.table_path(index_dir, "tombstones")
+        if os.path.exists(tomb_path):
             span = self.span
 
             def pack_tomb(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -120,7 +130,7 @@ class InvertedIndex:
                 return pd.DataFrame({"rng": [rng], "deleted": [arr.tobytes()]})
 
             self._tomb_packed = (
-                spark.read.parquet(f"{index_dir}/tombstones")
+                spark.read.parquet(tomb_path)
                 .withColumn("rng", (F.col("doc_id") / span).cast("int"))
                 .select("rng", "doc_id")
                 .groupBy("rng")
@@ -129,6 +139,12 @@ class InvertedIndex:
             )
 
     # -- helpers ----------------------------------------------------------
+    def is_stale(self) -> bool:
+        """True if maintenance committed since this snapshot was opened."""
+        from goobi_viewer_indexer_spark.plans import txn as _txn
+
+        return _txn.current_rev(self.dir) != self.rev
+
     def _buckets_of(self, terms: list[str]) -> list[int]:
         # driver-side Murmur3 identical to Spark's hash(): bucket routing
         # without launching a job (tests/test_spark_hash.py pins parity)
@@ -161,7 +177,7 @@ class InvertedIndex:
 
         from goobi_viewer_indexer_spark.plans import txn as _txn
 
-        p = f"{self.dir}/stored"
+        p = _txn.table_path(self.dir, "stored")
         _txn.recover_dir(p)
         return self.spark.read.parquet(p) if os.path.exists(p) else None
 
@@ -686,9 +702,25 @@ class InvertedIndex:
 class LocalSearcher:
     """Driver-side searcher: loads packed doclens once, caches per-term
     posting rows after first touch.  Millisecond-scale repeated queries —
-    the p95-latency path of the bench."""
+    the p95-latency path of the bench.
+
+    Staleness contract (VERDICT r2 #9): every query first compares the
+    index revision (one tiny ``current.json`` read) against the snapshot
+    this searcher loaded; if maintenance committed in between, the caches
+    are rebuilt from the new generation before answering."""
 
     def __init__(self, index: InvertedIndex):
+        self._load(index)
+
+    def refresh(self) -> None:
+        """Re-open the index at its current generation and drop all caches."""
+        self._load(InvertedIndex(self.index.spark, self.index.dir))
+
+    def _ensure_fresh(self) -> None:
+        if self.index.is_stale():
+            self.refresh()
+
+    def _load(self, index: InvertedIndex) -> None:
         self.index = index
         self.meta = index.meta
         dl_rows = index._doclens.orderBy("rng").collect()
@@ -755,6 +787,7 @@ class LocalSearcher:
         return _mk_termlist(merged, rows[0][0].idf, int(pdf["df"].sum()))
 
     def search(self, query: str | list[str], k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+        self._ensure_fresh()
         if mode == "phrase":
             return self.search_phrase(query, k=k)
         terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
@@ -781,6 +814,7 @@ class LocalSearcher:
     def search_phrase(self, query: str | list[str], k: int = 10) -> list[tuple[int, float]]:
         """Exact-phrase top-k, rank-identical to the distributed
         :meth:`InvertedIndex.search_phrase`."""
+        self._ensure_fresh()
         ordered = list(query) if isinstance(query, list) else tokenize_py(query)
         if not ordered:
             return []
@@ -802,6 +836,7 @@ class LocalSearcher:
 
     def search_boolean(self, query: str | tuple, k: int = 10) -> list[tuple[int, float]]:
         """Driver-side twin of :meth:`InvertedIndex.search_boolean`."""
+        self._ensure_fresh()
         groups, negs = parse_boolean_query(query) if isinstance(query, str) else query
         all_terms = sorted({t for g in groups for t in g} | {t for ng in negs for t in ng})
         self._rows_for(all_terms)
@@ -977,9 +1012,12 @@ class FieldedIndex:
     def __init__(self, spark: SparkSession, index_dir: str):
         import os
 
+        from goobi_viewer_indexer_spark.plans import txn as _txn
+
         self.spark = spark
         self.dir = index_dir
         self.meta = load_meta(index_dir)
+        self.rev = _txn.current_rev(index_dir)
         if "fields" not in self.meta:
             raise ValueError(f"{index_dir} is not a fielded index")
         self.fields: list[str] = self.meta["fields"]
@@ -994,11 +1032,12 @@ class FieldedIndex:
             f: (max(1.0, self.avgdls[f] / build_avgdls[f]) if build_avgdls[f] else 1.0)
             for f in self.fields
         }
-        self._postings = spark.read.parquet(f"{index_dir}/postings")
-        self._term_stats = spark.read.parquet(f"{index_dir}/term_stats")
-        self._doclens = spark.read.parquet(f"{index_dir}/doclens_packed")
+        self._postings = spark.read.parquet(_txn.table_path(index_dir, "postings"))
+        self._term_stats = spark.read.parquet(_txn.table_path(index_dir, "term_stats"))
+        self._doclens = spark.read.parquet(_txn.table_path(index_dir, "doclens_packed"))
         self._tomb_packed = None
-        if os.path.exists(f"{index_dir}/tombstones"):
+        tomb_path = _txn.table_path(index_dir, "tombstones")
+        if os.path.exists(tomb_path):
             span = self.span
 
             def pack_tomb(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1009,13 +1048,19 @@ class FieldedIndex:
                 return pd.DataFrame({"rng": [rng], "deleted": [arr.tobytes()]})
 
             self._tomb_packed = (
-                spark.read.parquet(f"{index_dir}/tombstones")
+                spark.read.parquet(tomb_path)
                 .withColumn("rng", (F.col("doc_id") / span).cast("int"))
                 .select("rng", "doc_id")
                 .groupBy("rng")
                 .applyInPandas(pack_tomb, "rng int, deleted binary")
                 .cache()
             )
+
+    def is_stale(self) -> bool:
+        """True if maintenance committed since this snapshot was opened."""
+        from goobi_viewer_indexer_spark.plans import txn as _txn
+
+        return _txn.current_rev(self.dir) != self.rev
 
     def _buckets_of(self, tagged: list[str]) -> list[int]:
         from goobi_viewer_indexer_spark.functions.spark_hash import bucket_of
@@ -1351,6 +1396,16 @@ class LocalFieldedSearcher:
     kernels, rank-identical to :meth:`FieldedIndex.search` (tested)."""
 
     def __init__(self, index: "FieldedIndex"):
+        self._load(index)
+
+    def refresh(self) -> None:
+        self._load(FieldedIndex(self.index.spark, self.index.dir))
+
+    def _ensure_fresh(self) -> None:
+        if self.index.is_stale():
+            self.refresh()
+
+    def _load(self, index: "FieldedIndex") -> None:
         self.index = index
         self.meta = index.meta
         dl_rows = index._doclens.orderBy("rng").collect()
@@ -1427,6 +1482,7 @@ class LocalFieldedSearcher:
     def search(self, query, k: int = 10, mode: str = "or", boosts: dict[str, float] | None = None) -> list[tuple[int, float]]:
         from dataclasses import replace
 
+        self._ensure_fresh()
         tagged_weights, mode, groups, negs = _fielded_query_parts(self.index.fields, query, mode, boosts)
         if not tagged_weights:
             return []

@@ -69,14 +69,14 @@ def _cfg_from_meta(meta: dict) -> IndexConfig:
 
 
 def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    p = os.path.join(index_dir, "tombstones")
+    p = txn.table_path(index_dir, "tombstones")
     if not os.path.exists(p):
         return None
     return spark.read.parquet(p)
 
 
 def live_corpus_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
-    ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    ds = spark.read.parquet(txn.table_path(index_dir, "doc_stats"))
     tomb = _tombstones(spark, index_dir)
     if tomb is not None:
         ds = ds.join(tomb.select("doc_id"), "doc_id", "left_anti")
@@ -85,7 +85,7 @@ def live_corpus_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
 
 
 def live_corpus_stats_fielded(spark: SparkSession, index_dir: str, fields: list[str]) -> tuple[int, dict[str, float]]:
-    ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    ds = spark.read.parquet(txn.table_path(index_dir, "doc_stats"))
     tomb = _tombstones(spark, index_dir)
     if tomb is not None:
         ds = ds.join(tomb.select("doc_id"), "doc_id", "left_anti")
@@ -142,7 +142,7 @@ def _delete_df(spark: SparkSession, index_dir: str, ids_df: DataFrame, trace: bo
         # heal any OTHER crashed txn before mutating (ADVICE r2: a torn add
         # leaves doc_stats ahead of postings until something recovers it)
         recover_pending(spark, index_dir, skip_tag=tag)
-    ts_path = os.path.join(index_dir, "term_stats")
+    ts_path = txn.table_path(index_dir, "term_stats")
     txn.recover_dir(ts_path)
     meta = load_meta(index_dir)
     span = meta["docs_per_segment"] * meta["merge_fanin"]
@@ -196,7 +196,7 @@ def _delete_df(spark: SparkSession, index_dir: str, ids_df: DataFrame, trace: bo
             .groupBy("rng")
             .applyInPandas(pack_ids, "rng int, del_ids binary")
         )
-        postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        postings = spark.read.parquet(txn.table_path(index_dir, "postings"))
         rows = postings.withColumn(
             "rng",
             F.explode(F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))),
@@ -241,7 +241,7 @@ def _delete_df(spark: SparkSession, index_dir: str, ids_df: DataFrame, trace: bo
         new_ts.write.mode("overwrite").partitionBy("bucket").parquet(txn.staged_path(index_dir, tag, "term_stats"))
 
     # ---- apply (each step idempotent, any order-crash recoverable) ----
-    txn.apply_append(index_dir, tag, "tombstones", os.path.join(index_dir, "tombstones"))
+    txn.apply_append(index_dir, tag, "tombstones", txn.table_path(index_dir, "tombstones"))
     txn.apply_swap(index_dir, tag, "term_stats", ts_path)
     txn.txn_commit(index_dir, tag)
     return _refresh_live_meta(spark, index_dir)
@@ -266,15 +266,11 @@ def _row_to_termlist(row):
     )
 
 
-def _swap_dir(path: str, tmp: str) -> None:
-    import shutil
-
-    bak = path + ".bak"
-    if os.path.exists(bak):
-        shutil.rmtree(bak)
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
+def _publish(index_dir: str, name: str, tmp: str) -> None:
+    """Publish a compaction rewrite as the new current generation of
+    ``name`` — atomic pointer flip, previous generation retained for
+    in-flight readers (txn.publish_table; VERDICT r2 #7)."""
+    txn.publish_table(index_dir, name, tmp)
 
 
 def add_docs(
@@ -300,8 +296,8 @@ def add_docs(
     meta = load_meta(index_dir)
     cfg = _cfg_from_meta(meta)
     span = cfg.docs_per_segment * cfg.merge_fanin
-    ds_path = os.path.join(index_dir, "doc_stats")
-    ts_path = os.path.join(index_dir, "term_stats")
+    ds_path = txn.table_path(index_dir, "doc_stats")
+    ts_path = txn.table_path(index_dir, "term_stats")
     if tag is None:
         tag = f"add_{int(time.time() * 1000)}"
     if txn.txn_done(index_dir, tag):
@@ -432,8 +428,8 @@ def add_docs(
 
     # ---- apply (idempotent steps) + commit ----
     txn.apply_append(index_dir, tag, "doc_stats", ds_path)
-    txn.apply_append(index_dir, tag, "doclens_packed", os.path.join(index_dir, "doclens_packed"))
-    txn.apply_append(index_dir, tag, "postings", os.path.join(index_dir, "postings"))
+    txn.apply_append(index_dir, tag, "doclens_packed", txn.table_path(index_dir, "doclens_packed"))
+    txn.apply_append(index_dir, tag, "postings", txn.table_path(index_dir, "postings"))
     txn.apply_swap(index_dir, tag, "term_stats", ts_path)
     txn.txn_commit(index_dir, tag)
 
@@ -525,7 +521,7 @@ def set_stored_fields(spark: SparkSession, index_dir: str, updates: DataFrame, t
     different contract — that's :func:`update_docs` (delete + re-add), the
     same split Lucene makes internally.  Merge runs under the txn swap
     protocol: replays with the same tag are no-ops."""
-    stored_path = os.path.join(index_dir, "stored")
+    stored_path = txn.table_path(index_dir, "stored")
     if tag is None:
         tag = f"setf_{int(time.time() * 1000)}"
     if txn.txn_done(index_dir, tag):
@@ -562,7 +558,7 @@ def set_stored_fields(spark: SparkSession, index_dir: str, updates: DataFrame, t
 
 
 def get_stored(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    p = os.path.join(index_dir, "stored")
+    p = txn.table_path(index_dir, "stored")
     txn.recover_dir(p)
     return spark.read.parquet(p) if os.path.exists(p) else None
 
@@ -587,7 +583,7 @@ def purge_compact(spark: SparkSession, index_dir: str) -> dict:
     """
     recover_pending(spark, index_dir)
     for sub in ("postings", "doc_stats", "doclens_packed"):
-        txn.recover_dir(os.path.join(index_dir, sub))
+        txn.recover_dir(txn.table_path(index_dir, sub))
     meta = load_meta(index_dir)
     cfg = _cfg_from_meta(meta)
     span = cfg.docs_per_segment * cfg.merge_fanin
@@ -609,7 +605,7 @@ def purge_compact(spark: SparkSession, index_dir: str) -> dict:
         .applyInPandas(pack_ids, "rng int, del_ids binary")
     )
 
-    post_path = os.path.join(index_dir, "postings")
+    post_path = txn.table_path(index_dir, "postings")
     postings = spark.read.parquet(post_path)
     key = ["term", "seg", "min_doc"]
     expl = postings.select(
@@ -623,7 +619,7 @@ def purge_compact(spark: SparkSession, index_dir: str) -> dict:
     # affected rows split per range (splitting preserves the ≤1-list-per-
     # term-per-range invariant; unaffected ranges of a spanning row keep
     # their postings via the LEFT join's null del_ids)
-    dl = spark.read.parquet(os.path.join(index_dir, "doclens_packed"))
+    dl = spark.read.parquet(txn.table_path(index_dir, "doclens_packed"))
     aff_rows = (
         postings.join(affected_keys, key)
         .withColumn(
@@ -695,12 +691,12 @@ def purge_compact(spark: SparkSession, index_dir: str) -> dict:
     )
     tmp = post_path + ".tmp"
     final.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    _swap_dir(post_path, tmp)
+    _publish(index_dir, "postings", tmp)
 
     _rewrite_docstats(spark, index_dir, span, fnames, tomb)
     import shutil
 
-    shutil.rmtree(os.path.join(index_dir, "tombstones"))
+    shutil.rmtree(txn.table_path(index_dir, "tombstones"))
     # keep the BUILD avgdl basis; record live values for scoring/ub_scale
     if fnames:
         n_live, avgdls_live = live_corpus_stats_fielded(spark, index_dir, fnames)
@@ -716,12 +712,12 @@ def purge_compact(spark: SparkSession, index_dir: str) -> dict:
 
 def _rewrite_docstats(spark: SparkSession, index_dir: str, span: int, fnames: list[str], tomb: DataFrame) -> None:
     """Drop tombstoned rows from doc_stats and re-pack the doclens arrays."""
-    ds_path = os.path.join(index_dir, "doc_stats")
+    ds_path = txn.table_path(index_dir, "doc_stats")
     ds = spark.read.parquet(ds_path)
     ds_live = ds.join(tomb.select("doc_id"), "doc_id", "left_anti")
     tmp3 = ds_path + ".tmp"
     ds_live.write.mode("overwrite").parquet(tmp3)
-    _swap_dir(ds_path, tmp3)
+    _publish(index_dir, "doc_stats", tmp3)
 
     len_cols = [f"doclen_{f}" for f in fnames] if fnames else ["doclen"]
     dl_out_cols = [f"doclens_{f}" for f in fnames] if fnames else ["doclens"]
@@ -744,10 +740,10 @@ def _rewrite_docstats(spark: SparkSession, index_dir: str, span: int, fnames: li
             row[oc] = [arr.tobytes()]
         return pd.DataFrame(row)
 
-    dlp = os.path.join(index_dir, "doclens_packed")
+    dlp = txn.table_path(index_dir, "doclens_packed")
     tmp4 = dlp + ".tmp"
     (
-        spark.read.parquet(ds_path)
+        spark.read.parquet(txn.table_path(index_dir, "doc_stats"))
         .withColumn("rng", (F.col("doc_id") / span).cast("int"))
         .select("rng", "doc_id", *len_cols)
         .groupBy("rng")
@@ -755,7 +751,7 @@ def _rewrite_docstats(spark: SparkSession, index_dir: str, span: int, fnames: li
         .write.mode("overwrite")
         .parquet(tmp4)
     )
-    _swap_dir(dlp, tmp4)
+    _publish(index_dir, "doclens_packed", tmp4)
 
 
 def compact(spark: SparkSession, index_dir: str) -> dict:
@@ -769,7 +765,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     see slightly stale df (idf only, never membership)."""
     recover_pending(spark, index_dir)  # never compact a torn state
     for sub in ("postings", "term_stats", "doc_stats", "doclens_packed"):
-        txn.recover_dir(os.path.join(index_dir, sub))
+        txn.recover_dir(txn.table_path(index_dir, sub))
     meta = load_meta(index_dir)
     cfg = _cfg_from_meta(meta)
     span = cfg.docs_per_segment * cfg.merge_fanin
@@ -782,9 +778,9 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         n_live, avgdl_live = live_corpus_stats(spark, index_dir)
         avgdls_live = None
 
-    post_path = os.path.join(index_dir, "postings")
+    post_path = txn.table_path(index_dir, "postings")
     postings = spark.read.parquet(post_path)
-    dl = spark.read.parquet(os.path.join(index_dir, "doclens_packed"))
+    dl = spark.read.parquet(txn.table_path(index_dir, "doclens_packed"))
     rows = postings.withColumn(
         "rng",
         F.explode(F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))),
@@ -864,11 +860,11 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     final = final.withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
     tmp = post_path + ".tmp"
     final.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    _swap_dir(post_path, tmp)
+    _publish(index_dir, "postings", tmp)
 
     # stats exact from compacted postings
-    ts_path = os.path.join(index_dir, "term_stats")
-    postings2 = spark.read.parquet(post_path)
+    ts_path = txn.table_path(index_dir, "term_stats")
+    postings2 = spark.read.parquet(txn.table_path(index_dir, "postings"))
     tmp2 = ts_path + ".tmp"
     (
         postings2.groupBy("term")
@@ -878,16 +874,16 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         .partitionBy("bucket")
         .parquet(tmp2)
     )
-    _swap_dir(ts_path, tmp2)
+    _publish(index_dir, "term_stats", tmp2)
 
     # doc_stats: physically drop tombstoned rows; doclens re-packed
-    ds_path = os.path.join(index_dir, "doc_stats")
+    ds_path = txn.table_path(index_dir, "doc_stats")
     ds = spark.read.parquet(ds_path)
     if tomb is not None:
         ds_live = ds.join(tomb.select("doc_id"), "doc_id", "left_anti")
         tmp3 = ds_path + ".tmp"
         ds_live.write.mode("overwrite").parquet(tmp3)
-        _swap_dir(ds_path, tmp3)
+        _publish(index_dir, "doc_stats", tmp3)
 
         len_cols = [f"doclen_{f}" for f in fnames] if fnames else ["doclen"]
         dl_out_cols = [f"doclens_{f}" for f in fnames] if fnames else ["doclens"]
@@ -910,10 +906,10 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
                 row[oc] = [arr.tobytes()]
             return pd.DataFrame(row)
 
-        dlp = os.path.join(index_dir, "doclens_packed")
+        dlp = txn.table_path(index_dir, "doclens_packed")
         tmp4 = dlp + ".tmp"
         (
-            spark.read.parquet(ds_path)
+            spark.read.parquet(txn.table_path(index_dir, "doc_stats"))
             .withColumn("rng", (F.col("doc_id") / span).cast("int"))
             .select("rng", "doc_id", *len_cols)
             .groupBy("rng")
@@ -921,10 +917,10 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
             .write.mode("overwrite")
             .parquet(tmp4)
         )
-        _swap_dir(dlp, tmp4)
+        _publish(index_dir, "doclens_packed", tmp4)
         import shutil
 
-        shutil.rmtree(os.path.join(index_dir, "tombstones"))
+        shutil.rmtree(txn.table_path(index_dir, "tombstones"))
 
     if fnames:
         meta["avgdl_by_field"] = avgdls_live

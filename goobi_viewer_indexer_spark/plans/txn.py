@@ -17,23 +17,33 @@ mutation that touches more than one of them needs its own commit story:
   deterministic ``<tag>__`` names — a half-finished move resumes without
   duplicating files;
 * **swaps** (read-modify-write of term_stats) plant an
-  ``_applied_txn_<tag>`` marker *inside* the staged replacement before the
-  rename pair, so a replay can tell "live already contains this txn" from
+  ``_applied_txn_<tag>`` marker *inside* the staged replacement before
+  publishing, so a replay can tell "live already contains this txn" from
   "live is still pre-txn" — the double-decrement ADVICE scenario.
 
-Recovery from a crash *between* the two renames of a swap is
-:func:`recover_dir`: live missing + ``.bak`` present → roll back to the
-pre-swap state (the staged replacement is still intact and the swap is
-simply retried).
+**Generation pointers (Iceberg-lite snapshot isolation).**  A "swapped"
+table is published as a VERSIONED directory (``term_stats.v<rev>``) and
+``current.json`` at the index root names the live version of every table
+— rewritten atomically (tmp + rename), so a reader that resolves the
+pointer (:func:`table_path`) can never observe a missing or half-renamed
+directory, unlike the old in-place rename pair (VERDICT r2 #3/#7).  The
+PREVIOUS generation of each table is retained until the next publish
+(in-flight readers keep their files — bounded snapshot retention, the
+expire-snapshots analog); older generations are GC'd.  ``current.json``
+also carries a monotonically increasing ``rev``, bumped by every publish
+AND every committed txn (appends too), which is the cheap staleness
+signal LocalSearcher checks per query.  A crash between the version
+rename and the pointer flip leaves an orphan version dir that the
+retried txn adopts (its in-dir marker identifies it) — readers meanwhile
+still resolve the old, intact version.
 
-This is Lucene-style commit-point atomicity (readers that re-open between
-steps of an uncommitted txn can see a torn state; a crashed txn heals on
-the next maintenance call) — the Iceberg-snapshot upgrade is the named
-deviation in SURVEY §1.3.
+:func:`recover_dir` heals the legacy pre-pointer ``.bak`` rename-pair
+layout (indexes written by earlier builds).
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
 import shutil
@@ -50,7 +60,83 @@ __all__ = [
     "apply_append",
     "apply_swap",
     "recover_dir",
+    "table_path",
+    "current_rev",
+    "bump_rev",
+    "publish_table",
 ]
+
+CURRENT = "current.json"
+
+
+def _read_current(index_dir: str) -> dict:
+    p = os.path.join(index_dir, CURRENT)
+    if not os.path.exists(p):
+        return {"rev": 0, "tables": {}, "retained": {}}
+    with open(p) as f:
+        cur = json.load(f)
+    cur.setdefault("tables", {})
+    cur.setdefault("retained", {})
+    return cur
+
+
+def _write_current(index_dir: str, cur: dict) -> None:
+    p = os.path.join(index_dir, CURRENT)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cur, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, p)  # atomic pointer flip
+
+
+def table_path(index_dir: str, name: str) -> str:
+    """Resolve a logical table (``postings``, ``term_stats``, …) to its
+    current versioned directory; falls back to the plain subdir for tables
+    never swapped (build output is the implicit generation 0)."""
+    rel = _read_current(index_dir)["tables"].get(name)
+    return os.path.join(index_dir, rel) if rel else os.path.join(index_dir, name)
+
+
+def current_rev(index_dir: str) -> int:
+    """Monotonic index revision — changes whenever ANY committed mutation
+    (publish, append txn, tombstone) lands; the searcher staleness check."""
+    return int(_read_current(index_dir).get("rev", 0))
+
+
+def bump_rev(index_dir: str) -> None:
+    cur = _read_current(index_dir)
+    cur["rev"] = int(cur.get("rev", 0)) + 1
+    _write_current(index_dir, cur)
+
+
+def _flip(index_dir: str, name: str, new_dirname: str) -> None:
+    """Point ``name`` at ``new_dirname`` (atomic), retain the displaced
+    generation for in-flight readers, GC the one retained before it."""
+    cur = _read_current(index_dir)
+    displaced = cur["tables"].get(name)
+    if displaced is None and os.path.exists(os.path.join(index_dir, name)):
+        displaced = name  # build-time plain dir = implicit generation 0
+    gc_target = cur["retained"].get(name)
+    cur["tables"][name] = new_dirname
+    cur["retained"][name] = displaced
+    cur["rev"] = int(cur.get("rev", 0)) + 1
+    _write_current(index_dir, cur)
+    if gc_target and gc_target != new_dirname:
+        shutil.rmtree(os.path.join(index_dir, gc_target), ignore_errors=True)
+
+
+def publish_table(index_dir: str, name: str, src_dir: str) -> str:
+    """Atomically make ``src_dir`` the current generation of ``name``
+    (non-txn path — compaction rewrites; idempotent by re-run).  Returns
+    the published path."""
+    cur = _read_current(index_dir)
+    nxt = os.path.join(index_dir, f"{name}.v{int(cur.get('rev', 0)) + 1}")
+    if os.path.exists(nxt):  # orphan of a crashed earlier attempt
+        shutil.rmtree(nxt)
+    os.rename(src_dir, nxt)
+    _flip(index_dir, name, os.path.basename(nxt))
+    return nxt
 
 
 def txn_root(index_dir: str) -> str:
@@ -88,6 +174,9 @@ def txn_commit(index_dir: str, tag: str) -> None:
     stage = os.path.join(root, tag)
     if os.path.exists(stage):
         shutil.rmtree(stage)
+    # appends don't flip a pointer, but they DO change what a query should
+    # see — bump the revision so held searchers detect staleness
+    bump_rev(index_dir)
 
 
 def staged_path(index_dir: str, tag: str, step: str) -> str:
@@ -147,27 +236,31 @@ def swap_already_live(live_dir: str, tag: str) -> bool:
     return os.path.exists(os.path.join(live_dir, swap_marker(tag)))
 
 
-def apply_swap(index_dir: str, tag: str, step: str, live_dir: str) -> None:
-    """Replace ``live_dir`` with the staged directory.  The staged copy
-    carries an in-dir marker, so replays detect an already-swapped live."""
+def apply_swap(index_dir: str, tag: str, step: str, live_dir: str | None = None) -> None:
+    """Publish the staged directory as the new current generation of table
+    ``step`` via the atomic pointer flip (no missing-directory window for
+    concurrent readers).  The staged copy carries an in-dir marker, so
+    replays detect an already-published generation; a crash between the
+    version rename and the pointer flip is healed by adopting the orphan
+    (identified by its marker)."""
     if step_applied(index_dir, tag, step):
         return
-    recover_dir(live_dir)
-    if swap_already_live(live_dir, tag):
+    cur_path = table_path(index_dir, step)
+    recover_dir(cur_path)
+    if swap_already_live(cur_path, tag):
         mark_step_applied(index_dir, tag, step)
         return
+    # crash window: version dir renamed, pointer not yet flipped → adopt it
+    current_rel = os.path.basename(cur_path)
+    for p in sorted(_glob.glob(os.path.join(index_dir, f"{step}.v*"))):
+        if os.path.basename(p) != current_rel and os.path.exists(os.path.join(p, swap_marker(tag))):
+            _flip(index_dir, step, os.path.basename(p))
+            mark_step_applied(index_dir, tag, step)
+            return
     src = staged_path(index_dir, tag, step)
     with open(os.path.join(src, swap_marker(tag)), "w") as f:
         f.write("ok")
-    bak = live_dir + ".bak"
-    if os.path.exists(bak):
-        shutil.rmtree(bak)
-    if os.path.exists(live_dir):
-        os.rename(live_dir, bak)
-        os.rename(src, live_dir)
-        shutil.rmtree(bak)
-    else:  # first-time creation of the side table
-        os.rename(src, live_dir)
+    publish_table(index_dir, step, src)
     mark_step_applied(index_dir, tag, step)
 
 

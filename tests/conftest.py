@@ -32,3 +32,11 @@ def duck():
     ]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF01}/{t}.parquet'")
     return con
+
+
+def read_index_table(spark, index_dir: str, name: str):
+    """Read a logical index table through the generation pointer (the raw
+    subdir path goes stale once maintenance publishes a new generation)."""
+    from goobi_viewer_indexer_spark.plans import txn
+
+    return spark.read.parquet(txn.table_path(index_dir, name))

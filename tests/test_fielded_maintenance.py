@@ -10,6 +10,8 @@ import math
 
 import pytest
 
+from tests.conftest import read_index_table
+
 from goobi_viewer_indexer_spark.config import IndexConfig
 from goobi_viewer_indexer_spark.operators.search import FieldedIndex
 from goobi_viewer_indexer_spark.plans import maintenance as maint
@@ -92,7 +94,7 @@ def test_fielded_add_then_search(spark, fidx_dir):
     maint.add_docs(spark, fidx_dir, new, tag="fa1")
     import pyspark.sql.functions as F
 
-    ds = spark.read.parquet(f"{fidx_dir}/doc_stats")
+    ds = read_index_table(spark, fidx_dir, "doc_stats")
     new_ids = sorted(r["doc_id"] for r in ds.filter(F.col("doc_id") >= 40).collect())
     assert len(new_ids) == 2
     live = [r for r in CORPUS if r[0] not in (3, 10)] + [
@@ -103,7 +105,7 @@ def test_fielded_add_then_search(spark, fidx_dir):
 
     # replay of the add with the same tag: no-op
     maint.add_docs(spark, fidx_dir, new, tag="fa1")
-    assert spark.read.parquet(f"{fidx_dir}/doc_stats").count() == 42
+    assert read_index_table(spark, fidx_dir, "doc_stats").count() == 42
 
     # compact purges tombstones; results unchanged (modulo exact stats)
     maint.compact(spark, fidx_dir)

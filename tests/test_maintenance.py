@@ -13,7 +13,7 @@ from goobi_viewer_indexer_spark.operators.naive_bm25 import bm25_topk
 from goobi_viewer_indexer_spark.operators.search import InvertedIndex
 from goobi_viewer_indexer_spark.plans import build as build_mod
 from goobi_viewer_indexer_spark.plans import maintenance as maint
-from tests.conftest import SF01
+from tests.conftest import SF01, read_index_table
 
 CFG = IndexConfig(docs_per_segment=64, merge_fanin=2, block_size=32, postings_buckets=16, compact_below_bytes=512)
 DELETED = [3, 17, 42, 100, 101, 250, 251, 252, 444, 499]
@@ -65,7 +65,7 @@ def test_add_docs_then_search(spark, idx_dir):
 
     # reconstruct the live corpus: original minus deleted, plus the new
     # rows at their assigned dense ids (appended past the span boundary)
-    ds = spark.read.parquet(f"{idx_dir}/doc_stats")
+    ds = read_index_table(spark, idx_dir, "doc_stats")
     orig = spark.read.parquet(f"{SF01}/documents.parquet").filter(~F.col("doc_id").isin(DELETED))
     new_ids = sorted(r["doc_id"] for r in ds.select("doc_id").collect() if r["doc_id"] >= 500)
     texts = [r["text"] for r in new.collect()]
@@ -84,7 +84,7 @@ def test_compact_purges_and_matches(spark, idx_dir):
 
     assert not os.path.exists(f"{idx_dir}/tombstones")
     idx = InvertedIndex(spark, idx_dir)
-    ds = spark.read.parquet(f"{idx_dir}/doc_stats")
+    ds = read_index_table(spark, idx_dir, "doc_stats")
     assert ds.filter(F.col("doc_id").isin(DELETED)).count() == 0
 
     orig = spark.read.parquet(f"{SF01}/documents.parquet").filter(~F.col("doc_id").isin(DELETED))
@@ -118,19 +118,19 @@ def test_purge_compact_rewrites_only_affected(spark, tmp_path):
     build_mod.build_index(docs, d, cfg)
     victims = [1, 5, 9]  # all inside range 0 (span=32)
     maint.delete_docs(spark, d, victims, tag="pc1")
-    before_ts = sorted(tuple(r) for r in spark.read.parquet(f"{d}/term_stats").collect())
+    before_ts = sorted(tuple(r) for r in read_index_table(spark, d, "term_stats").collect())
     # snapshot an untouched row ('cold' lives only in ranges >= 1)
-    cold_before = spark.read.parquet(f"{d}/postings").filter("term = 'cold'").collect()
+    cold_before = read_index_table(spark, d, "postings").filter("term = 'cold'").collect()
 
     import os
 
     meta = maint.purge_compact(spark, d)
     assert not os.path.exists(f"{d}/tombstones")
     # stats unchanged (delete already corrected them exactly)
-    after_ts = sorted(tuple(r) for r in spark.read.parquet(f"{d}/term_stats").collect())
+    after_ts = sorted(tuple(r) for r in read_index_table(spark, d, "term_stats").collect())
     assert after_ts == before_ts
     # untouched rows byte-identical
-    cold_after = spark.read.parquet(f"{d}/postings").filter("term = 'cold'").collect()
+    cold_after = read_index_table(spark, d, "postings").filter("term = 'cold'").collect()
     assert sorted((r["seg"], bytes(r["doc_bytes"])) for r in cold_after) == sorted(
         (r["seg"], bytes(r["doc_bytes"])) for r in cold_before
     )
@@ -145,7 +145,7 @@ def test_purge_compact_rewrites_only_affected(spark, tmp_path):
     # physically purged: deleted ids gone from postings for 'zone'
     from goobi_viewer_indexer_spark.plans.maintenance import _row_to_termlist
 
-    for r in spark.read.parquet(f"{d}/postings").filter("term = 'zone'").collect():
+    for r in read_index_table(spark, d, "postings").filter("term = 'zone'").collect():
         tl = _row_to_termlist(r)
         dd, _t = tl.decode_range(int(r["min_doc"]), int(r["max_doc"]))
         assert not any(v in dd for v in victims)

@@ -16,7 +16,7 @@ from goobi_viewer_indexer_spark.operators.multimodal import (
 )
 from goobi_viewer_indexer_spark.operators.search import InvertedIndex
 from goobi_viewer_indexer_spark.streaming.ingest import ingest_available_now, windowed_event_counts
-from tests.conftest import SF01
+from tests.conftest import SF01, read_index_table
 
 CFG = IndexConfig(docs_per_segment=64, merge_fanin=2, postings_buckets=16)
 
@@ -29,15 +29,15 @@ def test_streaming_ingest_exactly_once(spark, tmp_path):
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
     docs.filter("doc_id < 200").coalesce(1).write.parquet(f"{inp}/f1.parquet")
     ingest_available_now(spark, inp + "/*/", idxd, ckpt, CFG)
-    assert spark.read.parquet(f"{idxd}/doc_stats").count() == 200
+    assert read_index_table(spark, idxd, "doc_stats").count() == 200
 
     docs.filter("doc_id >= 200").coalesce(1).write.parquet(f"{inp}/f2.parquet")
     ingest_available_now(spark, inp + "/*/", idxd, ckpt, CFG)
-    assert spark.read.parquet(f"{idxd}/doc_stats").count() == 500
+    assert read_index_table(spark, idxd, "doc_stats").count() == 500
 
     # drain again: checkpoint ⇒ no reprocessing
     ingest_available_now(spark, inp + "/*/", idxd, ckpt, CFG)
-    assert spark.read.parquet(f"{idxd}/doc_stats").count() == 500
+    assert read_index_table(spark, idxd, "doc_stats").count() == 500
 
     idx = InvertedIndex(spark, idxd)
     assert len(idx.search(["table", "join"], k=5).collect()) == 5
@@ -151,13 +151,13 @@ def test_streaming_ingest_fielded(spark, tmp_path):
     fields = {"text": "text", "source": "source"}
     ingest_available_now(spark, inp + "/*/", idxd, ckpt, CFG,
                          schema="doc_id long, text string, source string", fields=fields)
-    assert spark.read.parquet(f"{idxd}/doc_stats").count() == 300
+    assert read_index_table(spark, idxd, "doc_stats").count() == 300
     assert FieldedIndex(spark, idxd).search([("text", "table")], k=5).count() == 5
 
     docs.filter("doc_id >= 300").coalesce(1).write.parquet(f"{inp}/f2.parquet")
     ingest_available_now(spark, inp + "/*/", idxd, ckpt, CFG,
                          schema="doc_id long, text string, source string", fields=fields)
-    assert spark.read.parquet(f"{idxd}/doc_stats").count() == 500
+    assert read_index_table(spark, idxd, "doc_stats").count() == 500
     # a doc appended in batch 2 is findable field-scoped
     srcs = {r["source"] for r in spark.read.parquet(f"{SF01}/documents.parquet").filter("doc_id >= 300").select("source").distinct().collect()}
     some = sorted(srcs)[0]
@@ -176,11 +176,11 @@ def test_bootstrap_replay_after_lost_checkpoint_is_noop(spark, tmp_path):
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
     docs.filter("doc_id < 200").coalesce(1).write.parquet(f"{inp}/f1.parquet")
     ingest_available_now(spark, inp + "/*/", idxd, str(tmp_path / "ckpt1"), CFG)
-    assert spark.read.parquet(f"{idxd}/doc_stats").count() == 200
+    assert read_index_table(spark, idxd, "doc_stats").count() == 200
     # replayed bootstrap batch (checkpoint never committed)
     ingest_available_now(spark, inp + "/*/", idxd, str(tmp_path / "ckpt2"), CFG)
-    assert spark.read.parquet(f"{idxd}/doc_stats").count() == 200
+    assert read_index_table(spark, idxd, "doc_stats").count() == 200
     # genuinely new files after the replay still append normally
     docs.filter("doc_id >= 200").coalesce(1).write.parquet(f"{inp}/f2.parquet")
     ingest_available_now(spark, inp + "/*/", idxd, str(tmp_path / "ckpt2"), CFG)
-    assert spark.read.parquet(f"{idxd}/doc_stats").count() == 500
+    assert read_index_table(spark, idxd, "doc_stats").count() == 500

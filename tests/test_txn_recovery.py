@@ -8,6 +8,8 @@ from __future__ import annotations
 import os
 
 import pytest
+
+from tests.conftest import read_index_table
 from pyspark.sql import functions as F
 
 from goobi_viewer_indexer_spark.config import IndexConfig
@@ -45,22 +47,22 @@ def _expected(spark, live_rows, terms=("shared", "alpha"), k=10):
 def test_add_replay_same_tag_is_noop(spark, idx):
     new = spark.createDataFrame([("alpha shared fresh",), ("beta gamma shared",)], "text string")
     maint.add_docs(spark, idx, new, tag="batch_7")
-    n1 = spark.read.parquet(f"{idx}/doc_stats").count()
+    n1 = read_index_table(spark, idx, "doc_stats").count()
     r1 = _search(spark, idx)
     # replay with DIFFERENT content under the same tag: must not apply
     other = spark.createDataFrame([("zzz qqq",)] * 5, "text string")
     maint.add_docs(spark, idx, other, tag="batch_7")
-    assert spark.read.parquet(f"{idx}/doc_stats").count() == n1
+    assert read_index_table(spark, idx, "doc_stats").count() == n1
     assert _search(spark, idx) == r1
 
 
 def test_delete_replay_same_tag_is_noop(spark, idx):
     maint.delete_docs(spark, idx, [1, 2, 3], tag="d1")
     r1 = _search(spark, idx)
-    ts1 = spark.read.parquet(f"{idx}/term_stats").agg(F.sum("df"), F.sum("cf")).collect()[0]
+    ts1 = read_index_table(spark, idx, "term_stats").agg(F.sum("df"), F.sum("cf")).collect()[0]
     maint.delete_docs(spark, idx, [1, 2, 3], tag="d1")
     assert _search(spark, idx) == r1
-    assert spark.read.parquet(f"{idx}/term_stats").agg(F.sum("df"), F.sum("cf")).collect()[0] == ts1
+    assert read_index_table(spark, idx, "term_stats").agg(F.sum("df"), F.sum("cf")).collect()[0] == ts1
 
 
 def test_crash_between_tombstones_and_stats_heals(spark, idx, monkeypatch):
@@ -88,7 +90,7 @@ def test_crash_between_tombstones_and_stats_heals(spark, idx, monkeypatch):
     # (single decrement despite the replay)
     got_ts = {
         r["term"]: (r["df"], r["cf"])
-        for r in spark.read.parquet(f"{idx}/term_stats").collect()
+        for r in read_index_table(spark, idx, "term_stats").collect()
         if r["term"].startswith("doc")
     }
     assert "doc5" not in got_ts  # df hit 0 exactly once → row dropped
@@ -124,7 +126,7 @@ def test_crash_mid_add_heals(spark, idx, monkeypatch):
         hashlib.sha256(t.encode()).hexdigest(): t
         for t in ["alpha shared omega", "omega omega shared"]
     }
-    ds = spark.read.parquet(f"{idx}/doc_stats")
+    ds = read_index_table(spark, idx, "doc_stats")
     new_rows = ds.filter(F.col("doc_id") >= 60).select("doc_id", "sha256").collect()
     assert len(new_rows) == 2
     live = list(CORPUS) + [(r["doc_id"], sha2text[r["sha256"]]) for r in new_rows]
@@ -134,10 +136,10 @@ def test_crash_mid_add_heals(spark, idx, monkeypatch):
 def test_abandoned_add_intent_aborts_cleanly(spark, idx):
     """An add that crashed before staging anything leaves no trace."""
     txn.txn_intent(idx, "aghost", {"op": "add", "base": 1024})
-    n0 = spark.read.parquet(f"{idx}/doc_stats").count()
+    n0 = read_index_table(spark, idx, "doc_stats").count()
     healed = maint.recover_pending(spark, idx)
     assert "aghost" in healed
-    assert spark.read.parquet(f"{idx}/doc_stats").count() == n0
+    assert read_index_table(spark, idx, "doc_stats").count() == n0
     assert txn.txn_done(idx, "aghost")
 
 
@@ -177,7 +179,7 @@ def test_torn_add_healed_by_next_maintenance_call(spark, idx, monkeypatch):
     assert txn.txn_done(idx, "acrash2") and txn.txn_done(idx, "dafter")
     new_ids = sorted(
         r["doc_id"]
-        for r in spark.read.parquet(f"{idx}/doc_stats").filter(F.col("doc_id") >= 60).collect()
+        for r in read_index_table(spark, idx, "doc_stats").filter(F.col("doc_id") >= 60).collect()
     )
     assert len(new_ids) == 1
     live = [(i, t) for i, t in CORPUS if i != 0] + list(zip(new_ids, ["alpha shared omega"]))

@@ -10,6 +10,8 @@ import unicodedata
 
 import pytest
 
+from tests.conftest import read_index_table
+
 from goobi_viewer_indexer_spark.config import IndexConfig
 from goobi_viewer_indexer_spark.functions.tokenize import tokenize_py
 from goobi_viewer_indexer_spark.operators.search import InvertedIndex
@@ -70,7 +72,7 @@ def test_nfd_doclen_matches_nfc_chain(spark, tmp_path):
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
     d = str(tmp_path / "idx")
     build_index(docs, d, CFG)
-    stored = {r["doc_id"]: r["doclen"] for r in spark.read.parquet(f"{d}/doc_stats").collect()}
+    stored = {r["doc_id"]: r["doclen"] for r in read_index_table(spark, d, "doc_stats").collect()}
     for i, t in CORPUS:
         assert stored[i] == len(tokenize_py(t)), i
     # sanity: the fixture really exercises the NFC/no-NFC divergence —
