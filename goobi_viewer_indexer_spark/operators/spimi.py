@@ -48,6 +48,7 @@ __all__ = [
     "build_partials_fielded",
     "merge_partials",
     "compact_light_terms",
+    "compact_light_terms_bucketed",
     "merge_group_pdf",
 ]
 
@@ -303,12 +304,12 @@ def _merge_sorted_runs(pdf: pd.DataFrame, key_cols: list[str], out_seg_from_salt
     return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame([], columns=cols)
 
 
-def _stream_merge(df: DataFrame, key_cols: list[str], out_seg_from_salt: bool,
-                  n_partitions: int, size_threshold: int | None = None) -> DataFrame:
-    """repartition(key) → sortWithinPartitions(key, min_doc) → mapInPandas
-    with a carry for groups spanning Arrow batches.  One pandas frame per
-    batch instead of per group: the per-group applyInPandas overhead was
-    the stage-2 bottleneck (25k tiny groups ≈ 100 s at 20k docs)."""
+def _merge_gen(key_cols: list[str], out_seg_from_salt: bool, size_threshold: int | None):
+    """mapInPandas generator merging contiguous key groups of a sorted
+    stream, with a carry for groups spanning Arrow batches.  One pandas
+    frame per batch instead of per group: the per-group applyInPandas
+    overhead was the stage-2 bottleneck (25k tiny groups ≈ 100 s at 20k
+    docs)."""
 
     def gen(batches):
         carry = None
@@ -330,11 +331,18 @@ def _stream_merge(df: DataFrame, key_cols: list[str], out_seg_from_salt: bool,
         if carry is not None and len(carry):
             yield _merge_sorted_runs(carry, key_cols, out_seg_from_salt, size_threshold)
 
+    return gen
+
+
+def _stream_merge(df: DataFrame, key_cols: list[str], out_seg_from_salt: bool,
+                  n_partitions: int, size_threshold: int | None = None) -> DataFrame:
+    """repartition(key) → sortWithinPartitions(key, min_doc) → mapInPandas
+    stream merge (see :func:`_merge_gen`)."""
     shuffled = (
         df.repartition(n_partitions, *[F.col(c) for c in key_cols])
         .sortWithinPartitions(*key_cols, "min_doc")
     )
-    return shuffled.mapInPandas(gen, POSTINGS_SCHEMA)
+    return shuffled.mapInPandas(_merge_gen(key_cols, out_seg_from_salt, size_threshold), POSTINGS_SCHEMA)
 
 
 def merge_partials(partials: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -355,3 +363,31 @@ def compact_light_terms(merged: DataFrame, cfg: IndexConfig) -> DataFrame:
     """
     return _stream_merge(merged, ["term"], False, cfg.shuffle_partitions,
                          size_threshold=cfg.compact_below_bytes)
+
+
+def compact_light_terms_bucketed(merged: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Light-term stitch FUSED into the bucketed-write exchange (round 3):
+    one ``repartition(bucket)`` + in-partition ``(term, min_doc)`` sort
+    serves BOTH the compaction grouping (term-contiguous stream) and the
+    final on-disk layout (one dir per bucket, term-sorted row groups) —
+    stage 2 moves the full postings payload TWICE (salted merge + this)
+    instead of three times.  The output is ready to
+    ``write.partitionBy("bucket")`` with no further exchange; row order
+    out of ``mapInPandas`` preserves the in-partition sort, so each
+    bucket's files keep their term-sorted row groups (the term-IN /
+    prefix-range pushdown layout).
+
+    Heavy-term skew note: the splice work for a stopword still happened in
+    the SALTED merge (spread across reducers); this pass only re-buckets
+    its already-merged salt rows and passes them through unmerged
+    (``size_threshold``), so fusing does not re-concentrate splice work."""
+    withb = merged.withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
+    shuffled = (
+        withb.repartition(cfg.postings_buckets, "bucket")
+        .sortWithinPartitions("term", "min_doc")
+    )
+    gen = _merge_gen(["term"], False, cfg.compact_below_bytes)
+    out = shuffled.mapInPandas(gen, POSTINGS_SCHEMA)
+    # bucket is a pure function of term — re-deriving it is a projection,
+    # not an exchange, and partitionBy routes rows by VALUE at write time
+    return out.withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))

