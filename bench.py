@@ -126,6 +126,14 @@ def main() -> None:
         fidx.search_phrase("text", ["spark", "window"], k=10).collect()
 
     timed("search_fielded_3q", run_fielded)
+
+    # boolean NOT + wildcard expansion, both engines (round-3 surface)
+    def run_boolean():
+        idx.search_boolean("table join -spark", k=10).collect()
+        idx.search_boolean("table s*", k=10).collect()
+        fidx.search("lang:en AND text:s*", k=10).collect()
+
+    timed("search_boolean_wildcard_3q", run_boolean)
     shutil.rmtree(fidx_dir, ignore_errors=True)
 
     # ---- 3. local searcher latency p50/p95 ----

@@ -423,6 +423,107 @@ FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
 """.strip()
 
 
+def bm25_boolean_wildcard_sql(
+    term: str,
+    prefix: str,
+    k: int = 10,
+    cfg: IndexConfig = IndexConfig(),
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for ``InvertedIndex.search_boolean('{term} {prefix}*')``:
+    membership = contains the term AND any dictionary term under the
+    prefix; score = bag BM25 over the term plus every matched prefix term
+    the doc contains (each its own idf)."""
+    k1, b = cfg.k1, cfg.b
+    tok = duckdb_tokenize_sql(text_col)
+    t = term.replace("'", "''")
+    p = prefix.replace("'", "''")
+    return f"""
+WITH tok AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+dl AS (SELECT {id_col} AS doc_id, len({tok}) AS doclen FROM {table}),
+g AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+qt AS (SELECT DISTINCT term FROM tok WHERE term LIKE '{p}%' UNION SELECT '{t}'),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf FROM tok t JOIN qt USING (term) GROUP BY 1, 2),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{t}'
+      INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term LIKE '{p}%'),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.doclen / g.avgdl)) ) AS score_raw
+  FROM tf
+  JOIN m   USING (doc_id)
+  JOIN dfs USING (term)
+  JOIN dl  USING (doc_id)
+  CROSS JOIN g
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def bm25f_prefix_and_term_sql(
+    pfield: str,
+    prefix: str,
+    tfield: str,
+    term: str,
+    k: int = 10,
+    cfg: IndexConfig = IndexConfig(),
+    field_cols: dict[str, str] | None = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for ``FieldedIndex.search('{tfield}:{term} AND
+    {pfield}:{prefix}*')``: membership = doc's pfield contains ANY
+    dictionary term under the prefix AND its tfield contains the term;
+    score = field-local BM25 summed over every matched prefix term (each
+    its own idf, Solr multi-term rewrite) + the term clause (N = global
+    doc count, df/dl/avgdl field-local — the BM25F-lite convention)."""
+    field_cols = field_cols or {pfield: pfield, tfield: tfield}
+    k1, b = cfg.k1, cfg.b
+    ptok = duckdb_tokenize_sql(field_cols[pfield])
+    ttok = duckdb_tokenize_sql(field_cols[tfield])
+    p = prefix.replace("'", "''")
+    t = term.replace("'", "''")
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM {table}),
+ptoks AS (SELECT {id_col} AS doc_id, unnest({ptok}) AS term FROM {table}),
+pdl AS (SELECT {id_col} AS doc_id, len({ptok}) AS dl FROM {table}),
+pg AS (SELECT avg(dl) AS avgdl FROM pdl),
+qt AS (SELECT DISTINCT term FROM ptoks WHERE term LIKE '{p}%'),
+ptf AS (SELECT doc_id, term, count(*) AS tf FROM ptoks JOIN qt USING (term) GROUP BY 1, 2),
+pdfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM ptf GROUP BY 1),
+tm AS (SELECT {id_col} AS doc_id, count(*) AS tf
+       FROM (SELECT {id_col}, unnest({ttok}) AS term FROM {table}) WHERE term = '{t}' GROUP BY 1),
+tdl AS (SELECT {id_col} AS doc_id, len({ttok}) AS dl FROM {table}),
+tg AS (SELECT avg(dl) AS avgdl FROM tdl),
+tdf AS (SELECT count(*) AS df FROM tm),
+m AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM ptf) JOIN tm USING (doc_id)),
+pscore AS (
+  SELECT ptf.doc_id,
+         sum( ln(1.0 + (n.n - pdfs.df + 0.5) / (pdfs.df + 0.5))
+              * (ptf.tf * ({k1} + 1.0))
+              / (ptf.tf + {k1} * (1.0 - {b} + {b} * pdl.dl / pg.avgdl)) ) AS s
+  FROM ptf JOIN pdfs USING (term) JOIN pdl USING (doc_id) CROSS JOIN pg CROSS JOIN n
+  GROUP BY 1),
+tscore AS (
+  SELECT tm.doc_id,
+         ln(1.0 + (n.n - tdf.df + 0.5) / (tdf.df + 0.5))
+         * (tm.tf * ({k1} + 1.0))
+         / (tm.tf + {k1} * (1.0 - {b} + {b} * tdl.dl / tg.avgdl)) AS s
+  FROM tm JOIN tdl USING (doc_id) CROSS JOIN tg CROSS JOIN tdf CROSS JOIN n),
+scored AS (
+  SELECT m.doc_id, coalesce(p.s, 0) + coalesce(t.s, 0) AS score_raw
+  FROM m LEFT JOIN pscore p USING (doc_id) LEFT JOIN tscore t USING (doc_id))
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
 def bm25_topk_sql(query_terms: list[str], k: int = 10, mode: str = "or", cfg: IndexConfig = IndexConfig(), table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
     """DuckDB oracle SQL computing the exact same top-k (same tokenizer,
     same idf/w formulas, same rounding and tie-break)."""

@@ -32,6 +32,7 @@ from goobi_viewer_indexer_spark.plans.build import load_meta
 __all__ = [
     "InvertedIndex", "LocalSearcher", "FieldedIndex", "LocalFieldedSearcher",
     "parse_fielded_query", "parse_fielded_clauses", "parse_boolean_query",
+    "expand_boolean_wildcards",
 ]
 
 
@@ -44,25 +45,72 @@ import re as _re
 _BOOL_CLAUSE_RE = _re.compile(r"(-?)(?:\(([^()]*)\)|([^\s()]+))")
 
 
+def _bool_toks(body: str) -> list[str]:
+    """:func:`tokenize_py` that PRESERVES a trailing ``*`` — ``pre*`` is a
+    wildcard token the engine expands from the term dictionary (the plain
+    tokenizer would silently demote it to the exact term ``pre``)."""
+    import unicodedata
+
+    norm = unicodedata.normalize("NFC", body).lower()
+    return _re.findall(r"[a-z0-9]+\*?", norm)
+
+
 def parse_boolean_query(q: str) -> tuple[list[list[str]], list[list[str]]]:
     """``'(table join) spark -window -(foo bar)'`` → (groups, negs):
     groups = [[table, join], [spark]] (each AND-required, OR within),
     negs = [[window], [foo, bar]] (docs matching any are excluded).
     Literal AND/OR connectives are noise (clauses AND-join).  At least one
-    positive clause is required (Solr rejects pure-negative queries too)."""
+    positive clause is required (Solr rejects pure-negative queries too).
+    A token ending in ``*`` is a wildcard (kept verbatim here; the engines
+    expand it against their term dictionary)."""
     groups: list[list[str]] = []
     negs: list[list[str]] = []
     for neg, grp, single in _BOOL_CLAUSE_RE.findall(q):
         body = grp if grp else single
         if body in ("AND", "OR", "NOT"):
             continue
-        toks = sorted(set(tokenize_py(body)))
+        toks = sorted(set(_bool_toks(body)))
         if not toks:
             continue
         (negs if neg else groups).append(toks)
     if not groups:
         raise ValueError("boolean query needs at least one positive clause")
     return groups, negs
+
+
+def expand_boolean_wildcards(
+    groups: list[list[str]],
+    negs: list[list[str]],
+    expand,
+) -> tuple[list[list[str]], list[list[str]]] | None:
+    """Replace ``pre*`` tokens with their dictionary expansion (OR-within
+    their group, each term scoring with its own idf — Solr multi-term
+    rewrite).  Returns None when a REQUIRED group expands to nothing (the
+    query provably matches no documents); a negative group expanding to
+    nothing just constrains nothing and is dropped."""
+    def ex(gs: list[list[str]], required: bool):
+        out: list[list[str]] = []
+        for g in gs:
+            terms: list[str] = []
+            for t in g:
+                if t.endswith("*"):
+                    terms.extend(expand(t[:-1]))
+                else:
+                    terms.append(t)
+            terms = sorted(set(terms))
+            if not terms:
+                if required:
+                    return None
+                continue
+            out.append(terms)
+        return out
+
+    if not any(t.endswith("*") for g in groups + negs for t in g):
+        return groups, negs
+    pos = ex(groups, required=True)
+    if pos is None:
+        return None
+    return pos, ex(negs, required=False)
 
 
 def _mk_termlist(row, idf_val: float, df: int) -> wand.TermList:
@@ -393,6 +441,10 @@ class InvertedIndex:
         """Parse + presence-filter a boolean query.  None = provably empty
         (an AND-required group has no indexed term)."""
         groups, negs = parse_boolean_query(query) if isinstance(query, str) else query
+        expanded = expand_boolean_wildcards(groups, negs, self.expand_prefix)
+        if expanded is None:
+            return None
+        groups, negs = expanded
         all_terms = sorted({t for g in groups for t in g} | {t for ng in negs for t in ng})
         stats = self.term_stats_for(all_terms)
         pos_groups: list[list[str]] = []
@@ -838,6 +890,10 @@ class LocalSearcher:
         """Driver-side twin of :meth:`InvertedIndex.search_boolean`."""
         self._ensure_fresh()
         groups, negs = parse_boolean_query(query) if isinstance(query, str) else query
+        expanded = expand_boolean_wildcards(groups, negs, self.index.expand_prefix)
+        if expanded is None:
+            return []
+        groups, negs = expanded
         all_terms = sorted({t for g in groups for t in g} | {t for ng in negs for t in ng})
         self._rows_for(all_terms)
         groups_tl = []
@@ -868,6 +924,7 @@ class FieldedClause(NamedTuple):
     quoted: bool   # exact-phrase clause (token order preserved)
     neg: bool      # prohibited clause (-f:x) — filters, never scores
     group: bool    # parenthesized OR-group (f:(a b c))
+    prefix: bool = False  # wildcard clause (f:pre*) — expands to an OR-group
 
 
 def parse_fielded_clauses(q: str) -> tuple[list[FieldedClause], str]:
@@ -891,18 +948,26 @@ def parse_fielded_clauses(q: str) -> tuple[list[FieldedClause], str]:
             clause = clause[1:].lstrip()
         m = _re.match(r'^(\w+):"([^"]*)"(?:\^([0-9.]+))?$', clause)
         quoted = m is not None
-        group = False
+        group = prefix = False
         if not m:
             m = _re.match(r"^(\w+):\(([^()]*)\)(?:\^([0-9.]+))?$", clause)
             group = m is not None
+        if not m:
+            # f:pre* BEFORE the generic bare match: the tokenizer strips
+            # '*', so the generic path would silently demote a wildcard to
+            # an exact term
+            m = _re.match(r"^(\w+):([^\s\"()*]+)\*(?:\^([0-9.]+))?$", clause)
+            prefix = m is not None
         if not m:
             m = _re.match(r"^(\w+):(.+?)(?:\^([0-9.]+))?$", clause)
         if not m:
             raise ValueError(f"cannot parse clause {clause!r}")
         fname, body, boost = m.group(1), m.group(2), float(m.group(3) or 1.0)
         toks = tokenize_py(body)
+        if prefix and len(toks) != 1:
+            raise ValueError(f"wildcard clause {clause!r} must have a single-token prefix")
         if toks:
-            clauses.append(FieldedClause(fname, toks, boost, quoted, neg, group))
+            clauses.append(FieldedClause(fname, toks, boost, quoted, neg, group, prefix))
     if clauses and all(c.neg for c in clauses):
         raise ValueError("query needs at least one positive clause")
     return clauses, mode
@@ -917,8 +982,8 @@ def parse_fielded_query(q: str) -> tuple[list[tuple[str, str]], dict[int, float]
     pairs: list[tuple[str, str]] = []
     boosts: dict[int, float] = {}
     for c in clauses:
-        if c.neg or c.group:
-            raise ValueError("boolean clause (-f:x / f:(a b)) is not expressible as flat pairs — use search()")
+        if c.neg or c.group or c.prefix:
+            raise ValueError("boolean clause (-f:x / f:(a b) / f:pre*) is not expressible as flat pairs — use search()")
         for tok in c.toks:
             boosts[len(pairs)] = c.boost
             pairs.append((c.field, tok))
@@ -930,6 +995,7 @@ def _fielded_query_parts(
     query,
     mode: str,
     boosts: dict[str, float] | None,
+    expand=None,
 ) -> tuple[dict[str, float], str, list[list[tuple[str, list[int]]]] | None, list[list[tuple[str, list[int]]]]]:
     """Shared parse for the distributed and local fielded engines:
     (tagged term → weight, mode, positive groups or None, negative groups).
@@ -947,6 +1013,21 @@ def _fielded_query_parts(
         for c in clauses:
             if c.field not in fields:
                 raise ValueError(f"unknown field {c.field!r} (have {fields})")
+        if any(c.prefix for c in clauses):
+            if expand is None:
+                raise ValueError("wildcard clause (f:pre*) needs an engine with a term dictionary")
+            # f:pre* → an OR-group over every dictionary term under the
+            # prefix, each with its own idf (Solr multi-term rewrite) — a
+            # -f:pre* becomes a negative OR-group; an empty expansion
+            # keeps the clause (an AND-required group that matches nothing)
+            # (an expansion may be EMPTY: the group then matches nothing,
+            # which the group machinery already handles — required → no
+            # results, OR-mode → clause contributes nothing)
+            clauses = [
+                c._replace(toks=expand(c.field, c.toks[0]), prefix=False, group=True)
+                if c.prefix else c
+                for c in clauses
+            ]
         has_bool = any(c.neg or c.group for c in clauses)
         if has_bool or any(c.quoted for c in clauses):
             n_pos = sum(1 for c in clauses if not c.neg)
@@ -1072,6 +1153,126 @@ class FieldedIndex:
         bks = self._buckets_of(tagged)
         rows = self._term_stats.filter(F.col("bucket").isin(bks) & F.col("term").isin(tagged)).collect()
         return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+
+    def stored(self) -> DataFrame | None:
+        """The stored-fields side table (maintenance.set_stored_fields) —
+        the engine's analog of Solr stored fields, read via ``fl``."""
+        import os
+
+        from goobi_viewer_indexer_spark.plans import txn as _txn
+
+        p = _txn.table_path(self.dir, "stored")
+        _txn.recover_dir(p)
+        return self.spark.read.parquet(p) if os.path.exists(p) else None
+
+    def match_ids(self, query: str | list[tuple[str, str]], mode: str = "and") -> DataFrame:
+        """ALL doc_ids matching a fielded query (no scoring, no k) — the
+        fielded field-sort / delete-by-query scan.  Accepts every
+        :meth:`search` string shape: phrases, OR-groups, ``-`` clauses,
+        wildcards."""
+        tagged_weights, pmode, groups, negs = _fielded_query_parts(
+            self.fields, query, mode, None, expand=self.expand_prefix
+        )
+        empty = self.spark.createDataFrame([], "doc_id long")
+        if groups is None:
+            # plain and/or → boolean-group form: AND = one group per term,
+            # OR = a single OR-group (match kernels are group-based)
+            terms = sorted(tagged_weights)
+            if not terms:
+                return empty
+            groups = [[(t, [])] for t in terms] if pmode == "and" else [[(t, []) for t in terms]]
+            negs = []
+        bool_or = pmode == "boolean_or"
+        stats = self.term_stats_for(sorted({t for g in groups + negs for t, _ in g}))
+        kept_groups = []
+        for g in groups:
+            is_phrase = any(offs for _, offs in g)
+            ent = [(t, offs) for t, offs in g if t in stats]
+            if (is_phrase and len(ent) < len(g)) or not ent:
+                if bool_or:
+                    continue
+                return empty
+            kept_groups.append(ent)
+        if not kept_groups:
+            return empty
+        kept_negs = []
+        for g in negs:
+            ent = [(t, offs) for t, offs in g if t in stats]
+            if ent and not (any(offs for _, offs in g) and len(ent) < len(g)):
+                kept_negs.append(ent)
+        groups, negs = kept_groups, kept_negs
+        with_pos = any(offs for g in groups + negs for _, offs in g)
+        span = self.span
+        needed = sorted({t for g in groups + negs for t, _ in g})
+        dfs_by_term = {t: stats[t][0] for t in needed}
+        rows = self.postings_for(needed, with_positions=with_pos).withColumn(
+            "rng",
+            F.explode(
+                F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
+            ),
+        )
+
+        def match_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            emptypdf = pd.DataFrame({"doc_id": []}).astype({"doc_id": np.int64})
+            if len(pdf) == 0:
+                return emptypdf
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * span, (rng + 1) * span - 1
+            deleted = None
+            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
+                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            by_term = {
+                row["term"]: _mk_termlist(row, 0.0, dfs_by_term[row["term"]])
+                for row in pdf.to_dict("records")
+            }
+            groups_tl = []
+            for g in groups:
+                is_phrase = any(offs for _, offs in g)
+                ent = [(by_term[t], offs) for t, offs in g if t in by_term]
+                if (is_phrase and len(ent) < len(g)) or not ent:
+                    if bool_or:
+                        continue
+                    return emptypdf
+                groups_tl.append(ent)
+            if not groups_tl:
+                return emptypdf
+            negs_tl = []
+            for og in negs:
+                ent = [(by_term[t], offs) for t, offs in og if t in by_term]
+                if ent and not (any(offs for _, offs in og) and len(ent) < len(og)):
+                    negs_tl.append(ent)
+            docs = wand.match_docs_boolean(
+                groups_tl, negs_tl, lo, hi, deleted=deleted, mode="or" if bool_or else "and"
+            )
+            return pd.DataFrame({"doc_id": docs})
+
+        joined = rows
+        if self._tomb_packed is not None:
+            joined = joined.join(self._tomb_packed, "rng", "left")
+        return joined.groupBy("rng").applyInPandas(match_range, "doc_id long")
+
+    def expand_prefix(self, field: str, prefix: str, max_expansions: int = 1024) -> list[str]:
+        """Dictionary terms of ``field`` matching ``prefix*`` — the same
+        pushed range scan as the flat engine's :meth:`InvertedIndex.
+        expand_prefix`, over the TAGGED term space (``field\\x00prefix`` …)
+        so only this field's dictionary rows are read."""
+        from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
+
+        if not prefix:
+            raise ValueError("empty prefix")
+        if field not in self.fields:
+            raise ValueError(f"unknown field {field!r} (have {self.fields})")
+        tag = tag_term(field, prefix)
+        rows = (
+            self._term_stats
+            .filter((F.col("term") >= tag) & (F.col("term") < tag + "\U0010ffff"))
+            .select("term")
+            .collect()
+        )
+        terms = sorted(r["term"].split(FIELD_SEP, 1)[1] for r in rows)
+        if len(terms) > max_expansions:
+            raise ValueError(f"prefix {field}:{prefix!r}* expands to {len(terms)} terms (> {max_expansions})")
+        return terms
 
     def postings_for(self, tagged: list[str], with_positions: bool = False) -> DataFrame:
         bks = self._buckets_of(tagged)
@@ -1218,14 +1419,74 @@ class FieldedIndex:
         k: int = 10,
         mode: str = "or",
         boosts: dict[str, float] | None = None,
+        offset: int = 0,
+        fl: list[str] | None = None,
+        sort: str | None = None,
     ) -> DataFrame:
         """``query``: a Solr-style string — ``source:src42 AND text:spark``,
         quoted phrases (``pi:x AND text:"a b"``, the reference's
         bread-and-butter shape), OR-groups (``text:(a b c)``) and
-        prohibited clauses (``-lang:de``, ``-text:"a b"``) allowed — or a
-        list of (field, term) pairs.  ``boosts``: per-FIELD multiplier on
-        idf (BM25F-lite).  Negative clauses filter and never score."""
-        tagged_weights, mode, groups, negs = _fielded_query_parts(self.fields, query, mode, boosts)
+        prohibited clauses (``-lang:de``, ``-text:"a b"``) and wildcard
+        clauses (``text:pre*``, expanded from the term dictionary) allowed
+        — or a list of (field, term) pairs.  ``boosts``: per-FIELD
+        multiplier on idf (BM25F-lite).  Negative clauses filter and never
+        score.
+
+        ``offset``/``fl``/``sort``: the same Solr read contract as the
+        flat engine (``start``, stored-field projection, SORT_-twin field
+        sort — Indexer.java:382-388, helper/MetadataHelper.java:905-931):
+        sort runs match scan → join stored → orderBy → limit; fl joins the
+        stored side table onto the scored top-k."""
+        if sort is not None:
+            scol, _, sdir = sort.partition(" ")
+            sdir = (sdir or "asc").strip().lower()
+            if sdir not in ("asc", "desc"):
+                raise ValueError(f"bad sort direction {sdir!r}")
+            st = self.stored()
+            if st is None:
+                raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
+            cols = fl if fl is not None else [scol]
+            ids = self.match_ids(query, mode=mode)
+            key = F.col(scol).asc() if sdir == "asc" else F.col(scol).desc()
+            out = (
+                ids.join(st.select("doc_id", *dict.fromkeys(cols + [scol])), "doc_id")
+                .orderBy(key, F.asc("doc_id"))
+            )
+            if offset:
+                from pyspark.sql.window import Window
+
+                w = Window.orderBy(key, F.asc("doc_id"))
+                out = (
+                    out.withColumn("_rk", F.row_number().over(w))
+                    .filter((F.col("_rk") > offset) & (F.col("_rk") <= offset + k))
+                    .drop("_rk")
+                )
+            else:
+                out = out.limit(k)
+            return out.select("doc_id", *cols)
+        if fl is not None:
+            st = self.stored()
+            if st is None:
+                raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
+            topk = self.search(query, k=k, mode=mode, boosts=boosts, offset=offset)
+            return (
+                topk.join(st.select("doc_id", *fl), "doc_id", "left")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .select("doc_id", "score", *fl)
+            )
+        if offset:
+            from pyspark.sql.window import Window
+
+            full = self.search(query, k=offset + k, mode=mode, boosts=boosts)
+            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            return (
+                full.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") > offset)
+                .drop("_rk")
+            )
+        tagged_weights, mode, groups, negs = _fielded_query_parts(
+            self.fields, query, mode, boosts, expand=self.expand_prefix
+        )
         if not tagged_weights:
             return self.spark.createDataFrame([], "doc_id long, score double")
         if groups is not None:
@@ -1424,6 +1685,15 @@ class LocalFieldedSearcher:
                 self.deleted = np.sort(np.concatenate(parts))
         self._cache: dict[str, list] = {}
         self._merged: dict[str, wand.TermList | None] = {}
+        # prefix → expansion memo; dropped on refresh (new terms may have
+        # been indexed under the prefix since)
+        self._prefix_memo: dict[tuple[str, str], list[str]] = {}
+
+    def _expand_memo(self, field: str, prefix: str) -> list[str]:
+        key = (field, prefix)
+        if key not in self._prefix_memo:
+            self._prefix_memo[key] = self.index.expand_prefix(field, prefix)
+        return self._prefix_memo[key]
 
     def _rows_for(self, tagged: list[str]) -> None:
         missing = [t for t in tagged if t not in self._cache]
@@ -1483,7 +1753,9 @@ class LocalFieldedSearcher:
         from dataclasses import replace
 
         self._ensure_fresh()
-        tagged_weights, mode, groups, negs = _fielded_query_parts(self.index.fields, query, mode, boosts)
+        tagged_weights, mode, groups, negs = _fielded_query_parts(
+            self.index.fields, query, mode, boosts, expand=self._expand_memo
+        )
         if not tagged_weights:
             return []
         neg_terms = sorted({t for g in negs for t, _ in g})

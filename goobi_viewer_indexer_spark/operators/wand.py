@@ -367,6 +367,24 @@ def _isect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return a[b[pos] == a]
 
 
+def _blk_contains(L: "TermList", docs: np.ndarray) -> np.ndarray:
+    """Membership mask of sorted ``docs`` in L's postings, decoding ONLY the
+    blocks a candidate could live in (the `_score_and` galloping probe) —
+    a common negated/AND-ed term never pays a full range decode when the
+    candidate set is already small."""
+    found = np.zeros(docs.size, dtype=bool)
+    if docs.size == 0:
+        return found
+    blk = np.searchsorted(L.block_last_doc, docs, side="left")
+    idx = np.nonzero(blk < L.n_blocks())[0]
+    for bi in np.unique(blk[idx]):
+        d, _ = L.decode_block(int(bi))
+        sel = idx[blk[idx] == bi]
+        pos = np.searchsorted(d, docs[sel])
+        found[sel] = (pos < d.size) & (d[np.minimum(pos, d.size - 1)] == docs[sel])
+    return found
+
+
 def _boolean_members(
     groups: list[list[tuple["TermList", list[int]]]],
     negs: list[list[tuple["TermList", list[int]]]],
@@ -389,29 +407,39 @@ def _boolean_members(
     def members(g: list[tuple["TermList", list[int]]], within: np.ndarray | None) -> np.ndarray:
         is_phrase = any(offs for _, offs in g)
         if is_phrase:
-            m: np.ndarray | None = None
-            for L, _offs in g:
-                d = L.decode_range(lo, hi)[0]
-                m = d if m is None else _isect(m, d)
+            m: np.ndarray | None = within
+            # rarest term drives; every later term is a galloping block
+            # probe against the shrinking candidate set, never a full decode
+            for L, _offs in sorted(g, key=lambda e: (e[0].df if e[0].df else 1 << 60)):
+                m = L.decode_range(lo, hi)[0] if m is None else m[_blk_contains(L, m)]
                 if m.size == 0:
                     return m
-            if within is not None:
-                m = _isect(m, within)
-            if m.size == 0:
-                return m
             return m[_phrase_keep(g, m)]
+        if within is not None:
+            # OR-within over an existing candidate set: block-probe each
+            # term, skipping candidates an earlier term already matched
+            mask = np.zeros(within.size, dtype=bool)
+            for L, _ in g:
+                todo = np.nonzero(~mask)[0]
+                if todo.size == 0:
+                    break
+                mask[todo] = _blk_contains(L, within[todo])
+            return within[mask]
         parts = [L.decode_range(lo, hi)[0] for L, _ in g]
-        m = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
-        return _isect(m, within) if within is not None else m
+        return np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+
+    def _g_df(g: list[tuple["TermList", list[int]]]) -> int:
+        return sum((L.df if L.df else 1 << 40) for L, _ in g)
 
     cand: np.ndarray | None = None
     if mode == "or":
         parts = [members(g, None) for g in groups]
         cand = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
     else:
-        # plain groups first (cheap set ops) so phrase groups verify only
-        # the already-restricted candidate set
-        for g in sorted(groups, key=lambda g: any(offs for _, offs in g)):
+        # most-selective plain group first (its union is the only full
+        # decode); every later group probes the shrinking candidate set;
+        # phrase groups last so positional verify touches the fewest docs
+        for g in sorted(groups, key=lambda g: (any(offs for _, offs in g), _g_df(g))):
             cand = members(g, cand)
             if cand.size == 0:
                 return cand

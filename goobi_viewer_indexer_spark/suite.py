@@ -228,6 +228,13 @@ def q_bool_groups(spark, sf_dir):
     return _index_for(spark, sf_dir).search_boolean("(spark window) value -join", k=10)
 
 
+@register("bm25_boolean_wildcard", naive_bm25.bm25_boolean_wildcard_sql("table", "s", k=10))
+def q_bool_wildcard(spark, sf_dir):
+    # 'table s*': the wildcard expands from the term dictionary into its
+    # OR-group (each term its own idf), AND-ed with 'table'
+    return _index_for(spark, sf_dir).search_boolean("table s*", k=10)
+
+
 # --------------------------------------------------------------------------
 # fl stored-field projection + field sort — the reference's read contract:
 # every query passes fl (Indexer.java:382-388) and the indexer writes SORT_
@@ -337,6 +344,37 @@ def _fielded_index_for(spark, sf_dir):
     return _INDEX_CACHE[key]
 
 
+def _fielded_stored_index_for(spark, sf_dir):
+    """Suite fielded index with stored fields (source, lang) populated once."""
+    idx = _fielded_index_for(spark, sf_dir)
+    key = "fielded_stored:" + sf_dir.rstrip("/")
+    if key not in _INDEX_CACHE:
+        from goobi_viewer_indexer_spark.plans.maintenance import set_stored_fields
+
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        set_stored_fields(spark, idx.dir, docs.select("doc_id", "source", "lang"), tag="suite_fstored_v1")
+        _INDEX_CACHE[key] = True
+        # stored() is resolved per call; the cached engine needs no reopen
+    return _fielded_index_for(spark, sf_dir)
+
+
+@register(
+    "bm25f_fl_sort_not",
+    f"""
+SELECT doc_id, source FROM documents
+WHERE list_contains({duckdb_tokenize_sql('text')}, 'table')
+  AND NOT list_contains({duckdb_tokenize_sql('lang')}, 'de')
+ORDER BY source ASC, doc_id ASC LIMIT 15
+""".strip(),
+)
+def q_bm25f_fl_sort(spark, sf_dir):
+    # fielded read contract end-to-end: boolean NOT query → match scan →
+    # join stored → orderBy SORT_-twin → limit
+    return _fielded_stored_index_for(spark, sf_dir).search(
+        "text:table AND -lang:de", k=15, fl=["source"], sort="source asc"
+    )
+
+
 F_AND_PAIRS = [("source", "src7"), ("text", "table")]
 F_OR_PAIRS = [("text", "spark"), ("lang", "en")]
 F_OR_BOOSTS = {"lang": 0.25}
@@ -380,6 +418,17 @@ def q_bm25f_mixed(spark, sf_dir):
 def q_bm25f_not(spark, sf_dir):
     # prohibited clause in the fielded engine: -lang:de filters, never scores
     return _fielded_index_for(spark, sf_dir).search("text:table AND -lang:de", k=10)
+
+
+@register(
+    "bm25f_prefix_and",
+    naive_bm25.bm25f_prefix_and_term_sql("text", "s", "lang", "en", k=10),
+)
+def q_bm25f_prefix(spark, sf_dir):
+    # fielded wildcard: text:s* expands from the TAGGED term dictionary
+    # (field\x00s range scan) into an OR-group, AND-ed with lang:en; every
+    # expanded term scores with its own field-local idf
+    return _fielded_index_for(spark, sf_dir).search("lang:en AND text:s*", k=10)
 
 
 @register("bm25f_phrase_field", naive_bm25.bm25_phrase_topk_sql(PHRASE_2GRAM, k=10))

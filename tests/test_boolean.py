@@ -228,3 +228,115 @@ def test_search_fl_sort_paging(spark, tmp_path):
     assert all(r["lang"] is not None for r in with_fl)
     with pytest.raises(ValueError, match="direction"):
         engine.search(["table"], k=5, sort="source sideways")
+
+
+# ---- fielded prefix (wildcard) clauses ----------------------------------
+
+
+def test_fielded_prefix_parse():
+    clauses, mode = parse_fielded_clauses("lang:en AND text:tab*")
+    assert clauses[1].prefix and clauses[1].toks == ["tab"] and not clauses[1].group
+    assert mode == "and"
+    clauses, _ = parse_fielded_clauses("text:x AND -text:tab*")
+    assert clauses[1].neg and clauses[1].prefix
+    with pytest.raises(ValueError, match="single-token"):
+        parse_fielded_clauses("text:a-b*")  # 'a-b' tokenizes to two tokens
+
+
+def test_fielded_prefix_equals_expanded_group(spark, fidx):
+    terms = fidx.expand_prefix("text", "s")
+    assert len(terms) > 1  # non-degenerate expansion
+    q_pref = "lang:en AND text:s*"
+    q_grp = f"lang:en AND text:({' '.join(terms)})"
+    dist = [tuple(r) for r in fidx.search(q_pref, k=10).collect()]
+    grp = [tuple(r) for r in fidx.search(q_grp, k=10).collect()]
+    assert dist == grp and len(dist) > 0
+    assert fidx.open_local().search(q_pref, k=10) == dist
+
+
+def test_fielded_neg_prefix_excludes(spark, fidx):
+    q = "text:table AND -text:wind*"
+    dist = [tuple(r) for r in fidx.search(q, k=100).collect()]
+    assert fidx.open_local().search(q, k=100) == dist
+    assert len(dist) > 0
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    wind = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.exists(tokenize_expr("text"), lambda t: t.startswith("wind"))
+        ).collect()
+    }
+    assert wind and not ({d for d, _ in dist} & wind)
+
+
+def test_fielded_prefix_no_match_empty(fidx):
+    # required wildcard group with an empty expansion matches nothing
+    assert fidx.search("text:table AND text:qqqzzz*", k=10).count() == 0
+    assert fidx.open_local().search("text:table AND text:qqqzzz*", k=10) == []
+
+
+def test_fielded_prefix_field_scoped(fidx):
+    # expansion is scoped to the FIELD dictionary: 'src' terms live in
+    # source, not lang
+    assert fidx.expand_prefix("lang", "src") == []
+    assert len(fidx.expand_prefix("source", "src")) > 0
+
+
+# ---- flat-engine wildcard clauses ---------------------------------------
+
+
+def test_parse_boolean_wildcard_preserved():
+    groups, negs = parse_boolean_query("table s* -(foo ba*)")
+    assert groups == [["table"], ["s*"]]
+    assert negs == [["ba*", "foo"]]
+
+
+def test_boolean_wildcard_equals_expanded(spark, idx):
+    terms = idx.expand_prefix("s")
+    assert len(terms) > 1
+    q = "table s*"
+    q_exp = "table (" + " ".join(terms) + ")"
+    dist = [tuple(r) for r in idx.search_boolean(q, k=10).collect()]
+    exp = [tuple(r) for r in idx.search_boolean(q_exp, k=10).collect()]
+    assert dist == exp and len(dist) > 0
+    assert idx.open_local().search_boolean(q, k=10) == dist
+
+
+def test_boolean_neg_wildcard_excludes(spark, idx):
+    q = "table -wind*"
+    dist = [tuple(r) for r in idx.search_boolean(q, k=200).collect()]
+    assert idx.open_local().search_boolean(q, k=200) == dist
+    assert len(dist) > 0
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    wind = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.exists(tokenize_expr("text"), lambda t: t.startswith("wind"))
+        ).collect()
+    }
+    assert wind and not ({d for d, _ in dist} & wind)
+
+
+def test_boolean_wildcard_no_match_empty(spark, idx):
+    # a REQUIRED wildcard with an empty expansion is provably empty
+    assert idx.search_boolean("table qqqzzz*", k=10).count() == 0
+    assert idx.open_local().search_boolean("table qqqzzz*", k=10) == []
+    # ... while an empty NEG expansion constrains nothing
+    base = [tuple(r) for r in idx.search_boolean("table", k=10).collect()]
+    neg = [tuple(r) for r in idx.search_boolean("table -qqqzzz*", k=10).collect()]
+    assert base == neg
+
+
+def test_delete_by_query_wildcard(spark, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "delw_idx")
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_index(docs, d, CFG)
+    engine = InvertedIndex(spark, d)
+    victims = {r["doc_id"] for r in engine.match_ids_boolean("table wind*").collect()}
+    assert victims
+    maint.delete_by_query(spark, d, "table wind*", mode="boolean", tag="delw")
+    live = {r["doc_id"] for r in InvertedIndex(spark, d).match_ids(["table"], mode="and").collect()}
+    assert not (live & victims)
+    shutil.rmtree(d, ignore_errors=True)

@@ -149,3 +149,57 @@ def test_search_many_rejects_phrase_clauses(fidx):
     instead of being silently flattened to a bag of terms (ADVICE r2)."""
     with pytest.raises(ValueError, match="phrase"):
         fidx.search_many({"q0": ('lang:en AND text:"spark window"', "and", 5)})
+
+
+# ---- fielded match_ids + fl/sort read contract --------------------------
+
+
+def test_fielded_match_ids_boolean(spark, fidx):
+    from pyspark.sql import functions as F
+
+    from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    exp = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.array_contains(tokenize_expr("text"), "table")
+            & ~F.array_contains(tokenize_expr("lang"), "de")
+        ).collect()
+    }
+    got = {r["doc_id"] for r in fidx.match_ids("text:table AND -lang:de").collect()}
+    assert got == exp and got
+
+
+def test_fielded_match_ids_phrase_and_or(spark, fidx):
+    # phrase membership == docs of the phrase search with huge k
+    phrase_hits = {r["doc_id"] for r in fidx.search('text:"spark window"', k=100000).collect()}
+    got = {r["doc_id"] for r in fidx.match_ids('text:"spark window"').collect()}
+    assert got == phrase_hits and got
+    # plain OR = union of single-term matches
+    a = {r["doc_id"] for r in fidx.match_ids([("text", "spark")]).collect()}
+    b = {r["doc_id"] for r in fidx.match_ids([("lang", "de")]).collect()}
+    got_or = {r["doc_id"] for r in fidx.match_ids([("text", "spark"), ("lang", "de")], mode="or").collect()}
+    assert got_or == (a | b)
+
+
+def test_fielded_fl_sort_paging(spark, tmp_path):
+    from goobi_viewer_indexer_spark.plans import maintenance as maint
+
+    d = str(tmp_path / "f_fl_idx")
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_index_fielded(docs, d, FIELDS, CFG)
+    maint.set_stored_fields(spark, d, docs.select("doc_id", "source", "lang"), tag="t1")
+    engine = FieldedIndex(spark, d)
+    full = [tuple(r) for r in engine.search("text:table", k=20, sort="source asc").collect()]
+    assert len(full) == 20
+    page2 = [tuple(r) for r in engine.search("text:table", k=5, sort="source asc", offset=5).collect()]
+    assert page2 == full[5:10]
+    plain = [r["doc_id"] for r in engine.search("text:table AND text:join", k=8, mode="and").collect()]
+    with_fl = engine.search("text:table AND text:join", k=8, mode="and", fl=["lang"]).collect()
+    assert [r["doc_id"] for r in with_fl] == plain
+    assert all(r["lang"] is not None for r in with_fl)
+    # score-mode offset pages identically to a bigger-k fetch
+    big = [tuple(r) for r in engine.search("text:table", k=12).collect()]
+    off = [tuple(r) for r in engine.search("text:table", k=6, offset=6).collect()]
+    assert off == big[6:12]
