@@ -340,3 +340,19 @@ def test_delete_by_query_wildcard(spark, tmp_path):
     live = {r["doc_id"] for r in InvertedIndex(spark, d).match_ids(["table"], mode="and").collect()}
     assert not (live & victims)
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fielded_prefix_plan_pushes_tagged_range(fidx):
+    # the tagged-dictionary range scan (field\x00prefix .. +U+10FFFF) must
+    # reach the parquet reader as pushed predicates, same as the flat engine
+    from goobi_viewer_indexer_spark.operators.spimi import tag_term
+
+    tag = tag_term("text", "s")
+    plan = (
+        fidx._term_stats.filter(
+            (F.col("term") >= tag) & (F.col("term") < tag + "\U0010ffff")
+        )
+        .select("term")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(term," in plan, plan

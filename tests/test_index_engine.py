@@ -134,3 +134,53 @@ def test_postings_decode_matches_corpus(index, docs_df):
     assert got == exp
     ids = [g[0] for g in got]
     assert ids == sorted(set(ids)), "decoded docIDs must be strictly increasing"
+
+
+def test_salted_merge_splits_stopword_rows(spark):
+    """A term present in EVERY segment must leave the salted merge as
+    ceil(nseg/fanin) rows (one per salt group) and a big payload must keep
+    those rows through light-term compaction — concentrating a stopword's
+    full posting list on one reducer is the skew stage 2 exists to avoid
+    (SURVEY §7 phase 2 / north-rule skew handling)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from goobi_viewer_indexer_spark.config import IndexConfig
+    from goobi_viewer_indexer_spark.operators import spimi
+
+    cfg = IndexConfig(docs_per_segment=8, merge_fanin=2, block_size=4,
+                      postings_buckets=8, compact_below_bytes=32, shuffle_partitions=8)
+    # 64 docs → 8 segments; 'the' in every doc (doc_bytes ≈ 64 ≥ threshold:
+    # stays salt-split); filler/pad terms have 1-2 postings (light: stitch)
+    rows = [(i, f"the filler{i % 50} pad{i}") for i in range(64)]
+    docs = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
+    )
+    partials = spimi.build_partials(docs, avgdl=3.0, cfg=cfg)
+    nseg = 8
+    assert partials.filter(F.col("term") == "the").count() == nseg
+    merged = spimi.merge_partials(partials, cfg).cache()
+    the_rows = merged.filter(F.col("term") == "the").toPandas()
+    assert len(the_rows) == math.ceil(nseg / cfg.merge_fanin)  # 4 salt groups
+    # salt groups cover disjoint, ordered doc ranges (concatenation order)
+    the_rows = the_rows.sort_values("min_doc")
+    assert (the_rows["max_doc"].to_numpy()[:-1] < the_rows["min_doc"].to_numpy()[1:]).all()
+    # the fused bucketed pass: LIGHT terms (tiny payload) stitch to one
+    # row; the stopword may legitimately keep multiple rows if its payload
+    # clears compact_below_bytes (splice work stays spread) — but they must
+    # stay disjoint and ordered, and every row must carry its value-correct
+    # bucket (the write-time partition key)
+    final = spimi.compact_light_terms_bucketed(merged, cfg).cache()
+    per_term = final.groupBy("term").count().toPandas().set_index("term")["count"]
+    light = [t for t in per_term.index if t != "the"]
+    assert (per_term[light] == 1).all()
+    fr = final.filter(F.col("term") == "the").toPandas().sort_values("min_doc")
+    assert len(fr) == math.ceil(nseg / cfg.merge_fanin)  # heavy: rows kept
+    assert (fr["max_doc"].to_numpy()[:-1] < fr["min_doc"].to_numpy()[1:]).all()
+    from goobi_viewer_indexer_spark.functions.spark_hash import bucket_of
+
+    for r in final.select("term", "bucket").collect():
+        assert r["bucket"] == bucket_of(r["term"], cfg.postings_buckets)
