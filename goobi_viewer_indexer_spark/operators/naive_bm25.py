@@ -423,6 +423,54 @@ FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
 """.strip()
 
 
+def bm25_grouped_sql(
+    query_terms: list[str],
+    group_field: str,
+    k_groups: int = 10,
+    docs_per_group: int = 2,
+    mode: str = "and",
+    cfg: IndexConfig = IndexConfig(),
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for ``InvertedIndex.search_grouped``: bag BM25 over
+    ALL matching docs, top ``k_groups`` groups by best score (ties: group
+    value asc), top ``docs_per_group`` docs per group (ties: doc_id asc).
+    Ranks use RAW scores (same as the engine); display rounds to 6."""
+    terms = sorted(set(query_terms))
+    terms_sql = ", ".join("('" + t.replace("'", "''") + "')" for t in terms)
+    k1, b = cfg.k1, cfg.b
+    tok = duckdb_tokenize_sql(text_col)
+    having = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH qt(term) AS (VALUES {terms_sql}),
+tok AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+dl AS (SELECT {id_col} AS doc_id, len({tok}) AS doclen FROM {table}),
+g AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf FROM tok t JOIN qt USING (term) GROUP BY 1, 2),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.doclen / g.avgdl)) ) AS score_raw
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY tf.doc_id {having}
+),
+j AS (SELECT s.doc_id, s.score_raw, d.{group_field} AS {group_field}
+      FROM scored s JOIN {table} d ON s.doc_id = d.{id_col}),
+dr AS (SELECT *, row_number() OVER (PARTITION BY {group_field}
+                                    ORDER BY score_raw DESC, doc_id ASC) AS _dr FROM j),
+gr AS (SELECT {group_field},
+              row_number() OVER (ORDER BY max(score_raw) DESC, {group_field} ASC) AS _gr
+       FROM j GROUP BY {group_field})
+SELECT d.{group_field}, d.doc_id, round(d.score_raw, 6) AS score
+FROM dr d JOIN gr USING ({group_field})
+WHERE d._dr <= {docs_per_group} AND gr._gr <= {k_groups}
+""".strip()
+
+
 def bm25_boolean_wildcard_sql(
     term: str,
     prefix: str,

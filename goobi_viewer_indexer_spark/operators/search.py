@@ -436,6 +436,99 @@ class InvertedIndex:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self.search(terms, k=k, mode="or")
 
+    # -- result grouping (Solr group=true&group.field=F) ---------------------
+    def score_matches(self, query: str | list[str], mode: str = "and") -> DataFrame:
+        """EVERY matching doc with its bag BM25 score (no k) — the
+        total-recall scorer behind result grouping (Lucene's two-pass
+        grouping collector also scores all matches first).  Same kernels
+        and tie-order as :meth:`search`; per-range ``k`` = the range width,
+        so block-max pruning never truncates."""
+        terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
+        meta = self.meta
+        n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
+        ub_scale = self.ub_scale
+        stats = self.term_stats_for(terms)
+        present = [t for t in terms if t in stats]
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not present or (mode == "and" and len(present) < len(terms)):
+            return empty
+        idfs = {t: wand.idf(n_docs, stats[t][0]) for t in present}
+        n_terms = len(present)
+        rows = self.postings_for(present).withColumn(
+            "rng",
+            F.explode(
+                F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
+            ),
+        )
+
+        def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            emptypdf = pd.DataFrame({"doc_id": [], "score": []}).astype({"doc_id": np.int64, "score": np.float64})
+            if len(pdf) == 0:
+                return emptypdf
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * span, (rng + 1) * span - 1
+            base = int(pdf["base"].iloc[0])
+            lens = np.frombuffer(pdf["doclens"].iloc[0], dtype=np.int32)
+            deleted = None
+            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
+                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            lists = [
+                _mk_termlist(row, idfs[row["term"]], stats[row["term"]][0])
+                for row in pdf.to_dict("records")
+            ]
+            if mode == "and" and len(lists) < n_terms:
+                return emptypdf
+            docs, scores = wand.score_topk(
+                lists, wand.DenseDoclens(base, lens), avgdl, k1, b,
+                hi - lo + 1, mode, lo, hi, deleted=deleted, ub_scale=ub_scale,
+            )
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        joined = rows.join(self._doclens, "rng")
+        if self._tomb_packed is not None:
+            joined = joined.join(self._tomb_packed, "rng", "left")
+        return joined.groupBy("rng").applyInPandas(score_range, "doc_id long, score double")
+
+    def search_grouped(
+        self,
+        query: str | list[str],
+        group_field: str,
+        k_groups: int = 10,
+        docs_per_group: int = 2,
+        mode: str = "and",
+    ) -> DataFrame:
+        """Solr result grouping (``group=true&group.field=F``): the top
+        ``k_groups`` groups ranked by their best BM25 score, each carrying
+        its top ``docs_per_group`` docs — the viewer's
+        collapse-by-PI_TOPSTRUCT result shape (GROUPFIELD truncation, O5).
+
+        Execution: total-recall scorer → doc_id equi-join of the stored
+        group column → window row_number per group (doc rank) → group rank
+        over the per-group MAX score (one row per group, tiny).  At 100×
+        no global sort of all matches happens: matches sort only within
+        their group partition, and the global order is over groups."""
+        from pyspark.sql.window import Window
+
+        st = self.stored()
+        if st is None:
+            raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
+        scored = self.score_matches(query, mode=mode)
+        j = scored.join(st.select("doc_id", group_field), "doc_id")
+        wd = Window.partitionBy(group_field).orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked = j.withColumn("_dr", F.row_number().over(wd)).filter(F.col("_dr") <= docs_per_group)
+        gtop = (
+            j.groupBy(group_field)
+            .agg(F.max("score").alias("_gscore"))
+            .withColumn("_gr", F.row_number().over(Window.orderBy(F.desc("_gscore"), F.asc(group_field))))
+            .filter(F.col("_gr") <= k_groups)
+            .select(group_field, "_gr")
+        )
+        return (
+            ranked.join(gtop, group_field)
+            .orderBy(F.asc("_gr"), F.asc("_dr"))
+            .select(group_field, "doc_id", F.round("score", 6).alias("score"))
+        )
+
     # -- boolean (NOT + AND-of-OR-groups) -----------------------------------
     def _boolean_parts(self, query) -> tuple[list[list[str]], list[list[str]], dict] | None:
         """Parse + presence-filter a boolean query.  None = provably empty

@@ -284,6 +284,18 @@ def q_fl_projection(spark, sf_dir):
     return _stored_index_for(spark, sf_dir).search(Q_MIXED3, k=10, mode="or", fl=["source"])
 
 
+@register(
+    "q_search_grouped",
+    naive_bm25.bm25_grouped_sql(["table", "join"], "source", k_groups=5, docs_per_group=2, mode="and"),
+)
+def q_grouped(spark, sf_dir):
+    # Solr result grouping (group.field): top-5 groups by best score, top-2
+    # docs each — the viewer's collapse-by-PI_TOPSTRUCT shape
+    return _stored_index_for(spark, sf_dir).search_grouped(
+        ["table", "join"], "source", k_groups=5, docs_per_group=2, mode="and"
+    )
+
+
 @register("bm25_prefix_or", naive_bm25.bm25_prefix_topk_sql("s", k=10))
 def q_prefix(spark, sf_dir):
     # wildcard s* → {scan, slow, stream, small, sort, spark} at sf0.01:

@@ -356,3 +356,47 @@ def test_fielded_prefix_plan_pushes_tagged_range(fidx):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan and "GreaterThanOrEqual(term," in plan, plan
+
+
+def test_search_grouped_matches_window_twin(spark, tmp_path):
+    """search_grouped == windowing the total-recall scorer by hand."""
+    from pyspark.sql.window import Window
+
+    d = str(tmp_path / "grp_idx")
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_index(docs, d, CFG)
+    maint.set_stored_fields(spark, d, docs.select("doc_id", "source"), tag="t1")
+    engine = InvertedIndex(spark, d)
+    got = engine.search_grouped(["table", "join"], "source", k_groups=5, docs_per_group=2, mode="and").collect()
+    # shape: <=5 groups, <=2 docs each
+    by_grp: dict = {}
+    for r in got:
+        by_grp.setdefault(r["source"], []).append(r)
+    assert 0 < len(by_grp) <= 5 and all(len(v) <= 2 for v in by_grp.values())
+    # twin: window over score_matches joined to the group column
+    j = engine.score_matches(["table", "join"], mode="and").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    wd = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    top_docs = j.withColumn("_dr", F.row_number().over(wd)).filter(F.col("_dr") <= 2)
+    gtop = (
+        j.groupBy("source").agg(F.max("score").alias("g"))
+        .withColumn("_gr", F.row_number().over(Window.orderBy(F.desc("g"), F.asc("source"))))
+        .filter(F.col("_gr") <= 5)
+    )
+    exp = {
+        (r["source"], r["doc_id"], round(r["score"], 6))
+        for r in top_docs.join(gtop, "source").collect()
+    }
+    assert {(r["source"], r["doc_id"], r["score"]) for r in got} == exp
+    # the scorer is genuinely total-recall: matches == match_ids
+    ids = {r["doc_id"] for r in engine.match_ids(["table", "join"], mode="and").collect()}
+    assert {r["doc_id"] for r in engine.score_matches(["table", "join"], mode="and").collect()} == ids
+
+
+def test_search_grouped_requires_stored(spark, tmp_path):
+    d = str(tmp_path / "grp_nostored")
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_index(docs, d, CFG)
+    with pytest.raises(ValueError, match="stored"):
+        InvertedIndex(spark, d).search_grouped(["table"], "source")
