@@ -669,21 +669,30 @@ class InvertedIndex:
         facet_col: str,
         mode: str = "and",
         min_count: int = 1,
+        limit: int | None = None,
+        prefix: str | None = None,
     ) -> DataFrame:
         """Solr ``facet.field`` analog (the viewer's collection/drill-down
         sidebar queries): value counts of ``facet_col`` over the docs
         matching the boolean term query.  ``dims`` is any (doc_id, …) side
         table — the stored-fields table or the source documents.  The match
         set never leaves the cluster: distributed match scan → equi-join →
-        groupBy count (map-side partial agg)."""
+        groupBy count (map-side partial agg).  ``limit``/``prefix`` are
+        Solr's facet.limit / facet.prefix: prefix filters BEFORE the join
+        (fewer rows shuffled), limit truncates the count-ordered result
+        (count desc, value asc — Solr's default ordering)."""
         ids = self.match_ids(query, mode=mode)
-        return (
-            ids.join(dims.select(F.col("doc_id"), F.col(facet_col)), "doc_id")
+        dim = dims.select(F.col("doc_id"), F.col(facet_col))
+        if prefix is not None:
+            dim = dim.filter(F.col(facet_col).startswith(prefix))
+        out = (
+            ids.join(dim, "doc_id")
             .groupBy(facet_col)
             .agg(F.count("*").alias("n"))
             .filter(F.col("n") >= min_count)
             .orderBy(F.desc("n"), F.asc(facet_col))
         )
+        return out.limit(limit) if limit is not None else out
 
     def search_phrase(self, query: str | list[str], k: int = 10) -> DataFrame:
         """Exact-phrase top-k: the query tokens must occur CONSECUTIVELY in
@@ -752,23 +761,38 @@ class InvertedIndex:
         ``queries``: qid -> (terms-or-raw-text, mode, k).  Amortizes the
         per-job latency (scheduler + scan) across the batch — on a real
         cluster one postings scan serves the whole query log slice.
-        Results are identical to per-query :meth:`search` (tested)."""
+        ``mode="boolean"`` parses the query string with the boolean syntax
+        (``'(a b) c -d'``, wildcards included) — plain modes tokenize it,
+        which would silently drop a ``-``.  Results are identical to
+        per-query :meth:`search` / :meth:`search_boolean` (tested)."""
         meta = self.meta
         n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
         ub_scale = self.ub_scale
 
         parsed: dict[str, tuple[list[str], str, int]] = {}
+        parsed_bool: dict[str, tuple[list, list, int]] = {}
+        results: dict[str, list] = {}
         for qid, (q, mode, k) in queries.items():
+            if mode == "boolean":
+                parts = self._boolean_parts(q)
+                if parts is None:
+                    results[qid] = []
+                else:
+                    parsed_bool[qid] = (parts[0], parts[1], k)
+                continue
             terms = sorted(set(q if isinstance(q, list) else tokenize_py(q)))
             parsed[qid] = (terms, mode, k)
-        all_terms = sorted({t for terms, _, _ in parsed.values() for t in terms})
+        all_terms = sorted(
+            {t for terms, _, _ in parsed.values() for t in terms}
+            | {t for g, n, _ in parsed_bool.values() for grp in g + n for t in grp}
+        )
         if not all_terms:
-            return {qid: [] for qid in parsed}
+            results.update({qid: [] for qid in parsed})
+            return results
         stats = self.term_stats_for(all_terms)
         idfs = {t: wand.idf(n_docs, stats[t][0]) for t in stats}
 
         # queries that can't match at all (AND with a missing term)
-        results: dict[str, list] = {}
         live: dict[str, tuple[list[str], str, int]] = {}
         for qid, (terms, mode, k) in parsed.items():
             present = [t for t in terms if t in stats]
@@ -776,10 +800,15 @@ class InvertedIndex:
                 results[qid] = []
             else:
                 live[qid] = (present, mode, k)
-        if not live:
+        # _boolean_parts already presence-filtered against term_stats
+        live_bool = parsed_bool
+        if not live and not live_bool:
             return results
 
-        needed = sorted({t for terms, _, _ in live.values() for t in terms})
+        needed = sorted(
+            {t for terms, _, _ in live.values() for t in terms}
+            | {t for g, n, _ in live_bool.values() for grp in g + n for t in grp}
+        )
         rows = self.postings_for(needed).withColumn(
             "rng",
             F.explode(
@@ -815,6 +844,25 @@ class InvertedIndex:
                 out_q.extend([qid] * docs.size)
                 out_d.extend(docs.tolist())
                 out_s.extend(scores.tolist())
+            for qid, (groups, negs, k) in live_bool.items():
+                groups_tl, dead = [], False
+                for g in groups:
+                    ent = [(by_term[t], []) for t in g if t in by_term]
+                    if not ent:
+                        dead = True
+                        break
+                    groups_tl.append(ent)
+                if dead:
+                    continue
+                negs_tl = [
+                    ent for g in negs if (ent := [(by_term[t], []) for t in g if t in by_term])
+                ]
+                docs, scores = wand.score_boolean(
+                    groups_tl, negs_tl, dlk, avgdl, k1, b, k, lo, hi, deleted=deleted
+                )
+                out_q.extend([qid] * docs.size)
+                out_d.extend(docs.tolist())
+                out_s.extend(scores.tolist())
             return pd.DataFrame({"qid": out_q, "doc_id": out_d, "score": out_s}).astype(
                 {"qid": str, "doc_id": np.int64, "score": np.float64}
             )
@@ -827,14 +875,16 @@ class InvertedIndex:
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
-        kmap = F.create_map(*[F.lit(x) for qid, (_, _, k) in live.items() for x in (qid, k)])
+        ks = {qid: k for qid, (_, _, k) in live.items()}
+        ks.update({qid: k for qid, (_, _, k) in live_bool.items()})
+        kmap = F.create_map(*[F.lit(x) for qid, k in ks.items() for x in (qid, k)])
         final = (
             local_topk.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= kmap[F.col("qid")])
             .select("qid", "doc_id", F.round("score", 6).alias("score"), "_rk")
             .collect()
         )
-        for qid in live:
+        for qid in ks:
             results[qid] = []
         for r in sorted(final, key=lambda r: (r["qid"], r["_rk"])):
             results[r["qid"]].append((r["doc_id"], r["score"]))
@@ -1594,11 +1644,14 @@ class FieldedIndex:
     def search_many(
         self, queries: dict[str, tuple[list[tuple[str, str]] | str, str, int]]
     ) -> dict[str, list[tuple[int, float]]]:
-        """Batch execution of fielded and/or queries: ONE distributed job
-        answers every query (same per-job amortization as the flat
+        """Batch execution of fielded queries: ONE distributed job answers
+        every query (same per-job amortization as the flat
         ``InvertedIndex.search_many``).  ``queries``: qid → (pairs-or-
-        query-string, mode, k); phrase clauses are not batched (use
-        :meth:`search`).  Results identical to per-query :meth:`search`."""
+        query-string, mode, k).  Boolean string shapes — ``-f:x``
+        prohibited clauses, ``f:(a b)`` OR-groups, ``f:pre*`` wildcards —
+        batch fine (round 3); phrase clauses do not (no positional path —
+        ADVICE r2, use :meth:`search`).  Results identical to per-query
+        :meth:`search`."""
         from dataclasses import replace
 
         from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
@@ -1609,31 +1662,41 @@ class FieldedIndex:
         n_docs = self.n_docs
 
         parsed: dict[str, tuple[list[str], dict[str, float], str, int]] = {}
+        # boolean-shaped queries: qid → (groups, negs, weights, bool_or, k);
+        # groups/negs are lists of [(tagged_term, [])] (no offsets — phrases
+        # are rejected above)
+        parsed_bool: dict[str, tuple[list, list, dict[str, float], bool, int]] = {}
         for qid, (q, mode, k) in queries.items():
             if isinstance(q, str):
-                # phrase clauses must not be silently flattened to a bag of
-                # terms (ADVICE r2): batching has no positional path — route
-                # quoted queries through search() instead (parse_fielded_query
-                # below additionally rejects -clauses / OR-groups)
-                if any(c.quoted for c in parse_fielded_clauses(q)[0]):
+                tw, mode2, groups, negs = _fielded_query_parts(
+                    self.fields, q, mode, None, expand=self.expand_prefix
+                )
+                if mode2 == "phrase" or (groups is not None and any(
+                    offs for g in groups + negs for _, offs in g
+                )):
                     raise ValueError(
                         f"query {qid!r} contains a quoted phrase clause — "
                         "phrase queries are not batchable, use search()"
                     )
-                pairs, pair_boosts, mode = parse_fielded_query(q)
+                if groups is not None:
+                    parsed_bool[qid] = (groups, negs, tw, mode2 == "boolean_or", k)
+                    continue
+                weights = tw
             else:
-                pairs, pair_boosts = list(q), {}
-            weights: dict[str, float] = {}
-            for i, (fname, term) in enumerate(pairs):
-                if fname not in self.fields:
-                    raise ValueError(f"unknown field {fname!r}")
-                weights[tag_term(fname, term)] = pair_boosts.get(i, 1.0)
+                weights = {}
+                for i, (fname, term) in enumerate(list(q)):
+                    if fname not in self.fields:
+                        raise ValueError(f"unknown field {fname!r}")
+                    weights[tag_term(fname, term)] = 1.0
             parsed[qid] = (sorted(weights), weights, mode, k)
 
-        all_tagged = sorted({t for terms, _, _, _ in parsed.values() for t in terms})
+        all_tagged = sorted(
+            {t for terms, _, _, _ in parsed.values() for t in terms}
+            | {t for g, n, _, _, _ in parsed_bool.values() for grp in g + n for t, _ in grp}
+        )
         results: dict[str, list] = {}
         if not all_tagged:
-            return {qid: [] for qid in parsed}
+            return {qid: [] for qid in list(parsed) + list(parsed_bool)}
         stats = self.term_stats_for(all_tagged)
         idf_raw = {t: wand.idf(n_docs, stats[t][0]) for t in stats}
 
@@ -1644,10 +1707,33 @@ class FieldedIndex:
                 results[qid] = []
             else:
                 live[qid] = (present, weights, mode, k)
-        if not live:
+        # presence-filter boolean queries exactly like _score_plan
+        live_bool: dict[str, tuple[list, list, dict[str, float], bool, int]] = {}
+        for qid, (groups, negs, weights, bool_or, k) in parsed_bool.items():
+            kept_groups = []
+            dead = False
+            for g in groups:
+                ent = [(t, offs) for t, offs in g if t in stats]
+                if not ent:
+                    if bool_or:
+                        continue
+                    dead = True
+                    break
+                kept_groups.append(ent)
+            if dead or not kept_groups:
+                results[qid] = []
+                continue
+            kept_negs = [
+                ent for g in negs if (ent := [(t, offs) for t, offs in g if t in stats])
+            ]
+            live_bool[qid] = (kept_groups, kept_negs, weights, bool_or, k)
+        if not live and not live_bool:
             return results
 
-        needed = sorted({t for terms, _, _, _ in live.values() for t in terms})
+        needed = sorted(
+            {t for terms, _, _, _ in live.values() for t in terms}
+            | {t for g, n, _, _, _ in live_bool.values() for grp in g + n for t, _ in grp}
+        )
         rows = self.postings_for(needed).withColumn(
             "rng",
             F.explode(
@@ -1695,6 +1781,34 @@ class FieldedIndex:
                 out_q.extend([qid] * docs.size)
                 out_d.extend(docs.tolist())
                 out_s.extend(scores.tolist())
+            for qid, (groups, negs, weights, bool_or, k) in live_bool.items():
+                groups_tl, dead = [], False
+                for g in groups:
+                    ent = [
+                        (replace(by_term[t], idf=idf_raw[t] * weights.get(t, 1.0),
+                                 _cache=by_term[t]._cache), offs)
+                        for t, offs in g
+                        if t in by_term
+                    ]
+                    if not ent:
+                        if bool_or:
+                            continue
+                        dead = True
+                        break
+                    groups_tl.append(ent)
+                if dead or not groups_tl:
+                    continue
+                negs_tl = [
+                    ent for g in negs
+                    if (ent := [(by_term[t], offs) for t, offs in g if t in by_term])
+                ]
+                docs, scores = wand.score_boolean(
+                    groups_tl, negs_tl, None, 0.0, k1, b, k, lo, hi,
+                    deleted=deleted, mode="or" if bool_or else "and",
+                )
+                out_q.extend([qid] * docs.size)
+                out_d.extend(docs.tolist())
+                out_s.extend(scores.tolist())
             if not out_q:
                 return emptypdf
             return pd.DataFrame({"qid": out_q, "doc_id": out_d, "score": out_s}).astype(
@@ -1709,14 +1823,16 @@ class FieldedIndex:
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
-        kmap = F.create_map(*[F.lit(x) for qid, (_, _, _, k) in live.items() for x in (qid, k)])
+        ks = {qid: k for qid, (_, _, _, k) in live.items()}
+        ks.update({qid: k for qid, (_, _, _, _, k) in live_bool.items()})
+        kmap = F.create_map(*[F.lit(x) for qid, k in ks.items() for x in (qid, k)])
         final = (
             local_topk.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= kmap[F.col("qid")])
             .select("qid", "doc_id", F.round("score", 6).alias("score"), "_rk")
             .collect()
         )
-        for qid in live:
+        for qid in ks:
             results[qid] = []
         for r in sorted(final, key=lambda r: (r["qid"], r["_rk"])):
             results[r["qid"]].append((r["doc_id"], r["score"]))

@@ -195,6 +195,27 @@ def q_facet_source(spark, sf_dir):
     return idx.facet_counts(["table", "join"], dims, "source", mode="and", min_count=2)
 
 
+@register(
+    "facet_prefix_limit",
+    f"""
+SELECT source, count(*) AS n
+FROM documents
+WHERE list_contains({duckdb_tokenize_sql('text')}, 'table')
+  AND source LIKE 'src1%'
+GROUP BY source
+ORDER BY n DESC, source ASC
+LIMIT 5
+""".strip(),
+)
+def q_facet_prefix(spark, sf_dir):
+    # Solr facet.prefix + facet.limit: prefix filters before the join,
+    # limit truncates the count-ordered list.  LIMIT is deterministic here
+    # because (n desc, source asc) is a total order.
+    idx = _index_for(spark, sf_dir)
+    dims = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    return idx.facet_counts(["table"], dims, "source", mode="and", prefix="src1", limit=5)
+
+
 @register("fn_snippets_highlight", highlight.snippets_sql(["spark", "window"], width=3))
 def q_snippets(spark, sf_dir):
     # Solr highlighting analog: ±3-token window around the first match

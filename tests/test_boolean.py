@@ -400,3 +400,20 @@ def test_search_grouped_requires_stored(spark, tmp_path):
     build_index(docs, d, CFG)
     with pytest.raises(ValueError, match="stored"):
         InvertedIndex(spark, d).search_grouped(["table"], "source")
+
+
+def test_flat_search_many_boolean_mode(spark, idx):
+    qs = {
+        "a": ("table join -spark", "boolean", 10),
+        "b": ("(spark window) value", "boolean", 10),
+        "c": ("table s*", "boolean", 10),
+        "d": (["table", "join"], "and", 5),     # plain modes unaffected
+        "e": ("table zzzneverever", "boolean", 5),  # provably empty
+    }
+    got = idx.search_many(qs)
+    for qid in ("a", "b", "c"):
+        exp = [tuple(r) for r in idx.search_boolean(qs[qid][0], k=qs[qid][2]).collect()]
+        assert got[qid] == exp, qid
+    exp_d = [tuple(r) for r in idx.search(["table", "join"], k=5, mode="and").collect()]
+    assert got["d"] == exp_d
+    assert got["e"] == []

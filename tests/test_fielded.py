@@ -203,3 +203,21 @@ def test_fielded_fl_sort_paging(spark, tmp_path):
     big = [tuple(r) for r in engine.search("text:table", k=12).collect()]
     off = [tuple(r) for r in engine.search("text:table", k=6, offset=6).collect()]
     assert off == big[6:12]
+
+
+def test_search_many_boolean_matches_search(spark, fidx):
+    qs = {
+        "a": ("text:table AND -lang:de", "and", 10),
+        "b": ("text:(spark window) AND source:src7", "and", 20),
+        "c": ("lang:en AND text:s*", "and", 10),
+        "d": ([("text", "spark")], "or", 5),
+        "e": ("text:join", "or", 5),
+        "f": ("text:table AND text:qqqzzz*", "and", 5),  # provably empty
+    }
+    got = fidx.search_many(qs)
+    for qid, (q, mode, k) in qs.items():
+        exp = [tuple(r) for r in fidx.search(q, k=k, mode=mode).collect()]
+        assert got[qid] == exp, qid
+    assert got["f"] == []
+    with pytest.raises(ValueError, match="phrase"):
+        fidx.search_many({"p": ('text:"spark window"', "and", 5)})
