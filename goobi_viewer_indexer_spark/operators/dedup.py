@@ -38,6 +38,8 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "minhash_near_duplicates",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_sql",
     "simhash_fingerprint",
     "simhash_candidate_pairs",
     "EXACT_DUP_SQL",
@@ -472,5 +474,77 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+""".strip()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram (k=3 shingle) Jaccard near-dup pairs WITHOUT minhash:
+    an inverted shingle index self-joins so pairs are generated only for
+    docs sharing ≥1 shingle, the intersection size is a distributed pair
+    count, and per-doc set sizes join in at the end —
+    |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.  No all-pairs product ever
+    materializes.
+
+    Scale note: a shingle shared by m docs contributes ~m²/2 candidate
+    pairs (the classic blowup).  ``max_shingle_df`` drops
+    more-frequent-than-cap shingles from PAIR GENERATION only (the
+    standard boilerplate/stopword-shingle filter) — with a cap, pairs
+    whose overlap is exclusively boilerplate can be missed, so leave it
+    None for exact semantics.  The 100 TB path for unknown corpora stays
+    :func:`minhash_near_duplicates` (banded LSH); this operator is the
+    exact verifier / small-domain tool (reference analog: the
+    GroupedMetadata equality dedup is exact too,
+    MetadataHelper.java:1339-1398)."""
+    sh = docs.select(F.col(id_col).alias("doc_id"), shingles_pandas(F.col(text_col)).alias("sh"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n")).filter(F.col("n") > 0)
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        keep = (
+            ex.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("s")
+        )
+        ex = ex.join(keep, "s")
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    """DuckDB oracle for :func:`ngram_jaccard_pairs` (exact, no cap)."""
+    sh = _duckdb_shingles("text", 3)
+    return f"""
+WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+sizes AS (SELECT doc_id, len(sh) AS n FROM sh WHERE len(sh) > 0),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {threshold}
 ORDER BY doc_a, doc_b
 """.strip()

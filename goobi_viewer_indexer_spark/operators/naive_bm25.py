@@ -423,6 +423,45 @@ FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
 """.strip()
 
 
+def bm25_fuzzy_topk_sql(
+    term: str,
+    k: int = 10,
+    cfg: IndexConfig = IndexConfig(),
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for ``InvertedIndex.search_fuzzy``: OR over every
+    corpus term within Levenshtein distance 1, each with its own idf."""
+    k1, b = cfg.k1, cfg.b
+    tok = duckdb_tokenize_sql(text_col)
+    t = term.replace("'", "''")
+    return f"""
+WITH qt AS (
+  SELECT DISTINCT term FROM (SELECT unnest({tok}) AS term FROM {table})
+  WHERE levenshtein(term, '{t}') <= 1
+),
+tok AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+dl AS (SELECT {id_col} AS doc_id, len({tok}) AS doclen FROM {table}),
+g AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf FROM tok t JOIN qt USING (term) GROUP BY 1, 2),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.doclen / g.avgdl)) ) AS score_raw
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl  USING (doc_id)
+  CROSS JOIN g
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
 def bm25_grouped_sql(
     query_terms: list[str],
     group_field: str,

@@ -45,6 +45,26 @@ import re as _re
 _BOOL_CLAUSE_RE = _re.compile(r"(-?)(?:\(([^()]*)\)|([^\s()]+))")
 
 
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def _edits1(term: str) -> set[str]:
+    """All strings at Levenshtein distance ≤ 1 from ``term`` over the
+    token alphabet (deletes + substitutions + inserts; the term itself
+    included).  ~74·len(term) strings — the Norvig construction."""
+    splits = [(term[:i], term[i:]) for i in range(len(term) + 1)]
+    out = {term}
+    for left, right in splits:
+        if right:
+            out.add(left + right[1:])                       # delete
+            for c in _ALPHABET:
+                out.add(left + c + right[1:])               # substitute
+        for c in _ALPHABET:
+            out.add(left + c + right)                       # insert
+    out.discard("")
+    return out
+
+
 def _bool_toks(body: str) -> list[str]:
     """:func:`tokenize_py` that PRESERVES a trailing ``*`` — ``pre*`` is a
     wildcard token the engine expands from the term dictionary (the plain
@@ -432,6 +452,43 @@ class InvertedIndex:
         """Top-k BM25 over ``prefix*`` = OR over every matching term (each
         with its own idf, Solr multi-term rewrite)."""
         terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(terms, k=k, mode="or")
+
+    # -- fuzzy terms (Solr term~1) -------------------------------------------
+    def expand_fuzzy(self, term: str, max_edits: int = 1, max_expansions: int = 64) -> list[str]:
+        """Dictionary terms within Levenshtein distance ``max_edits`` of
+        ``term`` (Solr ``term~1``).  Instead of scanning the dictionary
+        with an automaton (Lucene's FST approach), every ed≤1 string is
+        GENERATED (deletes + substitutions + inserts over [a-z0-9], ~74·L
+        strings) and looked up as an exact, bucket-pruned ``term IN``
+        probe — no dictionary scan, no post-verify, and the probe count is
+        independent of vocabulary size.  ed≥2 would square the probe set;
+        raise rather than silently degrade (Solr caps at 2 for the same
+        reason)."""
+        if max_edits != 1:
+            raise ValueError("only max_edits=1 is supported (probe set is O(74*len); ed2 squares it)")
+        if not term:
+            raise ValueError("empty term")
+        probes = sorted(_edits1(term))
+        rows = (
+            self._term_stats
+            .filter(F.col("bucket").isin(self._buckets_of(probes)) & F.col("term").isin(probes))
+            .select("term")
+            .collect()
+        )
+        terms = sorted(r["term"] for r in rows)
+        if len(terms) > max_expansions:
+            raise ValueError(f"fuzzy {term!r}~1 expands to {len(terms)} terms (> {max_expansions})")
+        return terms
+
+    def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 1,
+                     max_expansions: int = 64) -> DataFrame:
+        """Top-k BM25 over ``term~1`` = OR over every dictionary term within
+        the edit distance, each with its own idf (Solr multi-term rewrite,
+        same contract as :meth:`search_prefix`)."""
+        terms = self.expand_fuzzy(term, max_edits, max_expansions)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self.search(terms, k=k, mode="or")
@@ -1068,6 +1125,7 @@ class FieldedClause(NamedTuple):
     neg: bool      # prohibited clause (-f:x) — filters, never scores
     group: bool    # parenthesized OR-group (f:(a b c))
     prefix: bool = False  # wildcard clause (f:pre*) — expands to an OR-group
+    fuzzy: bool = False   # fuzzy clause (f:term~ / f:term~1) — ed≤1 OR-group
 
 
 def parse_fielded_clauses(q: str) -> tuple[list[FieldedClause], str]:
@@ -1091,26 +1149,29 @@ def parse_fielded_clauses(q: str) -> tuple[list[FieldedClause], str]:
             clause = clause[1:].lstrip()
         m = _re.match(r'^(\w+):"([^"]*)"(?:\^([0-9.]+))?$', clause)
         quoted = m is not None
-        group = prefix = False
+        group = prefix = fuzzy = False
         if not m:
             m = _re.match(r"^(\w+):\(([^()]*)\)(?:\^([0-9.]+))?$", clause)
             group = m is not None
         if not m:
-            # f:pre* BEFORE the generic bare match: the tokenizer strips
-            # '*', so the generic path would silently demote a wildcard to
-            # an exact term
-            m = _re.match(r"^(\w+):([^\s\"()*]+)\*(?:\^([0-9.]+))?$", clause)
+            # f:pre* / f:term~ BEFORE the generic bare match: the tokenizer
+            # strips '*'/'~', so the generic path would silently demote a
+            # wildcard or fuzzy clause to an exact term
+            m = _re.match(r"^(\w+):([^\s\"()*~]+)\*(?:\^([0-9.]+))?$", clause)
             prefix = m is not None
+        if not m:
+            m = _re.match(r"^(\w+):([^\s\"()*~]+)~1?(?:\^([0-9.]+))?$", clause)
+            fuzzy = m is not None
         if not m:
             m = _re.match(r"^(\w+):(.+?)(?:\^([0-9.]+))?$", clause)
         if not m:
             raise ValueError(f"cannot parse clause {clause!r}")
         fname, body, boost = m.group(1), m.group(2), float(m.group(3) or 1.0)
         toks = tokenize_py(body)
-        if prefix and len(toks) != 1:
-            raise ValueError(f"wildcard clause {clause!r} must have a single-token prefix")
+        if (prefix or fuzzy) and len(toks) != 1:
+            raise ValueError(f"wildcard/fuzzy clause {clause!r} must have a single-token body")
         if toks:
-            clauses.append(FieldedClause(fname, toks, boost, quoted, neg, group, prefix))
+            clauses.append(FieldedClause(fname, toks, boost, quoted, neg, group, prefix, fuzzy))
     if clauses and all(c.neg for c in clauses):
         raise ValueError("query needs at least one positive clause")
     return clauses, mode
@@ -1125,8 +1186,8 @@ def parse_fielded_query(q: str) -> tuple[list[tuple[str, str]], dict[int, float]
     pairs: list[tuple[str, str]] = []
     boosts: dict[int, float] = {}
     for c in clauses:
-        if c.neg or c.group or c.prefix:
-            raise ValueError("boolean clause (-f:x / f:(a b) / f:pre*) is not expressible as flat pairs — use search()")
+        if c.neg or c.group or c.prefix or c.fuzzy:
+            raise ValueError("boolean clause (-f:x / f:(a b) / f:pre* / f:t~) is not expressible as flat pairs — use search()")
         for tok in c.toks:
             boosts[len(pairs)] = c.boost
             pairs.append((c.field, tok))
@@ -1139,6 +1200,7 @@ def _fielded_query_parts(
     mode: str,
     boosts: dict[str, float] | None,
     expand=None,
+    expand_fuzzy=None,
 ) -> tuple[dict[str, float], str, list[list[tuple[str, list[int]]]] | None, list[list[tuple[str, list[int]]]]]:
     """Shared parse for the distributed and local fielded engines:
     (tagged term → weight, mode, positive groups or None, negative groups).
@@ -1156,19 +1218,21 @@ def _fielded_query_parts(
         for c in clauses:
             if c.field not in fields:
                 raise ValueError(f"unknown field {c.field!r} (have {fields})")
-        if any(c.prefix for c in clauses):
-            if expand is None:
-                raise ValueError("wildcard clause (f:pre*) needs an engine with a term dictionary")
-            # f:pre* → an OR-group over every dictionary term under the
-            # prefix, each with its own idf (Solr multi-term rewrite) — a
-            # -f:pre* becomes a negative OR-group; an empty expansion
-            # keeps the clause (an AND-required group that matches nothing)
-            # (an expansion may be EMPTY: the group then matches nothing,
-            # which the group machinery already handles — required → no
-            # results, OR-mode → clause contributes nothing)
+        if any(c.prefix or c.fuzzy for c in clauses):
+            if expand is None or (any(c.fuzzy for c in clauses) and expand_fuzzy is None):
+                raise ValueError("wildcard/fuzzy clause needs an engine with a term dictionary")
+            # f:pre* / f:term~ → an OR-group over the expanded dictionary
+            # terms, each with its own idf (Solr multi-term rewrite) — a
+            # negated form becomes a negative OR-group.  An expansion may
+            # be EMPTY: the group then matches nothing, which the group
+            # machinery already handles (required → no results, OR-mode →
+            # clause contributes nothing).
             clauses = [
                 c._replace(toks=expand(c.field, c.toks[0]), prefix=False, group=True)
-                if c.prefix else c
+                if c.prefix
+                else c._replace(toks=expand_fuzzy(c.field, c.toks[0]), fuzzy=False, group=True)
+                if c.fuzzy
+                else c
                 for c in clauses
             ]
         has_bool = any(c.neg or c.group for c in clauses)
@@ -1314,7 +1378,8 @@ class FieldedIndex:
         :meth:`search` string shape: phrases, OR-groups, ``-`` clauses,
         wildcards."""
         tagged_weights, pmode, groups, negs = _fielded_query_parts(
-            self.fields, query, mode, None, expand=self.expand_prefix
+            self.fields, query, mode, None, expand=self.expand_prefix,
+            expand_fuzzy=self.expand_fuzzy,
         )
         empty = self.spark.createDataFrame([], "doc_id long")
         if groups is None:
@@ -1415,6 +1480,31 @@ class FieldedIndex:
         terms = sorted(r["term"].split(FIELD_SEP, 1)[1] for r in rows)
         if len(terms) > max_expansions:
             raise ValueError(f"prefix {field}:{prefix!r}* expands to {len(terms)} terms (> {max_expansions})")
+        return terms
+
+    def expand_fuzzy(self, field: str, term: str, max_edits: int = 1,
+                     max_expansions: int = 64) -> list[str]:
+        """Dictionary terms of ``field`` within Levenshtein distance 1 —
+        the flat engine's probe construction over the TAGGED term space
+        (see :meth:`InvertedIndex.expand_fuzzy`)."""
+        from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
+
+        if max_edits != 1:
+            raise ValueError("only max_edits=1 is supported")
+        if not term:
+            raise ValueError("empty term")
+        if field not in self.fields:
+            raise ValueError(f"unknown field {field!r} (have {self.fields})")
+        probes = sorted(tag_term(field, t) for t in _edits1(term))
+        rows = (
+            self._term_stats
+            .filter(F.col("bucket").isin(self._buckets_of(probes)) & F.col("term").isin(probes))
+            .select("term")
+            .collect()
+        )
+        terms = sorted(r["term"].split(FIELD_SEP, 1)[1] for r in rows)
+        if len(terms) > max_expansions:
+            raise ValueError(f"fuzzy {field}:{term!r}~1 expands to {len(terms)} terms (> {max_expansions})")
         return terms
 
     def postings_for(self, tagged: list[str], with_positions: bool = False) -> DataFrame:
@@ -1628,7 +1718,8 @@ class FieldedIndex:
                 .drop("_rk")
             )
         tagged_weights, mode, groups, negs = _fielded_query_parts(
-            self.fields, query, mode, boosts, expand=self.expand_prefix
+            self.fields, query, mode, boosts, expand=self.expand_prefix,
+            expand_fuzzy=self.expand_fuzzy,
         )
         if not tagged_weights:
             return self.spark.createDataFrame([], "doc_id long, score double")
@@ -1669,7 +1760,8 @@ class FieldedIndex:
         for qid, (q, mode, k) in queries.items():
             if isinstance(q, str):
                 tw, mode2, groups, negs = _fielded_query_parts(
-                    self.fields, q, mode, None, expand=self.expand_prefix
+                    self.fields, q, mode, None, expand=self.expand_prefix,
+                    expand_fuzzy=self.expand_fuzzy,
                 )
                 if mode2 == "phrase" or (groups is not None and any(
                     offs for g in groups + negs for _, offs in g
@@ -1904,6 +1996,12 @@ class LocalFieldedSearcher:
             self._prefix_memo[key] = self.index.expand_prefix(field, prefix)
         return self._prefix_memo[key]
 
+    def _expand_fuzzy_memo(self, field: str, term: str) -> list[str]:
+        key = (field, "~" + term)
+        if key not in self._prefix_memo:
+            self._prefix_memo[key] = self.index.expand_fuzzy(field, term)
+        return self._prefix_memo[key]
+
     def _rows_for(self, tagged: list[str]) -> None:
         missing = [t for t in tagged if t not in self._cache]
         if not missing:
@@ -1963,7 +2061,8 @@ class LocalFieldedSearcher:
 
         self._ensure_fresh()
         tagged_weights, mode, groups, negs = _fielded_query_parts(
-            self.index.fields, query, mode, boosts, expand=self._expand_memo
+            self.index.fields, query, mode, boosts, expand=self._expand_memo,
+            expand_fuzzy=self._expand_fuzzy_memo,
         )
         if not tagged_weights:
             return []

@@ -317,6 +317,14 @@ def q_grouped(spark, sf_dir):
     )
 
 
+@register("bm25_fuzzy_or", naive_bm25.bm25_fuzzy_topk_sql("tabl", k=10))
+def q_fuzzy(spark, sf_dir):
+    # Solr term~1: the misspelling 'tabl' reaches 'table'/'label'/... via
+    # generated ed<=1 probes (bucket-pruned exact lookups, no dictionary
+    # scan), then the ordinary per-term-idf OR scorer
+    return _index_for(spark, sf_dir).search_fuzzy("tabl", k=10)
+
+
 @register("bm25_prefix_or", naive_bm25.bm25_prefix_topk_sql("s", k=10))
 def q_prefix(spark, sf_dir):
     # wildcard s* → {scan, slow, stream, small, sort, spark} at sf0.01:
@@ -555,6 +563,13 @@ def q_dedup_exact(spark, sf_dir):
 @register("dedup_minhash_lsh", dedup.minhash_near_duplicates_sql(threshold=0.35))
 def q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_near_duplicates(_load(spark, sf_dir, "documents"), threshold=0.35)
+
+
+@register("dedup_ngram_jaccard", dedup.ngram_jaccard_sql(threshold=0.35))
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    # EXACT shared-shingle-join Jaccard (no minhash): the standalone n-gram
+    # near-dup operator; the banded-LSH path above is the 100 TB variant
+    return dedup.ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), threshold=0.35)
 
 
 @register("dedup_simhash", dedup.simhash_sql())

@@ -417,3 +417,74 @@ def test_flat_search_many_boolean_mode(spark, idx):
     exp_d = [tuple(r) for r in idx.search(["table", "join"], k=5, mode="and").collect()]
     assert got["d"] == exp_d
     assert got["e"] == []
+
+
+# ---- fuzzy (term~1) -----------------------------------------------------
+
+
+def test_edits1_construction():
+    from goobi_viewer_indexer_spark.operators.search import _edits1
+
+    e = _edits1("ab")
+    assert {"ab", "b", "a", "ab1", "zb", "az", "xab", "abx"} <= e
+    # every member really is at Levenshtein distance <= 1
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+    assert all(lev("ab", x) <= 1 for x in e)
+    # completeness spot-check: all single-char deletions/substitutions present
+    assert len(_edits1("table")) == len({"table"} | {
+        "table"[:i] + "table"[i + 1:] for i in range(5)
+    } | {
+        "table"[:i] + c + "table"[i + 1:] for i in range(5) for c in "abcdefghijklmnopqrstuvwxyz0123456789"
+    } | {
+        "table"[:i] + c + "table"[i:] for i in range(6) for c in "abcdefghijklmnopqrstuvwxyz0123456789"
+    })
+
+
+def test_fuzzy_expansion_matches_levenshtein_truth(spark, idx):
+    import duckdb
+
+    got = idx.expand_fuzzy("tabl")
+    con = duckdb.connect()
+    exp = {
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT term FROM (SELECT unnest("
+            "list_filter(string_split_regex(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '')"
+            ") AS term FROM read_parquet(?)) WHERE levenshtein(term, 'tabl') <= 1",
+            [f"{SF001}/documents.parquet"],
+        ).fetchall()
+    }
+    assert set(got) == exp and got
+    # rank identity with the expanded OR query
+    a = [tuple(r) for r in idx.search_fuzzy("tabl", k=10).collect()]
+    b = [tuple(r) for r in idx.search(got, k=10, mode="or").collect()]
+    assert a == b and a
+
+
+def test_fuzzy_guards(idx):
+    with pytest.raises(ValueError, match="max_edits"):
+        idx.expand_fuzzy("table", max_edits=2)
+    with pytest.raises(ValueError, match="expands to"):
+        idx.expand_fuzzy("table", max_expansions=0)
+
+
+def test_fielded_fuzzy_equals_expanded_group(spark, fidx):
+    terms = fidx.expand_fuzzy("text", "tabl")
+    assert "table" in terms
+    q = "lang:en AND text:tabl~"
+    q_grp = f"lang:en AND text:({' '.join(terms)})"
+    dist = [tuple(r) for r in fidx.search(q, k=10).collect()]
+    grp = [tuple(r) for r in fidx.search(q_grp, k=10).collect()]
+    assert dist == grp and len(dist) > 0
+    assert fidx.open_local().search(q, k=10) == dist
+    # ~1 suffix and batched form agree too
+    assert [tuple(r) for r in fidx.search("lang:en AND text:tabl~1", k=10).collect()] == dist
+    assert fidx.search_many({"f": (q, "and", 10)})["f"] == dist
+    # field scoping: 'tabl' edits live in text's dictionary, not lang's
+    assert fidx.expand_fuzzy("lang", "tabl") == []

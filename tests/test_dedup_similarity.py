@@ -177,3 +177,32 @@ def test_simhash_pairs_exclude_empty_docs(spark):
     groups = dedup.exact_duplicates(empties.unionByName(base)).collect()
     empty_ids = {int(i) for g in groups for i in g["doc_ids"].split(",") if int(i) >= 100000}
     assert len(empty_ids) == 40  # the two planted empty-content groups
+
+
+def test_ngram_jaccard_exact_agrees_with_minhash_verify(spark):
+    """The standalone exact operator is a SUPERSET-safe truth for the
+    LSH+verify pipeline: every minhash-verified pair appears with the
+    identical exact jaccard, and the planted near-dup fixtures surface."""
+    from goobi_viewer_indexer_spark.operators import dedup
+    from tests.conftest import SF001
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.35).collect()
+    }
+    assert exact  # planted fixtures exist at sf0.001
+    mh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(docs, threshold=0.35).collect()
+    }
+    # LSH may miss pairs (banding recall), never invent them or change J
+    assert set(mh) <= set(exact)
+    for p, j in mh.items():
+        assert abs(exact[p] - j) < 1e-9
+    # df cap only ever removes pairs
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.35, max_shingle_df=3).collect()
+    }
+    assert capped <= set(exact)
