@@ -134,6 +134,21 @@ def main() -> None:
         fidx.search("lang:en AND text:s*", k=10).collect()
 
     timed("search_boolean_wildcard_3q", run_boolean)
+
+    # round-3 rewrites + read contract: fuzzy probe expansion, grouped
+    # collapse (needs stored fields), cursor deep page
+    from goobi_viewer_indexer_spark.plans.maintenance import set_stored_fields
+
+    set_stored_fields(spark, idx_dir, docs.select("doc_id", "source"), tag="bench_stored")
+    idx_st = InvertedIndex(spark, idx_dir)
+
+    def run_rewrites():
+        idx_st.search_fuzzy("tabl", k=10).collect()
+        idx_st.search_grouped(["table", "join"], "source", k_groups=5, docs_per_group=2).collect()
+        p1 = idx_st.search(["table", "join"], k=10, mode="or").collect()
+        idx_st.search(["table", "join"], k=10, mode="or", after=(p1[-1]["score"], p1[-1]["doc_id"])).collect()
+
+    timed("search_fuzzy_grouped_cursor", run_rewrites)
     shutil.rmtree(fidx_dir, ignore_errors=True)
 
     # ---- 3. local searcher latency p50/p95 ----

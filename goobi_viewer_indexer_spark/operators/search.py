@@ -257,8 +257,16 @@ class InvertedIndex:
         offset: int = 0,
         fl: list[str] | None = None,
         sort: str | None = None,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
-        """``offset``: Solr-style pagination (``start`` param of the
+        """``after``: cursorMark-style deep paging — pass the LAST
+        (score, doc_id) row of the previous page; only docs ranked
+        strictly after it return.  Unlike ``offset`` (which fetches
+        offset+k everywhere), the cursor predicate filters INSIDE the
+        kernels, so page 1000 costs the same as page 1 — the deep-paging
+        contract Solr's cursorMark exists for.  and/or modes only.
+
+        ``offset``: Solr-style pagination (``start`` param of the
         reference's SolrSearchIndex.search) — rows [offset, offset+k).
         Each range still returns only its local top-(offset+k); the global
         reduce skips the first ``offset`` rows.
@@ -270,6 +278,8 @@ class InvertedIndex:
         twins precisely for this, helper/MetadataHelper.java:905-931);
         execution is match scan → join stored → orderBy → limit, score is
         not computed (Solr field-sort semantics).  Ties break on doc_id."""
+        if after is not None and (offset or sort is not None or mode == "phrase"):
+            raise ValueError("after= (cursor paging) applies to plain and/or score queries only")
         if sort is not None:
             scol, _, sdir = sort.partition(" ")
             sdir = (sdir or "asc").strip().lower()
@@ -301,7 +311,7 @@ class InvertedIndex:
             st = self.stored()
             if st is None:
                 raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
-            topk = self.search(query, k=k, mode=mode, offset=offset)
+            topk = self.search(query, k=k, mode=mode, offset=offset, after=after)
             return (
                 topk.join(st.select("doc_id", *fl), "doc_id", "left")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -369,7 +379,7 @@ class InvertedIndex:
                 )
             docs, scores = wand.score_topk(
                 lists, wand.DenseDoclens(base, lens), avgdl, k1, b, k, mode, lo, hi,
-                deleted=deleted, ub_scale=ub_scale,
+                deleted=deleted, ub_scale=ub_scale, after=after,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -1038,9 +1048,12 @@ class LocalSearcher:
         merged = merge_group_pdf(pdf).iloc[0]
         return _mk_termlist(merged, rows[0][0].idf, int(pdf["df"].sum()))
 
-    def search(self, query: str | list[str], k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+    def search(self, query: str | list[str], k: int = 10, mode: str = "or",
+               after: tuple[float, int] | None = None) -> list[tuple[int, float]]:
         self._ensure_fresh()
         if mode == "phrase":
+            if after is not None:
+                raise ValueError("after= (cursor paging) applies to plain and/or score queries only")
             return self.search_phrase(query, k=k)
         terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
         self._rows_for(terms)
@@ -1059,7 +1072,7 @@ class LocalSearcher:
             lists, dl, self.index.avgdl_live, self.meta["k1"], self.meta["b"], k, mode,
             0, self.doclens.size - 1,
             deleted=self.deleted if self.deleted.size else None,
-            ub_scale=self.index.ub_scale,
+            ub_scale=self.index.ub_scale, after=after,
         )
         return [(int(d), round(float(s), 6)) for d, s in zip(docs, scores)]
 

@@ -178,6 +178,15 @@ class DenseDoclens:
         return self.lens[docs - self.base]
 
 
+def _after_mask(docs: np.ndarray, scores: np.ndarray, after: tuple[float, int]) -> tuple[np.ndarray, np.ndarray]:
+    """Keep docs ranked strictly after the (rounded_score, doc_id) cursor
+    in (score desc, doc_id asc) order."""
+    s0, d0 = after
+    rs = np.round(scores, 6)
+    m = (rs < s0) | ((rs == s0) & (docs > d0))
+    return docs[m], scores[m]
+
+
 def _topk_select(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Top-k by (score desc, doc_id asc), deterministic."""
     if docs.size == 0:
@@ -196,7 +205,8 @@ def _drop_deleted(docs: np.ndarray, deleted: np.ndarray | None) -> np.ndarray:
 
 
 def _score_and(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi: int,
-               deleted: np.ndarray | None = None, return_all: bool = False):
+               deleted: np.ndarray | None = None, return_all: bool = False,
+               after: tuple[float, int] | None = None):
     """Galloping block-skip intersection, rarest list drives.
 
     ``return_all=True`` returns EVERY intersecting doc (ascending) with its
@@ -237,6 +247,8 @@ def _score_and(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi
         if docs.size:
             scores = scores + _bm25(tfs, (L.dl_fn or dl)(docs), L.idf,
                                     L.avgdl_f if L.avgdl_f is not None else avgdl, k1, b)
+    if after is not None and docs.size:
+        docs, scores = _after_mask(docs, scores, after)
     if return_all:
         return docs, scores
     return _topk_select(docs, scores, k)
@@ -521,7 +533,8 @@ def score_phrase(
 
 
 def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi: int,
-              deleted: np.ndarray | None = None, ub_scale: float = 1.0):
+              deleted: np.ndarray | None = None, ub_scale: float = 1.0,
+              after: tuple[float, int] | None = None):
     """Block-max interval pruning (WAND family), exact top-k."""
     # elementary intervals from the union of block boundaries, clipped to
     # this task's doc range [lo, hi]
@@ -581,6 +594,11 @@ def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi:
         np.add.at(uscores, inv, alls)
         keep = _drop_deleted(udocs, deleted)
         udocs, uscores = udocs[keep], uscores[keep]
+        if after is not None and udocs.size:
+            # cursor filter BEFORE the heap: theta then tracks the kth-best
+            # of the docs ranked after the cursor, so interval pruning
+            # stays exact for the filtered set
+            udocs, uscores = _after_mask(udocs, uscores, after)
         for dcc, scc in zip(udocs, uscores):
             entry = (float(scc), -int(dcc))
             if len(heap) < k:
@@ -611,8 +629,15 @@ def score_topk(
     hi: int | None = None,
     deleted: np.ndarray | None = None,
     ub_scale: float = 1.0,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k (doc_ids, raw scores) restricted to docs in [lo, hi].
+
+    ``after``: Solr cursorMark-style deep paging — only docs ranked
+    strictly after (rounded_score, doc_id) in (score desc, doc_id asc)
+    order are eligible; the comparison uses ROUND(score, 6), the same
+    rounding the engine returns, so a client can feed back the last row
+    of the previous page verbatim.
 
     ``lists`` must contain at most one TermList per term per range; ``dl``
     is a callable mapping a doc_id array to doclens (see DenseDoclens).
@@ -627,5 +652,5 @@ def score_topk(
     if hi is None:
         hi = int(max(int(L.block_last_doc[-1]) for L in lists))
     if mode == "and":
-        return _score_and(lists, dl, avgdl, k1, b, k, lo, hi, deleted)
-    return _score_or(lists, dl, avgdl, k1, b, k, lo, hi, deleted, ub_scale)
+        return _score_and(lists, dl, avgdl, k1, b, k, lo, hi, deleted, after=after)
+    return _score_or(lists, dl, avgdl, k1, b, k, lo, hi, deleted, ub_scale, after=after)

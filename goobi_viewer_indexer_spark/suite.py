@@ -317,6 +317,27 @@ def q_grouped(spark, sf_dir):
     )
 
 
+@register(
+    "bm25_cursor_page2",
+    f"""
+WITH base AS ({naive_bm25.bm25_topk_sql(Q_MIXED3, k=1000000, mode="or")}),
+cur AS (SELECT score AS s0, doc_id AS d0 FROM base ORDER BY score DESC, doc_id ASC LIMIT 1 OFFSET 9)
+SELECT b.doc_id, b.score
+FROM base b, cur
+WHERE b.score < cur.s0 OR (b.score = cur.s0 AND b.doc_id > cur.d0)
+ORDER BY b.score DESC, b.doc_id ASC LIMIT 10
+""".strip(),
+)
+def q_cursor_page2(spark, sf_dir):
+    """cursorMark deep paging: page 2 fetched by feeding back page 1's last
+    (score, doc_id) — the cursor predicate filters INSIDE the kernels, so
+    deep pages never pay the offset+k fetch."""
+    idx = _index_for(spark, sf_dir)
+    page1 = idx.search(Q_MIXED3, k=10, mode="or").collect()
+    last = page1[-1]
+    return idx.search(Q_MIXED3, k=10, mode="or", after=(last["score"], last["doc_id"]))
+
+
 @register("bm25_fuzzy_or", naive_bm25.bm25_fuzzy_topk_sql("tabl", k=10))
 def q_fuzzy(spark, sf_dir):
     # Solr term~1: the misspelling 'tabl' reaches 'table'/'label'/... via

@@ -488,3 +488,32 @@ def test_fielded_fuzzy_equals_expanded_group(spark, fidx):
     assert fidx.search_many({"f": (q, "and", 10)})["f"] == dist
     # field scoping: 'tabl' edits live in text's dictionary, not lang's
     assert fidx.expand_fuzzy("lang", "tabl") == []
+
+
+# ---- cursor (deep) paging ----------------------------------------------
+
+
+def test_cursor_pages_cover_full_ranking(spark, idx):
+    """Walking pages via after= reproduces the full ranking exactly —
+    every page, not just page 2 — and agrees with the local searcher."""
+    full = [tuple(r) for r in idx.search(["table", "join"], k=50, mode="or").collect()]
+    assert len(full) == 50
+    pages, cursor = [], None
+    for _ in range(5):
+        page = [tuple(r) for r in idx.search(["table", "join"], k=10, mode="or", after=cursor).collect()]
+        assert idx.open_local().search(["table", "join"], k=10, mode="or", after=cursor) == page
+        pages.extend(page)
+        cursor = (page[-1][1], page[-1][0])  # (score, doc_id) of the last row
+    assert pages == full
+    # AND mode too
+    fa = [tuple(r) for r in idx.search(["table", "join"], k=20, mode="and").collect()]
+    p1 = [tuple(r) for r in idx.search(["table", "join"], k=10, mode="and").collect()]
+    p2 = [tuple(r) for r in idx.search(["table", "join"], k=10, mode="and", after=(p1[-1][1], p1[-1][0])).collect()]
+    assert p1 + p2 == fa
+
+
+def test_cursor_guards(idx):
+    with pytest.raises(ValueError, match="cursor"):
+        idx.search(["table"], k=5, mode="phrase", after=(1.0, 3))
+    with pytest.raises(ValueError, match="cursor"):
+        idx.search(["table"], k=5, offset=5, after=(1.0, 3))
