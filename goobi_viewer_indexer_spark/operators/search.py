@@ -65,6 +65,20 @@ def _edits1(term: str) -> set[str]:
     return out
 
 
+def _parse_sort(sort: str) -> tuple[list[str], list]:
+    """``"source asc, lang desc"`` → (columns, order keys).  Solr's
+    multi-key sort param; doc_id is always the final tiebreak."""
+    cols, keys = [], []
+    for part in sort.split(","):
+        scol, _, sdir = part.strip().partition(" ")
+        sdir = (sdir or "asc").strip().lower()
+        if sdir not in ("asc", "desc"):
+            raise ValueError(f"bad sort direction {sdir!r}")
+        cols.append(scol)
+        keys.append(F.col(scol).asc() if sdir == "asc" else F.col(scol).desc())
+    return cols, keys
+
+
 def _bool_toks(body: str) -> list[str]:
     """:func:`tokenize_py` that PRESERVES a trailing ``*`` — ``pre*`` is a
     wildcard token the engine expands from the term dictionary (the plain
@@ -281,24 +295,20 @@ class InvertedIndex:
         if after is not None and (offset or sort is not None or mode == "phrase"):
             raise ValueError("after= (cursor paging) applies to plain and/or score queries only")
         if sort is not None:
-            scol, _, sdir = sort.partition(" ")
-            sdir = (sdir or "asc").strip().lower()
-            if sdir not in ("asc", "desc"):
-                raise ValueError(f"bad sort direction {sdir!r}")
+            scols, keys = _parse_sort(sort)
             st = self.stored()
             if st is None:
                 raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
-            cols = fl if fl is not None else [scol]
+            cols = fl if fl is not None else scols
             ids = self.match_ids(query, mode=mode)
-            key = F.col(scol).asc() if sdir == "asc" else F.col(scol).desc()
             out = (
-                ids.join(st.select("doc_id", *dict.fromkeys(cols + [scol])), "doc_id")
-                .orderBy(key, F.asc("doc_id"))
+                ids.join(st.select("doc_id", *dict.fromkeys(cols + scols)), "doc_id")
+                .orderBy(*keys, F.asc("doc_id"))
             )
             if offset:
                 from pyspark.sql.window import Window
 
-                w = Window.orderBy(key, F.asc("doc_id"))
+                w = Window.orderBy(*keys, F.asc("doc_id"))
                 out = (
                     out.withColumn("_rk", F.row_number().over(w))
                     .filter((F.col("_rk") > offset) & (F.col("_rk") <= offset + k))
@@ -760,6 +770,33 @@ class InvertedIndex:
             .orderBy(F.desc("n"), F.asc(facet_col))
         )
         return out.limit(limit) if limit is not None else out
+
+    def field_stats(
+        self,
+        query: str | list[str],
+        dims: DataFrame,
+        stats_col: str,
+        mode: str = "and",
+    ) -> DataFrame:
+        """Solr StatsComponent (``stats=true&stats.field=F``): count / min /
+        max / sum / mean of a numeric column over the docs matching the
+        query.  ``dims`` is any (doc_id, …) side table, same contract as
+        :meth:`facet_counts`.  One row out; the match set never leaves the
+        cluster (match scan → equi-join → single agg)."""
+        ids = self.match_ids(query, mode=mode)
+        c = F.col(stats_col)
+        return (
+            ids.join(dims.select(F.col("doc_id"), c), "doc_id")
+            .agg(
+                F.count("*").alias("n"),
+                # long-typed extrema/sum: DuckDB (the oracle) aggregates
+                # integers to BIGINT, and the driver compares schemas
+                F.min(c).cast("long").alias("min"),
+                F.max(c).cast("long").alias("max"),
+                F.sum(c).cast("long").alias("sum"),
+                F.round(F.avg(c), 6).alias("mean"),
+            )
+        )
 
     def search_phrase(self, query: str | list[str], k: int = 10) -> DataFrame:
         """Exact-phrase top-k: the query tokens must occur CONSECUTIVELY in
@@ -1684,24 +1721,20 @@ class FieldedIndex:
         sort runs match scan → join stored → orderBy → limit; fl joins the
         stored side table onto the scored top-k."""
         if sort is not None:
-            scol, _, sdir = sort.partition(" ")
-            sdir = (sdir or "asc").strip().lower()
-            if sdir not in ("asc", "desc"):
-                raise ValueError(f"bad sort direction {sdir!r}")
+            scols, keys = _parse_sort(sort)
             st = self.stored()
             if st is None:
                 raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
-            cols = fl if fl is not None else [scol]
+            cols = fl if fl is not None else scols
             ids = self.match_ids(query, mode=mode)
-            key = F.col(scol).asc() if sdir == "asc" else F.col(scol).desc()
             out = (
-                ids.join(st.select("doc_id", *dict.fromkeys(cols + [scol])), "doc_id")
-                .orderBy(key, F.asc("doc_id"))
+                ids.join(st.select("doc_id", *dict.fromkeys(cols + scols)), "doc_id")
+                .orderBy(*keys, F.asc("doc_id"))
             )
             if offset:
                 from pyspark.sql.window import Window
 
-                w = Window.orderBy(key, F.asc("doc_id"))
+                w = Window.orderBy(*keys, F.asc("doc_id"))
                 out = (
                     out.withColumn("_rk", F.row_number().over(w))
                     .filter((F.col("_rk") > offset) & (F.col("_rk") <= offset + k))

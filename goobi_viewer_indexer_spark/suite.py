@@ -346,6 +346,46 @@ def q_fuzzy(spark, sf_dir):
     return _index_for(spark, sf_dir).search_fuzzy("tabl", k=10)
 
 
+@register(
+    "q_field_stats",
+    f"""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       min(len({duckdb_tokenize_sql('text')})) AS min,
+       max(len({duckdb_tokenize_sql('text')})) AS max,
+       CAST(sum(len({duckdb_tokenize_sql('text')})) AS BIGINT) AS sum,
+       round(avg(len({duckdb_tokenize_sql('text')})), 6) AS mean
+FROM documents
+WHERE list_contains({duckdb_tokenize_sql('text')}, 'table')
+  AND list_contains({duckdb_tokenize_sql('text')}, 'join')
+""".strip(),
+)
+def q_field_stats(spark, sf_dir):
+    # Solr StatsComponent (stats.field): numeric aggregates over the match
+    # set — here doclen over docs matching table AND join
+    idx = _index_for(spark, sf_dir)
+    dims = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize_expr("text")).alias("doclen")
+    )
+    return idx.field_stats(["table", "join"], dims, "doclen", mode="and")
+
+
+@register(
+    "q_search_sort_multikey",
+    f"""
+SELECT doc_id, lang, source FROM documents
+WHERE list_contains({duckdb_tokenize_sql('text')}, 'table')
+  AND list_contains({duckdb_tokenize_sql('text')}, 'join')
+ORDER BY lang ASC, source DESC, doc_id ASC LIMIT 12
+""".strip(),
+)
+def q_sort_multikey(spark, sf_dir):
+    # Solr multi-key field sort: 'lang asc, source desc' with doc_id tiebreak
+    return _stored_index_for(spark, sf_dir).search(
+        ["table", "join"], k=12, mode="and", fl=["lang", "source"],
+        sort="lang asc, source desc",
+    )
+
+
 @register("bm25_prefix_or", naive_bm25.bm25_prefix_topk_sql("s", k=10))
 def q_prefix(spark, sf_dir):
     # wildcard s* → {scan, slow, stream, small, sort, spark} at sf0.01:

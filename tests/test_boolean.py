@@ -517,3 +517,32 @@ def test_cursor_guards(idx):
         idx.search(["table"], k=5, mode="phrase", after=(1.0, 3))
     with pytest.raises(ValueError, match="cursor"):
         idx.search(["table"], k=5, offset=5, after=(1.0, 3))
+
+
+def test_field_stats_and_multikey_sort(spark, tmp_path):
+    d = str(tmp_path / "stats_idx")
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_index(docs, d, CFG)
+    maint.set_stored_fields(spark, d, docs.select("doc_id", "source", "lang"), tag="t1")
+    engine = InvertedIndex(spark, d)
+    dims = docs.select("doc_id", F.size(tokenize_expr("text")).alias("doclen"))
+    row = engine.field_stats(["table"], dims, "doclen", mode="and").collect()[0]
+    # twin via plain DataFrame ops
+    ids = {r["doc_id"] for r in engine.match_ids(["table"], mode="and").collect()}
+    truth = dims.filter(F.col("doc_id").isin(list(ids))).agg(
+        F.count("*"), F.min("doclen"), F.max("doclen"), F.sum("doclen"), F.round(F.avg("doclen"), 6)
+    ).collect()[0]
+    assert (row["n"], row["min"], row["max"], row["sum"], row["mean"]) == tuple(truth)
+    # multi-key sort: secondary key breaks ties of the first
+    got = engine.search(["table"], k=30, mode="and", fl=["lang", "source"], sort="lang asc, source desc").collect()
+    keys = [[r["lang"], r["source"], r["doc_id"]] for r in got]
+    import pandas as pd
+
+    exp = (
+        pd.DataFrame(keys, columns=["lang", "source", "doc_id"])
+        .sort_values(["lang", "source", "doc_id"], ascending=[True, False, True])
+        .values.tolist()
+    )
+    assert keys == exp
+    # the full match set respects the window too (first key really orders)
+    assert [k[0] for k in keys] == sorted(k[0] for k in keys)
