@@ -65,6 +65,37 @@ def _edits1(term: str) -> set[str]:
     return out
 
 
+def _facet_over(ids, dims, facet_col: str, min_count: int, limit, prefix):
+    """Shared facet body: match-id set → dims equi-join → count-ordered
+    value counts (Solr facet.field; see the engine methods for contract)."""
+    dim = dims.select(F.col("doc_id"), F.col(facet_col))
+    if prefix is not None:
+        dim = dim.filter(F.col(facet_col).startswith(prefix))
+    out = (
+        ids.join(dim, "doc_id")
+        .groupBy(facet_col)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc(facet_col))
+    )
+    return out.limit(limit) if limit is not None else out
+
+
+def _stats_over(ids, dims, stats_col: str):
+    """Shared stats body (Solr stats.field): one long-typed agg row."""
+    c = F.col(stats_col)
+    return (
+        ids.join(dims.select(F.col("doc_id"), c), "doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(c).cast("long").alias("min"),
+            F.max(c).cast("long").alias("max"),
+            F.sum(c).cast("long").alias("sum"),
+            F.round(F.avg(c), 6).alias("mean"),
+        )
+    )
+
+
 def _parse_sort(sort: str) -> tuple[list[str], list]:
     """``"source asc, lang desc"`` → (columns, order keys).  Solr's
     multi-key sort param; doc_id is always the final tiebreak."""
@@ -758,18 +789,7 @@ class InvertedIndex:
         Solr's facet.limit / facet.prefix: prefix filters BEFORE the join
         (fewer rows shuffled), limit truncates the count-ordered result
         (count desc, value asc — Solr's default ordering)."""
-        ids = self.match_ids(query, mode=mode)
-        dim = dims.select(F.col("doc_id"), F.col(facet_col))
-        if prefix is not None:
-            dim = dim.filter(F.col(facet_col).startswith(prefix))
-        out = (
-            ids.join(dim, "doc_id")
-            .groupBy(facet_col)
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") >= min_count)
-            .orderBy(F.desc("n"), F.asc(facet_col))
-        )
-        return out.limit(limit) if limit is not None else out
+        return _facet_over(self.match_ids(query, mode=mode), dims, facet_col, min_count, limit, prefix)
 
     def field_stats(
         self,
@@ -783,20 +803,7 @@ class InvertedIndex:
         query.  ``dims`` is any (doc_id, …) side table, same contract as
         :meth:`facet_counts`.  One row out; the match set never leaves the
         cluster (match scan → equi-join → single agg)."""
-        ids = self.match_ids(query, mode=mode)
-        c = F.col(stats_col)
-        return (
-            ids.join(dims.select(F.col("doc_id"), c), "doc_id")
-            .agg(
-                F.count("*").alias("n"),
-                # long-typed extrema/sum: DuckDB (the oracle) aggregates
-                # integers to BIGINT, and the driver compares schemas
-                F.min(c).cast("long").alias("min"),
-                F.max(c).cast("long").alias("max"),
-                F.sum(c).cast("long").alias("sum"),
-                F.round(F.avg(c), 6).alias("mean"),
-            )
-        )
+        return _stats_over(self.match_ids(query, mode=mode), dims, stats_col)
 
     def search_phrase(self, query: str | list[str], k: int = 10) -> DataFrame:
         """Exact-phrase top-k: the query tokens must occur CONSECUTIVELY in
@@ -1531,6 +1538,33 @@ class FieldedIndex:
         if len(terms) > max_expansions:
             raise ValueError(f"prefix {field}:{prefix!r}* expands to {len(terms)} terms (> {max_expansions})")
         return terms
+
+    def facet_counts(
+        self,
+        query: str | list[tuple[str, str]],
+        dims: DataFrame,
+        facet_col: str,
+        mode: str = "and",
+        min_count: int = 1,
+        limit: int | None = None,
+        prefix: str | None = None,
+    ) -> DataFrame:
+        """Solr facet.field over a FIELDED query — same contract as
+        :meth:`InvertedIndex.facet_counts`, driven by the fielded
+        :meth:`match_ids` (every query shape: phrase/group/NOT/wildcard/
+        fuzzy)."""
+        return _facet_over(self.match_ids(query, mode=mode), dims, facet_col, min_count, limit, prefix)
+
+    def field_stats(
+        self,
+        query: str | list[tuple[str, str]],
+        dims: DataFrame,
+        stats_col: str,
+        mode: str = "and",
+    ) -> DataFrame:
+        """Solr stats.field over a FIELDED query — same contract as
+        :meth:`InvertedIndex.field_stats`."""
+        return _stats_over(self.match_ids(query, mode=mode), dims, stats_col)
 
     def expand_fuzzy(self, field: str, term: str, max_edits: int = 1,
                      max_expansions: int = 64) -> list[str]:

@@ -533,6 +533,25 @@ def q_bm25f_prefix(spark, sf_dir):
     return _fielded_index_for(spark, sf_dir).search("lang:en AND text:s*", k=10)
 
 
+@register(
+    "facet_fielded_not",
+    f"""
+SELECT source, count(*) AS n
+FROM documents
+WHERE list_contains({duckdb_tokenize_sql('text')}, 'table')
+  AND NOT list_contains({duckdb_tokenize_sql('lang')}, 'de')
+GROUP BY source HAVING count(*) >= 2
+ORDER BY n DESC, source ASC
+""".strip(),
+)
+def q_facet_fielded(spark, sf_dir):
+    # facet.field over a FIELDED boolean query (prohibited clause included)
+    dims = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    return _fielded_index_for(spark, sf_dir).facet_counts(
+        "text:table AND -lang:de", dims, "source", min_count=2
+    )
+
+
 @register("bm25f_phrase_field", naive_bm25.bm25_phrase_topk_sql(PHRASE_2GRAM, k=10))
 def q_bm25f_phrase(spark, sf_dir):
     # a single-field phrase over the fielded index == the flat-index phrase

@@ -221,3 +221,30 @@ def test_search_many_boolean_matches_search(spark, fidx):
     assert got["f"] == []
     with pytest.raises(ValueError, match="phrase"):
         fidx.search_many({"p": ('text:"spark window"', "and", 5)})
+
+
+def test_fielded_facet_and_stats(spark, fidx):
+    from pyspark.sql import functions as F
+
+    from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    dims = docs.select("doc_id", "source")
+    got = {
+        (r["source"], r["n"])
+        for r in fidx.facet_counts("text:table AND -lang:de", dims, "source").collect()
+    }
+    ids = {r["doc_id"] for r in fidx.match_ids("text:table AND -lang:de").collect()}
+    exp = {
+        (r["source"], r["n"])
+        for r in dims.filter(F.col("doc_id").isin(list(ids)))
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exp and got
+    ndims = docs.select("doc_id", F.size(tokenize_expr("text")).alias("doclen"))
+    st = fidx.field_stats('text:"spark window"', ndims, "doclen").collect()[0]
+    pids = {r["doc_id"] for r in fidx.match_ids('text:"spark window"').collect()}
+    truth = ndims.filter(F.col("doc_id").isin(list(pids))).agg(
+        F.count("*"), F.min("doclen"), F.max("doclen"), F.sum("doclen"), F.round(F.avg("doclen"), 6)
+    ).collect()[0]
+    assert (st["n"], st["min"], st["max"], st["sum"], st["mean"]) == tuple(truth) and st["n"] > 0
