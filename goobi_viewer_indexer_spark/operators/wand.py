@@ -22,7 +22,6 @@ code, same results, rank-identical to the naive DataFrame scorer.
 
 from __future__ import annotations
 
-import heapq
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -570,12 +569,37 @@ def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi:
         ub *= ub_scale
 
     order = np.argsort(-ub, kind="stable")
-    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
+    # vectorized top-k maintenance: candidate (doc, score) arrays buffer up
+    # and consolidate via one lexsort select when the buffer passes ~4k —
+    # no per-doc Python (the old heapq insertion loop was the last
+    # row-at-a-time path in the OR kernel).  θ (the kth best score so far)
+    # updates at each consolidation: lagging slightly behind a per-doc heap
+    # only weakens pruning, never correctness.
+    buf_d: list[np.ndarray] = []
+    buf_s: list[np.ndarray] = []
+    n_buf = 0
+    top_d = np.zeros(0, np.int64)
+    top_s = np.zeros(0, np.float64)
     theta = -np.inf
+    have_k = False
+    cap = max(4 * k, 4096)
+
+    def _consolidate():
+        nonlocal buf_d, buf_s, n_buf, top_d, top_s, theta, have_k
+        if n_buf == 0:
+            return
+        d = np.concatenate([top_d, *buf_d])
+        s = np.concatenate([top_s, *buf_s])
+        top_d, top_s = _topk_select(d, s, k)
+        buf_d, buf_s, n_buf = [], [], 0
+        if top_d.size >= k:
+            theta = float(top_s[-1])
+            have_k = True
+
     for ii in order:
         # strict <: an interval with UB == θ can still improve the top-k
         # via the doc_id tie-break (FIXTURES.md q10), so it must be scored
-        if ub[ii] < theta and len(heap) >= k:
+        if have_k and ub[ii] < theta:
             break  # every remaining interval is pruned
         lo, hi = int(lo_edges[ii]), int(hi_edges[ii])
         parts_d, parts_s = [], []
@@ -595,26 +619,25 @@ def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi:
         keep = _drop_deleted(udocs, deleted)
         udocs, uscores = udocs[keep], uscores[keep]
         if after is not None and udocs.size:
-            # cursor filter BEFORE the heap: theta then tracks the kth-best
-            # of the docs ranked after the cursor, so interval pruning
-            # stays exact for the filtered set
+            # cursor filter BEFORE selection: θ then tracks the kth-best of
+            # the docs ranked after the cursor, so interval pruning stays
+            # exact for the filtered set
             udocs, uscores = _after_mask(udocs, uscores, after)
-        for dcc, scc in zip(udocs, uscores):
-            entry = (float(scc), -int(dcc))
-            if len(heap) < k:
-                heapq.heappush(heap, entry)
-            elif entry > heap[0]:
-                heapq.heapreplace(heap, entry)
-        if len(heap) >= k:
-            theta = heap[0][0]
-    if not heap:
-        e = np.zeros(0, np.int64)
-        return e, np.zeros(0, np.float64)
-    items = sorted(heap, key=lambda x: (-x[0], -x[1]))
-    return (
-        np.array([-d for _, d in items], dtype=np.int64),
-        np.array([s for s, _ in items], dtype=np.float64),
-    )
+        if udocs.size == 0:
+            continue
+        if have_k:
+            # == θ kept: the doc_id tie-break can still displace the kth
+            m = uscores >= theta
+            udocs, uscores = udocs[m], uscores[m]
+            if udocs.size == 0:
+                continue
+        buf_d.append(udocs)
+        buf_s.append(uscores)
+        n_buf += udocs.size
+        if n_buf >= cap:
+            _consolidate()
+    _consolidate()
+    return top_d, top_s
 
 
 def score_topk(
