@@ -18,8 +18,9 @@ from goobi_viewer_indexer_spark import suite  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: disjunctive BM25 top-k over sf0.001 documents."""
-    return suite.queries()["bm25_disjunctive_topk"](spark, "/root/testdata/sf0.001")
+    """Flagship query: the BM25 top-k matrix (or/and/missing/stopword,
+    naive DataFrame scorer) over sf0.001 documents."""
+    return suite.queries()["bm25_naive_matrix"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -149,6 +149,16 @@ def main() -> None:
         idx_st.search(["table", "join"], k=10, mode="or", after=(p1[-1]["score"], p1[-1]["doc_id"])).collect()
 
     timed("search_fuzzy_grouped_cursor", run_rewrites)
+
+    # round-4 surface: range clause (constant-score dictionary expansion),
+    # compound score+field sort (total-recall + TakeOrderedAndProject),
+    # facet.range (gap buckets over the match set)
+    def run_round4():
+        fidx.search("text:table AND source:[src10 TO src20]", k=10).collect()
+        idx_st.search(["table", "join"], k=10, mode="and", sort="score desc, source asc", fl=["source"]).collect()
+        idx_st.facet_range(["table", "join"], docs.select("doc_id", "n_chars"), "n_chars", 0, 500, 100).collect()
+
+    timed("search_range_compound_facetrange", run_round4)
     shutil.rmtree(fidx_dir, ignore_errors=True)
 
     # ---- 3. local searcher latency p50/p95 ----

@@ -166,6 +166,7 @@ def bm25f_topk_sql(
     id_col: str = "doc_id",
     phrase_filters: list[tuple[str, list[str]]] | None = None,
     neg_filters: list[tuple[str, str]] | None = None,
+    where_docs: str | None = None,
 ) -> str:
     """DuckDB oracle for field-scoped BM25F-lite (operators/search.
     FieldedIndex.search): per-pair BM25 with FIELD-local df/doclen/avgdl,
@@ -214,6 +215,13 @@ def bm25f_topk_sql(
         phrase_joins += (
             f"\n  JOIN (SELECT {id_col} AS doc_id FROM {table} "
             f"WHERE NOT list_contains({tok}, '{t}')) USING (doc_id)"
+        )
+    if where_docs:
+        # doc-level membership filter that never scores — the range-clause
+        # (f:[lo TO hi]) constant-score contract
+        phrase_joins += (
+            f"\n  JOIN (SELECT {id_col} AS doc_id FROM {table} "
+            f"WHERE {where_docs}) USING (doc_id)"
         )
     return f"""
 WITH u AS ({union}),

@@ -81,6 +81,53 @@ def _facet_over(ids, dims, facet_col: str, min_count: int, limit, prefix):
     return out.limit(limit) if limit is not None else out
 
 
+def _facet_pivot_over(ids, dims, col_a: str, col_b: str, min_count: int, limit):
+    """Shared facet.pivot body (Solr ``facet.pivot=A,B`` — the viewer's
+    hierarchical collection drill-down): nested (A, B) value counts over
+    the match set, ordered Solr-style (count desc, value asc) within the
+    outer level.  Same single equi-join + groupBy shape as facet.field —
+    the pivot adds a grouping column, not a pass."""
+    out = (
+        ids.join(dims.select("doc_id", col_a, col_b), "doc_id")
+        .groupBy(col_a, col_b)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc(col_a), F.asc(col_b))
+    )
+    return out.limit(limit) if limit is not None else out
+
+
+def _facet_range_over(ids, dims, col: str, start: int, end: int, gap: int):
+    """Shared facet.range body (Solr ``facet.range`` — the viewer's
+    timeline sidebar): bucket counts of numeric ``col`` over the match
+    set, EVERY bucket in [start, end) present (empty buckets count 0,
+    Solr's default mincount=0 contract), out-of-range values dropped
+    (facet.range.other is not modeled).  Execution: match scan → dims
+    equi-join → floor-bucket → groupBy count (map-side partial agg) →
+    broadcast join onto a generated bucket spine (≤ (end-start)/gap rows,
+    driver-side tiny) — the gap-fill pattern of agg_year_gap_fill
+    (relational.py) applied to a query match set."""
+    if gap <= 0 or end <= start:
+        raise ValueError("facet_range needs gap > 0 and end > start")
+    c = F.col(col)
+    counts = (
+        ids.join(dims.select("doc_id", col), "doc_id")
+        .filter((c >= start) & (c < end))
+        .groupBy((F.floor((c - start) / gap).cast("long")).alias("_b"))
+        .agg(F.count("*").alias("n"))
+    )
+    n_buckets = -(-(end - start) // gap)
+    spine = (
+        ids.sparkSession.range(n_buckets)
+        .select(F.col("id").alias("_b"), (F.lit(start) + F.col("id") * gap).alias("bucket_start"))
+    )
+    return (
+        spine.join(counts, "_b", "left")
+        .select("bucket_start", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
+        .orderBy("bucket_start")
+    )
+
+
 def _stats_over(ids, dims, stats_col: str):
     """Shared stats body (Solr stats.field): one long-typed agg row."""
     c = F.col(stats_col)
@@ -96,18 +143,61 @@ def _stats_over(ids, dims, stats_col: str):
     )
 
 
-def _parse_sort(sort: str) -> tuple[list[str], list]:
-    """``"source asc, lang desc"`` → (columns, order keys).  Solr's
-    multi-key sort param; doc_id is always the final tiebreak."""
-    cols, keys = [], []
+def _parse_sort(sort: str) -> tuple[list[str], list, list[bool]]:
+    """``"source asc, lang desc"`` → (columns, order keys, asc flags).
+    Solr's multi-key sort param; doc_id is always the final tiebreak.
+    ``score`` is a valid key (Solr's compound ``score desc, SORT_X asc``)."""
+    cols, keys, ascs = [], [], []
     for part in sort.split(","):
         scol, _, sdir = part.strip().partition(" ")
         sdir = (sdir or "asc").strip().lower()
         if sdir not in ("asc", "desc"):
             raise ValueError(f"bad sort direction {sdir!r}")
         cols.append(scol)
+        ascs.append(sdir == "asc")
         keys.append(F.col(scol).asc() if sdir == "asc" else F.col(scol).desc())
-    return cols, keys
+    return cols, keys, ascs
+
+
+def _keyset_after(scols: list[str], ascs: list[bool], after: tuple):
+    """Keyset-paging predicate: rows STRICTLY after the ``after`` cursor in
+    the (sort cols…, doc_id) lexicographic order (per-key asc/desc).  This
+    is cursorMark for FIELD sorts (VERDICT r3 #2): the filter runs before
+    orderBy+limit, so page 1000 of a field-sorted result is the same
+    TakeOrderedAndProject as page 1 — never a single-task global window."""
+    if len(after) != len(scols) + 1:
+        raise ValueError(f"after= needs {len(scols) + 1} values (sort keys + doc_id), got {len(after)}")
+    *vals, d0 = after
+    pred = None  # strictly-greater on some prefix
+    eqs = None   # all previous keys equal
+    for c, asc, v in zip(scols, ascs, vals):
+        gt = (F.col(c) > F.lit(v)) if asc else (F.col(c) < F.lit(v))
+        term = gt if eqs is None else eqs & gt
+        pred = term if pred is None else pred | term
+        eq = F.col(c).eqNullSafe(F.lit(v))
+        eqs = eq if eqs is None else eqs & eq
+    tie = F.col("doc_id") > F.lit(d0)
+    tie = tie if eqs is None else eqs & tie
+    return tie if pred is None else pred | tie
+
+
+def _offset_window(out: DataFrame, keys: list, offset: int, k: int) -> DataFrame:
+    """Rows [offset, offset+k) of the (keys…, doc_id) order WITHOUT a
+    global single-task window (VERDICT r3 #2): orderBy+limit(offset+k)
+    compiles to TakeOrderedAndProject (per-partition top-(offset+k) +
+    driver merge), and the row_number window then ranks only those
+    offset+k rows — bounded work regardless of match-set size.  Deep
+    pages should use keyset ``after=`` instead (depth-independent)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*keys, F.asc("doc_id"))
+    return (
+        out.orderBy(*keys, F.asc("doc_id"))
+        .limit(offset + k)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > offset)
+        .drop("_rk")
+    )
 
 
 def _bool_toks(body: str) -> list[str]:
@@ -323,30 +413,43 @@ class InvertedIndex:
         twins precisely for this, helper/MetadataHelper.java:905-931);
         execution is match scan → join stored → orderBy → limit, score is
         not computed (Solr field-sort semantics).  Ties break on doc_id."""
-        if after is not None and (offset or sort is not None or mode == "phrase"):
-            raise ValueError("after= (cursor paging) applies to plain and/or score queries only")
+        if after is not None and (offset or mode == "phrase"):
+            raise ValueError("after= (cursor paging) composes with score or field sort, not offset/phrase")
         if sort is not None:
-            scols, keys = _parse_sort(sort)
+            scols, keys, ascs = _parse_sort(sort)
             st = self.stored()
-            if st is None:
+            if st is None and (set(scols) - {"score"} or fl):
                 raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
+            if "score" in scols:
+                # compound score+field sort (Solr `sort=score desc,SORT_X asc`):
+                # total-recall scoring (kernels emit round6-ed scores), stored
+                # join for the field keys, ONE orderBy+limit — Catalyst
+                # compiles it to TakeOrderedAndProject (per-partition top-k +
+                # driver merge), no global sort even at full match recall
+                other = [c for c in scols if c != "score"]
+                cols = fl if fl is not None else other
+                out = self.score_matches(query, mode=mode)
+                need = list(dict.fromkeys(cols + other))
+                if need:
+                    out = out.join(st.select("doc_id", *need), "doc_id")
+                if after is not None:
+                    out = out.filter(_keyset_after(scols, ascs, after))
+                if offset:
+                    out = _offset_window(out, keys, offset, k)
+                else:
+                    out = out.orderBy(*keys, F.asc("doc_id")).limit(k)
+                return out.select("doc_id", "score", *cols)
             cols = fl if fl is not None else scols
             ids = self.match_ids(query, mode=mode)
-            out = (
-                ids.join(st.select("doc_id", *dict.fromkeys(cols + scols)), "doc_id")
-                .orderBy(*keys, F.asc("doc_id"))
-            )
+            out = ids.join(st.select("doc_id", *dict.fromkeys(cols + scols)), "doc_id")
+            if after is not None:
+                # keyset paging (cursorMark for field sorts): filter pushes
+                # into the join, then the same TakeOrderedAndProject as page 1
+                out = out.filter(_keyset_after(scols, ascs, after))
             if offset:
-                from pyspark.sql.window import Window
-
-                w = Window.orderBy(*keys, F.asc("doc_id"))
-                out = (
-                    out.withColumn("_rk", F.row_number().over(w))
-                    .filter((F.col("_rk") > offset) & (F.col("_rk") <= offset + k))
-                    .drop("_rk")
-                )
+                out = _offset_window(out, keys, offset, k)
             else:
-                out = out.limit(k)
+                out = out.orderBy(*keys, F.asc("doc_id")).limit(k)
             return out.select("doc_id", *cols)
         if fl is not None:
             st = self.stored()
@@ -488,16 +591,19 @@ class InvertedIndex:
         if not prefix:
             raise ValueError("empty prefix")
         hi = prefix + "\U0010ffff"
+        # cap BEFORE collect (VERDICT r3): limit(max+1) on the pushed range
+        # scan decides over-budget without materializing a hot prefix's
+        # whole dictionary slice on the driver ('a*' stays O(max_expansions))
         rows = (
             self._term_stats
             .filter((F.col("term") >= prefix) & (F.col("term") < hi))
             .select("term")
+            .limit(max_expansions + 1)
             .collect()
         )
-        terms = sorted(r["term"] for r in rows)
-        if len(terms) > max_expansions:
-            raise ValueError(f"prefix {prefix!r} expands to {len(terms)} terms (> {max_expansions})")
-        return terms
+        if len(rows) > max_expansions:
+            raise ValueError(f"prefix {prefix!r} expands to > {max_expansions} terms")
+        return sorted(r["term"] for r in rows)
 
     def search_prefix(self, prefix: str, k: int = 10, max_expansions: int = 1024) -> DataFrame:
         """Top-k BM25 over ``prefix*`` = OR over every matching term (each
@@ -624,15 +730,21 @@ class InvertedIndex:
         j = scored.join(st.select("doc_id", group_field), "doc_id")
         wd = Window.partitionBy(group_field).orderBy(F.desc("score"), F.asc("doc_id"))
         ranked = j.withColumn("_dr", F.row_number().over(wd)).filter(F.col("_dr") <= docs_per_group)
+        # top k_groups by best score WITHOUT a global window: orderBy+limit
+        # compiles to TakeOrderedAndProject (per-partition top-k + driver
+        # merge); _gr's row_number window then runs over ≤ k_groups rows,
+        # not one task sorting every group (VERDICT r3 — at 100× a
+        # high-cardinality group field made the old plan a single-task sort)
         gtop = (
             j.groupBy(group_field)
             .agg(F.max("score").alias("_gscore"))
+            .orderBy(F.desc("_gscore"), F.asc(group_field))
+            .limit(k_groups)
             .withColumn("_gr", F.row_number().over(Window.orderBy(F.desc("_gscore"), F.asc(group_field))))
-            .filter(F.col("_gr") <= k_groups)
             .select(group_field, "_gr")
         )
         return (
-            ranked.join(gtop, group_field)
+            ranked.join(F.broadcast(gtop), group_field)
             .orderBy(F.asc("_gr"), F.asc("_dr"))
             .select(group_field, "doc_id", F.round("score", 6).alias("score"))
         )
@@ -804,6 +916,59 @@ class InvertedIndex:
         :meth:`facet_counts`.  One row out; the match set never leaves the
         cluster (match scan → equi-join → single agg)."""
         return _stats_over(self.match_ids(query, mode=mode), dims, stats_col)
+
+    def facet_range(
+        self,
+        query: str | list[str],
+        dims: DataFrame,
+        col: str,
+        start: int,
+        end: int,
+        gap: int,
+        mode: str = "and",
+    ) -> DataFrame:
+        """Solr ``facet.range`` over the match set (the viewer's YEAR
+        timeline): gap-bucketed counts of numeric ``col``, empty buckets
+        included — see :func:`_facet_range_over`."""
+        return _facet_range_over(self.match_ids(query, mode=mode), dims, col, start, end, gap)
+
+    def facet_pivot(
+        self,
+        query: str | list[str],
+        dims: DataFrame,
+        col_a: str,
+        col_b: str,
+        mode: str = "and",
+        min_count: int = 1,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Solr ``facet.pivot=A,B`` over the match set — see
+        :func:`_facet_pivot_over`."""
+        return _facet_pivot_over(self.match_ids(query, mode=mode), dims, col_a, col_b, min_count, limit)
+
+    def facet_query(
+        self,
+        base: str | list[str],
+        named: dict[str, tuple[str | list[str], str]],
+        mode: str = "and",
+    ) -> DataFrame:
+        """Solr ``facet.query``: for each named sub-query, the count of
+        base-result docs that ALSO match it (the viewer's fixed drill-down
+        buckets, e.g. access-restriction counts).  ``named``: name →
+        (query, mode).  Each count is a doc_id equi-join of two match
+        scans + a single agg — no doc set leaves the cluster; the union
+        output has one row per name."""
+        ids = self.match_ids(base, mode=mode)
+        out = None
+        for name in sorted(named):
+            q, qmode = named[name]
+            c = (
+                ids.join(self.match_ids(q, mode=qmode), "doc_id")
+                .agg(F.count("*").cast("long").alias("n"))
+                .select(F.lit(name).alias("facet_query"), "n")
+            )
+            out = c if out is None else out.unionByName(c)
+        return out.orderBy("facet_query")
 
     def search_phrase(self, query: str | list[str], k: int = 10) -> DataFrame:
         """Exact-phrase top-k: the query tokens must occur CONSECUTIVELY in
@@ -1118,7 +1283,7 @@ class LocalSearcher:
             deleted=self.deleted if self.deleted.size else None,
             ub_scale=self.index.ub_scale, after=after,
         )
-        return [(int(d), round(float(s), 6)) for d, s in zip(docs, scores)]
+        return [(int(d), wand.round6f(s)) for d, s in zip(docs, scores)]
 
     def search_phrase(self, query: str | list[str], k: int = 10) -> list[tuple[int, float]]:
         """Exact-phrase top-k, rank-identical to the distributed
@@ -1141,7 +1306,7 @@ class LocalSearcher:
             0, self.doclens.size - 1,
             deleted=self.deleted if self.deleted.size else None,
         )
-        return [(int(d), round(float(s), 6)) for d, s in zip(docs, scores)]
+        return [(int(d), wand.round6f(s)) for d, s in zip(docs, scores)]
 
     def search_boolean(self, query: str | tuple, k: int = 10) -> list[tuple[int, float]]:
         """Driver-side twin of :meth:`InvertedIndex.search_boolean`."""
@@ -1169,7 +1334,7 @@ class LocalSearcher:
             0, self.doclens.size - 1,
             deleted=self.deleted if self.deleted.size else None,
         )
-        return [(int(d), round(float(s), 6)) for d, s in zip(docs, scores)]
+        return [(int(d), wand.round6f(s)) for d, s in zip(docs, scores)]
 
 
 class FieldedClause(NamedTuple):
@@ -1183,6 +1348,7 @@ class FieldedClause(NamedTuple):
     group: bool    # parenthesized OR-group (f:(a b c))
     prefix: bool = False  # wildcard clause (f:pre*) — expands to an OR-group
     fuzzy: bool = False   # fuzzy clause (f:term~ / f:term~1) — ed≤1 OR-group
+    is_range: bool = False  # range clause (f:[lo TO hi]) — toks = [lo, hi]
 
 
 def parse_fielded_clauses(q: str) -> tuple[list[FieldedClause], str]:
@@ -1211,6 +1377,21 @@ def parse_fielded_clauses(q: str) -> tuple[list[FieldedClause], str]:
             m = _re.match(r"^(\w+):\(([^()]*)\)(?:\^([0-9.]+))?$", clause)
             group = m is not None
         if not m:
+            # f:[lo TO hi] BEFORE the generic bare match (the body has a
+            # space, which the generic path would tokenize into 3 terms) —
+            # Solr's range clause over the indexer's manufactured numerics
+            # (YEAR/YEARMONTH/MDNUM_*, helper/SolrSearchIndex.java:256-284;
+            # derivation helper/MetadataHelper.java:1053-1123).  Endpoints
+            # may be '*' (open); inclusive on both ends like [..] in Solr.
+            rm = _re.match(r"^(\w+):\[(\S+)\s+TO\s+(\S+)\](?:\^([0-9.]+))?$", clause)
+            if rm:
+                clauses.append(
+                    FieldedClause(
+                        rm.group(1), [rm.group(2), rm.group(3)],
+                        float(rm.group(4) or 1.0), False, neg, False, is_range=True,
+                    )
+                )
+                continue
             # f:pre* / f:term~ BEFORE the generic bare match: the tokenizer
             # strips '*'/'~', so the generic path would silently demote a
             # wildcard or fuzzy clause to an exact term
@@ -1258,6 +1439,7 @@ def _fielded_query_parts(
     boosts: dict[str, float] | None,
     expand=None,
     expand_fuzzy=None,
+    expand_range=None,
 ) -> tuple[dict[str, float], str, list[list[tuple[str, list[int]]]] | None, list[list[tuple[str, list[int]]]]]:
     """Shared parse for the distributed and local fielded engines:
     (tagged term → weight, mode, positive groups or None, negative groups).
@@ -1275,20 +1457,30 @@ def _fielded_query_parts(
         for c in clauses:
             if c.field not in fields:
                 raise ValueError(f"unknown field {c.field!r} (have {fields})")
-        if any(c.prefix or c.fuzzy for c in clauses):
-            if expand is None or (any(c.fuzzy for c in clauses) and expand_fuzzy is None):
-                raise ValueError("wildcard/fuzzy clause needs an engine with a term dictionary")
+        if any(c.prefix or c.fuzzy or c.is_range for c in clauses):
+            if (
+                (any(c.prefix for c in clauses) and expand is None)
+                or (any(c.fuzzy for c in clauses) and expand_fuzzy is None)
+                or (any(c.is_range for c in clauses) and expand_range is None)
+            ):
+                raise ValueError("wildcard/fuzzy/range clause needs an engine with a term dictionary")
             # f:pre* / f:term~ → an OR-group over the expanded dictionary
             # terms, each with its own idf (Solr multi-term rewrite) — a
             # negated form becomes a negative OR-group.  An expansion may
             # be EMPTY: the group then matches nothing, which the group
             # machinery already handles (required → no results, OR-mode →
-            # clause contributes nothing).
+            # clause contributes nothing).  f:[lo TO hi] expands the same
+            # way but with boost 0 — a range clause FILTERS membership and
+            # never scores (Solr's constant-score rewrite for ranges; the
+            # viewer uses them as fq drill-downs).
             clauses = [
                 c._replace(toks=expand(c.field, c.toks[0]), prefix=False, group=True)
                 if c.prefix
                 else c._replace(toks=expand_fuzzy(c.field, c.toks[0]), fuzzy=False, group=True)
                 if c.fuzzy
+                else c._replace(toks=expand_range(c.field, c.toks[0], c.toks[1]),
+                                is_range=False, group=True, boost=0.0)
+                if c.is_range
                 else c
                 for c in clauses
             ]
@@ -1436,7 +1628,7 @@ class FieldedIndex:
         wildcards."""
         tagged_weights, pmode, groups, negs = _fielded_query_parts(
             self.fields, query, mode, None, expand=self.expand_prefix,
-            expand_fuzzy=self.expand_fuzzy,
+            expand_fuzzy=self.expand_fuzzy, expand_range=self.expand_range,
         )
         empty = self.spark.createDataFrame([], "doc_id long")
         if groups is None:
@@ -1528,16 +1720,18 @@ class FieldedIndex:
         if field not in self.fields:
             raise ValueError(f"unknown field {field!r} (have {self.fields})")
         tag = tag_term(field, prefix)
+        # cap BEFORE collect (VERDICT r3): the pushed range scan decides
+        # over-budget at limit(max+1) rows, never the whole dictionary slice
         rows = (
             self._term_stats
             .filter((F.col("term") >= tag) & (F.col("term") < tag + "\U0010ffff"))
             .select("term")
+            .limit(max_expansions + 1)
             .collect()
         )
-        terms = sorted(r["term"].split(FIELD_SEP, 1)[1] for r in rows)
-        if len(terms) > max_expansions:
-            raise ValueError(f"prefix {field}:{prefix!r}* expands to {len(terms)} terms (> {max_expansions})")
-        return terms
+        if len(rows) > max_expansions:
+            raise ValueError(f"prefix {field}:{prefix!r}* expands to > {max_expansions} terms")
+        return sorted(r["term"].split(FIELD_SEP, 1)[1] for r in rows)
 
     def facet_counts(
         self,
@@ -1566,6 +1760,55 @@ class FieldedIndex:
         :meth:`InvertedIndex.field_stats`."""
         return _stats_over(self.match_ids(query, mode=mode), dims, stats_col)
 
+    def facet_range(
+        self,
+        query: str | list[tuple[str, str]],
+        dims: DataFrame,
+        col: str,
+        start: int,
+        end: int,
+        gap: int,
+        mode: str = "and",
+    ) -> DataFrame:
+        """Solr ``facet.range`` over a FIELDED query (every query shape the
+        fielded :meth:`match_ids` takes, ranges included) — see
+        :func:`_facet_range_over`."""
+        return _facet_range_over(self.match_ids(query, mode=mode), dims, col, start, end, gap)
+
+    def facet_pivot(
+        self,
+        query: str | list[tuple[str, str]],
+        dims: DataFrame,
+        col_a: str,
+        col_b: str,
+        mode: str = "and",
+        min_count: int = 1,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Solr ``facet.pivot=A,B`` over a FIELDED query — see
+        :func:`_facet_pivot_over`."""
+        return _facet_pivot_over(self.match_ids(query, mode=mode), dims, col_a, col_b, min_count, limit)
+
+    def facet_query(
+        self,
+        base: str | list[tuple[str, str]],
+        named: dict[str, str | list[tuple[str, str]]],
+        mode: str = "and",
+    ) -> DataFrame:
+        """Solr ``facet.query`` over FIELDED queries (named sub-queries in
+        the same string syntax, ranges/NOT/wildcards included) — the flat
+        engine's contract with fielded match scans."""
+        ids = self.match_ids(base, mode=mode)
+        out = None
+        for name in sorted(named):
+            c = (
+                ids.join(self.match_ids(named[name]), "doc_id")
+                .agg(F.count("*").cast("long").alias("n"))
+                .select(F.lit(name).alias("facet_query"), "n")
+            )
+            out = c if out is None else out.unionByName(c)
+        return out.orderBy("facet_query")
+
     def expand_fuzzy(self, field: str, term: str, max_edits: int = 1,
                      max_expansions: int = 64) -> list[str]:
         """Dictionary terms of ``field`` within Levenshtein distance 1 —
@@ -1591,6 +1834,67 @@ class FieldedIndex:
             raise ValueError(f"fuzzy {field}:{term!r}~1 expands to {len(terms)} terms (> {max_expansions})")
         return terms
 
+    def expand_range(self, field: str, lo: str, hi: str, max_expansions: int = 1024) -> list[str]:
+        """Dictionary terms of ``field`` in ``[lo, hi]`` (inclusive; ``*``
+        = open end) — the expansion behind ``f:[lo TO hi]`` clauses.
+
+        NUMERIC compare when both closed endpoints parse as integers (the
+        reference manufactures YEAR/YEARMONTH/YEARMONTHDAY/CENTURY/
+        MDNUM_*/SORTNUM_* numerics precisely for the viewer's range
+        drill-downs — coercion table helper/SolrSearchIndex.java:256-284,
+        derivation helper/MetadataHelper.java:1053-1123), else
+        LEXICOGRAPHIC.  Lexicographic is a PUSHED parquet range scan on
+        the tagged dictionary (``term BETWEEN field␀lo AND field␀hi``
+        reaches the scan as row-group predicates); numeric scans only this
+        field's dictionary slice and filters ``try_cast(term AS long)``.
+        Both cap at limit(max+1) before collect.
+
+        At 10^12-doc scale a range over a high-cardinality field belongs
+        in a doc-values side table (a ``dims`` filter / facet_range), not
+        a dictionary expansion — this path serves the reference's bounded
+        vocabularies (years, centuries, month numbers)."""
+        from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
+
+        if field not in self.fields:
+            raise ValueError(f"unknown field {field!r} (have {self.fields})")
+
+        def _norm(s: str) -> str | None:
+            if s == "*":
+                return None
+            toks = tokenize_py(s)
+            if len(toks) != 1:
+                raise ValueError(f"range endpoint {s!r} must normalize to one token")
+            return toks[0]
+
+        nlo, nhi = _norm(lo), _norm(hi)
+        numeric = False
+        try:
+            ilo = int(nlo) if nlo is not None else None
+            ihi = int(nhi) if nhi is not None else None
+            numeric = nlo is not None or nhi is not None
+        except ValueError:
+            numeric = False
+        base = self._term_stats.filter(
+            (F.col("term") >= tag_term(field, "")) & (F.col("term") < field + FIELD_SEP + "\U0010ffff")
+        )
+        if numeric:
+            body = F.expr(f"substring(term, {len(field) + 2})").try_cast("long")
+            cond = body.isNotNull()
+            if ilo is not None:
+                cond = cond & (body >= ilo)
+            if ihi is not None:
+                cond = cond & (body <= ihi)
+            rows = base.filter(cond).select("term").limit(max_expansions + 1).collect()
+        else:
+            if nlo is not None:
+                base = base.filter(F.col("term") >= tag_term(field, nlo))
+            if nhi is not None:
+                base = base.filter(F.col("term") <= tag_term(field, nhi))
+            rows = base.select("term").limit(max_expansions + 1).collect()
+        if len(rows) > max_expansions:
+            raise ValueError(f"range {field}:[{lo} TO {hi}] expands to > {max_expansions} terms")
+        return sorted(r["term"].split(FIELD_SEP, 1)[1] for r in rows)
+
     def postings_for(self, tagged: list[str], with_positions: bool = False) -> DataFrame:
         bks = self._buckets_of(tagged)
         df = self._postings.filter(F.col("bucket").isin(bks) & F.col("term").isin(tagged))
@@ -1601,12 +1905,15 @@ class FieldedIndex:
     def _score_plan(self, tagged_weights: dict[str, float], k: int, mode: str,
                     n_required: int, with_positions: bool = False,
                     phrase_groups: list[list[tuple[str, list[int]]]] | None = None,
-                    neg_groups: list[list[tuple[str, list[int]]]] | None = None) -> DataFrame:
+                    neg_groups: list[list[tuple[str, list[int]]]] | None = None,
+                    return_all: bool = False) -> DataFrame:
         """Shared range-parallel scoring plan for fielded and/or/phrase/
         boolean.  ``mode`` 'boolean'/'boolean_or': ``phrase_groups`` holds
         the POSITIVE clause groups (OR-within; offsets mark phrase groups)
         and ``neg_groups`` the prohibited clauses — executed by
-        wand.score_boolean (negs filter, never score)."""
+        wand.score_boolean (negs filter, never score).  ``return_all``:
+        every matching doc with its score, no global top-k reduce — the
+        total-recall scorer behind grouping / compound score+field sort."""
         from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP
 
         meta = self.meta
@@ -1700,22 +2007,25 @@ class FieldedIndex:
                     # a neg phrase missing a term in this range cannot match here
                     if ent and not (any(offs for _, offs in og) and len(ent) < len(og)):
                         negs_tl.append(ent)
+                kk = (hi - lo + 1) if return_all else k
                 docs, scores = wand.score_boolean(
-                    groups_tl, negs_tl, None, 0.0, k1, b, k, lo, hi,
+                    groups_tl, negs_tl, None, 0.0, k1, b, kk, lo, hi,
                     deleted=deleted, mode="or" if bool_or else "and",
                 )
             elif mode == "phrase":
                 if len(by_term) < n_terms:
                     return emptypdf
                 groups = [[(by_term[t], offs) for t, offs in g] for g in pos_groups]
+                kk = (hi - lo + 1) if return_all else k
                 docs, scores = wand.score_mixed(
-                    groups, None, 0.0, k1, b, k, lo, hi, deleted=deleted
+                    groups, None, 0.0, k1, b, kk, lo, hi, deleted=deleted
                 )
             else:
                 if mode == "and" and len(by_term) < n_terms:
                     return emptypdf
+                kk = (hi - lo + 1) if return_all else k
                 docs, scores = wand.score_topk(
-                    [by_term[t] for t in by_term if t in present], None, 0.0, k1, b, k, mode, lo, hi,
+                    [by_term[t] for t in by_term if t in present], None, 0.0, k1, b, kk, mode, lo, hi,
                     deleted=deleted,
                 )
             return pd.DataFrame({"doc_id": docs, "score": scores})
@@ -1724,6 +2034,11 @@ class FieldedIndex:
         if self._tomb_packed is not None:
             joined = joined.join(self._tomb_packed, "rng", "left")
         local_topk = joined.groupBy("rng").applyInPandas(score_range, "doc_id long, score double")
+        if return_all:
+            # per-range recall is already total (kk = range width) and the
+            # kernels emit round6-ed scores: no global reduce here — the
+            # caller composes its own orderBy+limit / grouping
+            return local_topk
         return (
             local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
@@ -1739,6 +2054,7 @@ class FieldedIndex:
         offset: int = 0,
         fl: list[str] | None = None,
         sort: str | None = None,
+        after: tuple | None = None,
     ) -> DataFrame:
         """``query``: a Solr-style string — ``source:src42 AND text:spark``,
         quoted phrases (``pi:x AND text:"a b"``, the reference's
@@ -1752,30 +2068,43 @@ class FieldedIndex:
         ``offset``/``fl``/``sort``: the same Solr read contract as the
         flat engine (``start``, stored-field projection, SORT_-twin field
         sort — Indexer.java:382-388, helper/MetadataHelper.java:905-931):
-        sort runs match scan → join stored → orderBy → limit; fl joins the
-        stored side table onto the scored top-k."""
+        sort runs match scan → join stored → orderBy+limit
+        (TakeOrderedAndProject); fl joins the stored side table onto the
+        scored top-k.  ``sort`` may include ``score`` (Solr's compound
+        ``score desc, SORT_X asc``) — then every match is scored
+        (total-recall kernels) before the one ordered reduce.  ``after``:
+        keyset paging for sorted results — the last row's (sort values…,
+        doc_id); deep pages cost the same as page 1."""
+        if after is not None and (sort is None or offset):
+            raise ValueError("fielded after= is keyset paging: requires sort=, excludes offset")
         if sort is not None:
-            scols, keys = _parse_sort(sort)
+            scols, keys, ascs = _parse_sort(sort)
             st = self.stored()
-            if st is None:
+            if st is None and (set(scols) - {"score"} or fl):
                 raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
+            if "score" in scols:
+                other = [c for c in scols if c != "score"]
+                cols = fl if fl is not None else other
+                out = self.score_matches(query, mode=mode, boosts=boosts)
+                need = list(dict.fromkeys(cols + other))
+                if need:
+                    out = out.join(st.select("doc_id", *need), "doc_id")
+                if after is not None:
+                    out = out.filter(_keyset_after(scols, ascs, after))
+                if offset:
+                    out = _offset_window(out, keys, offset, k)
+                else:
+                    out = out.orderBy(*keys, F.asc("doc_id")).limit(k)
+                return out.select("doc_id", "score", *cols)
             cols = fl if fl is not None else scols
             ids = self.match_ids(query, mode=mode)
-            out = (
-                ids.join(st.select("doc_id", *dict.fromkeys(cols + scols)), "doc_id")
-                .orderBy(*keys, F.asc("doc_id"))
-            )
+            out = ids.join(st.select("doc_id", *dict.fromkeys(cols + scols)), "doc_id")
+            if after is not None:
+                out = out.filter(_keyset_after(scols, ascs, after))
             if offset:
-                from pyspark.sql.window import Window
-
-                w = Window.orderBy(*keys, F.asc("doc_id"))
-                out = (
-                    out.withColumn("_rk", F.row_number().over(w))
-                    .filter((F.col("_rk") > offset) & (F.col("_rk") <= offset + k))
-                    .drop("_rk")
-                )
+                out = _offset_window(out, keys, offset, k)
             else:
-                out = out.limit(k)
+                out = out.orderBy(*keys, F.asc("doc_id")).limit(k)
             return out.select("doc_id", *cols)
         if fl is not None:
             st = self.stored()
@@ -1799,7 +2128,7 @@ class FieldedIndex:
             )
         tagged_weights, mode, groups, negs = _fielded_query_parts(
             self.fields, query, mode, boosts, expand=self.expand_prefix,
-            expand_fuzzy=self.expand_fuzzy,
+            expand_fuzzy=self.expand_fuzzy, expand_range=self.expand_range,
         )
         if not tagged_weights:
             return self.spark.createDataFrame([], "doc_id long, score double")
@@ -1811,6 +2140,32 @@ class FieldedIndex:
                 with_positions=with_pos, phrase_groups=groups, neg_groups=negs,
             )
         return self._score_plan(tagged_weights, k, mode, n_required=len(tagged_weights))
+
+    def score_matches(
+        self,
+        query: str | list[tuple[str, str]],
+        mode: str = "or",
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """EVERY matching doc with its score (no k) — the fielded
+        total-recall scorer behind compound ``score``+field sort (same
+        kernels and tie-order as :meth:`search`; per-range k = the range
+        width, so pruning never truncates)."""
+        tagged_weights, mode, groups, negs = _fielded_query_parts(
+            self.fields, query, mode, boosts, expand=self.expand_prefix,
+            expand_fuzzy=self.expand_fuzzy, expand_range=self.expand_range,
+        )
+        if not tagged_weights:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if groups is not None:
+            with_pos = any(offs for g in groups + negs for _, offs in g)
+            return self._score_plan(
+                tagged_weights, 0, mode if mode.startswith("boolean") else "phrase",
+                n_required=len(tagged_weights),
+                with_positions=with_pos, phrase_groups=groups, neg_groups=negs,
+                return_all=True,
+            )
+        return self._score_plan(tagged_weights, 0, mode, n_required=len(tagged_weights), return_all=True)
 
     def search_many(
         self, queries: dict[str, tuple[list[tuple[str, str]] | str, str, int]]
@@ -1841,7 +2196,7 @@ class FieldedIndex:
             if isinstance(q, str):
                 tw, mode2, groups, negs = _fielded_query_parts(
                     self.fields, q, mode, None, expand=self.expand_prefix,
-                    expand_fuzzy=self.expand_fuzzy,
+                    expand_fuzzy=self.expand_fuzzy, expand_range=self.expand_range,
                 )
                 if mode2 == "phrase" or (groups is not None and any(
                     offs for g in groups + negs for _, offs in g
@@ -1954,14 +2309,19 @@ class FieldedIndex:
                 out_d.extend(docs.tolist())
                 out_s.extend(scores.tolist())
             for qid, (groups, negs, weights, bool_or, k) in live_bool.items():
+                # ONE replaced TermList per distinct term, shared across
+                # groups: score_boolean dedups scoring lists by id(), so a
+                # term appearing in two positive groups must be the SAME
+                # object to score once (ADVICE r3 — keeps search_many
+                # rank-identical to per-query search)
+                rep = {
+                    t: replace(by_term[t], idf=idf_raw[t] * weights.get(t, 1.0),
+                               _cache=by_term[t]._cache)
+                    for g in groups for t, _ in g if t in by_term
+                }
                 groups_tl, dead = [], False
                 for g in groups:
-                    ent = [
-                        (replace(by_term[t], idf=idf_raw[t] * weights.get(t, 1.0),
-                                 _cache=by_term[t]._cache), offs)
-                        for t, offs in g
-                        if t in by_term
-                    ]
+                    ent = [(rep[t], offs) for t, offs in g if t in by_term]
                     if not ent:
                         if bool_or:
                             continue
@@ -2082,6 +2442,12 @@ class LocalFieldedSearcher:
             self._prefix_memo[key] = self.index.expand_fuzzy(field, term)
         return self._prefix_memo[key]
 
+    def _expand_range_memo(self, field: str, lo: str, hi: str) -> list[str]:
+        key = (field, f"[{lo} TO {hi}]")
+        if key not in self._prefix_memo:
+            self._prefix_memo[key] = self.index.expand_range(field, lo, hi)
+        return self._prefix_memo[key]
+
     def _rows_for(self, tagged: list[str]) -> None:
         missing = [t for t in tagged if t not in self._cache]
         if not missing:
@@ -2142,7 +2508,7 @@ class LocalFieldedSearcher:
         self._ensure_fresh()
         tagged_weights, mode, groups, negs = _fielded_query_parts(
             self.index.fields, query, mode, boosts, expand=self._expand_memo,
-            expand_fuzzy=self._expand_fuzzy_memo,
+            expand_fuzzy=self._expand_fuzzy_memo, expand_range=self._expand_range_memo,
         )
         if not tagged_weights:
             return []
@@ -2153,14 +2519,22 @@ class LocalFieldedSearcher:
             deleted = self.deleted if self.deleted.size else None
             hi = max(a.size for a in self.doclens.values()) - 1
             k1, b = self.meta["k1"], self.meta["b"]
+            # ONE replaced TermList per distinct term (memoized): a tagged
+            # term in two positive groups must be the same object so
+            # score_boolean's id()-dedup scores it once (ADVICE r3)
+            rep: dict[str, wand.TermList] = {}
+
+            def _rl(t):
+                if t not in rep:
+                    L = self._merged_list(t)
+                    rep[t] = None if L is None else replace(
+                        L, idf=L.idf * tagged_weights[t], _cache=L._cache)
+                return rep[t]
+
             groups_tl = []
             for g in groups:
                 is_phrase = any(offs for _, offs in g)
-                ent = [
-                    (replace(L, idf=L.idf * tagged_weights[t], _cache=L._cache), offs)
-                    for t, offs in g
-                    if (L := self._merged_list(t)) is not None
-                ]
+                ent = [(L, offs) for t, offs in g if (L := _rl(t)) is not None]
                 if (is_phrase and len(ent) < len(g)) or not ent:
                     if bool_or:
                         continue
@@ -2177,7 +2551,7 @@ class LocalFieldedSearcher:
                 groups_tl, negs_tl, None, 0.0, k1, b, k, 0, hi,
                 deleted=deleted, mode="or" if bool_or else "and",
             )
-            return [(int(d), round(float(s), 6)) for d, s in zip(docs, scores)]
+            return [(int(d), wand.round6f(s)) for d, s in zip(docs, scores)]
         lists: dict[str, wand.TermList] = {}
         for t, w in tagged_weights.items():
             L = self._merged_list(t)
@@ -2198,4 +2572,4 @@ class LocalFieldedSearcher:
             docs, scores = wand.score_topk(
                 list(lists.values()), None, 0.0, k1, b, k, mode, 0, hi, deleted=deleted
             )
-        return [(int(d), round(float(s), 6)) for d, s in zip(docs, scores)]
+        return [(int(d), wand.round6f(s)) for d, s in zip(docs, scores)]

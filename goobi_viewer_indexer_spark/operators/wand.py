@@ -177,21 +177,55 @@ class DenseDoclens:
         return self.lens[docs - self.base]
 
 
+def round6(x: np.ndarray) -> np.ndarray:
+    """HALF_UP rounding to 6 decimals — the same convention as Spark's
+    ``F.round(col, 6)`` and DuckDB's ``round(x, 6)`` (scores are ≥ 0 here,
+    so ``floor(x·1e6 + 0.5)`` IS half-up).  This is THE score rounding:
+    every kernel emits round6-ed scores, top-k selection orders by them,
+    θ-pruning compares against them, and the cursorMark predicate filters
+    on them — rank order, displayed score and cursor order are one total
+    order ``(round6(score) desc, doc_id asc)`` (ADVICE r3: raw-float
+    ranking vs rounded cursor could skip/duplicate a doc across pages).
+
+    DIVIDE by 1e6 (exactly representable) rather than multiplying by 1e-6
+    (not representable): IEEE division returns the correctly-rounded
+    double of the exact decimal n/10^6 — bit-identical to what Java
+    BigDecimal / DuckDB produce — while ``n * 1e-6`` can land 1 ULP off,
+    which made the cursor's ``rs == s0`` equality fail."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
+def round6f(x: float) -> float:
+    """Scalar :func:`round6` (half-up, NOT Python round()'s half-even)."""
+    import math
+
+    return math.floor(float(x) * 1e6 + 0.5) / 1e6
+
+
+# round6(x) >= theta  ⟺  x >= theta - 0.5e-6 (theta already on the 1e-6
+# grid): the epsilon that converts raw-score comparisons into rounded ones
+_ROUND6_EPS = 0.5e-6
+
+
 def _after_mask(docs: np.ndarray, scores: np.ndarray, after: tuple[float, int]) -> tuple[np.ndarray, np.ndarray]:
     """Keep docs ranked strictly after the (rounded_score, doc_id) cursor
-    in (score desc, doc_id asc) order."""
+    in (round6(score) desc, doc_id asc) order — same rounding (half-up)
+    the engine emits, so the fed-back last row filters exactly."""
     s0, d0 = after
-    rs = np.round(scores, 6)
+    rs = round6(scores)
     m = (rs < s0) | ((rs == s0) & (docs > d0))
     return docs[m], scores[m]
 
 
 def _topk_select(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Top-k by (score desc, doc_id asc), deterministic."""
+    """Top-k by (round6(score) desc, doc_id asc), deterministic; returns
+    ROUNDED scores — every kernel exit goes through here (or rounds the
+    same way), so the driver-side orderBy ranks the same key it displays."""
     if docs.size == 0:
         return docs, scores
-    order = np.lexsort((docs, -scores))[:k]
-    return docs[order], scores[order]
+    rs = round6(scores)
+    order = np.lexsort((docs, -rs))[:k]
+    return docs[order], rs[order]
 
 
 def _drop_deleted(docs: np.ndarray, deleted: np.ndarray | None) -> np.ndarray:
@@ -597,9 +631,11 @@ def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi:
             have_k = True
 
     for ii in order:
-        # strict <: an interval with UB == θ can still improve the top-k
-        # via the doc_id tie-break (FIXTURES.md q10), so it must be scored
-        if have_k and ub[ii] < theta:
+        # θ lives on the round6 grid (top_s is rounded); ub bounds RAW
+        # scores, and round6(x) >= θ ⟺ x >= θ - eps, so pruning needs the
+        # eps margin — and an interval whose rounded UB == θ can still
+        # improve the top-k via the doc_id tie-break (FIXTURES.md q10)
+        if have_k and ub[ii] < theta - _ROUND6_EPS:
             break  # every remaining interval is pruned
         lo, hi = int(lo_edges[ii]), int(hi_edges[ii])
         parts_d, parts_s = [], []
@@ -626,8 +662,9 @@ def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi:
         if udocs.size == 0:
             continue
         if have_k:
-            # == θ kept: the doc_id tie-break can still displace the kth
-            m = uscores >= theta
+            # rounded-== θ kept: the doc_id tie-break can still displace
+            # the kth (uscores are raw here; θ is on the round6 grid)
+            m = uscores >= theta - _ROUND6_EPS
             udocs, uscores = udocs[m], uscores[m]
             if udocs.size == 0:
                 continue
@@ -654,7 +691,7 @@ def score_topk(
     ub_scale: float = 1.0,
     after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact top-k (doc_ids, raw scores) restricted to docs in [lo, hi].
+    """Exact top-k (doc_ids, round6-ed scores) restricted to docs in [lo, hi].
 
     ``after``: Solr cursorMark-style deep paging — only docs ranked
     strictly after (rounded_score, doc_id) in (score desc, doc_id asc)

@@ -43,6 +43,8 @@ layout (indexes written by earlier builds).
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+import fcntl as _fcntl
 import glob as _glob
 import json
 import os
@@ -82,12 +84,52 @@ def _read_current(index_dir: str) -> dict:
 
 def _write_current(index_dir: str, cur: dict) -> None:
     p = os.path.join(index_dir, CURRENT)
-    tmp = p + ".tmp"
+    tmp = f"{p}.tmp.{os.getpid()}"  # unique per writer — no tmp collisions
     with open(tmp, "w") as f:
         json.dump(cur, f, indent=1, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, p)  # atomic pointer flip
+
+
+# index_dir → [lock file handle, hold depth]: flock is per-open-file-
+# description, so a nested acquire through a second fd would self-deadlock;
+# the depth counter makes the lock reentrant WITHIN a process (committers
+# are processes — cross-thread mutation of one index is not a supported
+# pattern, same single-writer-per-process model as Lucene's IndexWriter)
+_LOCK_STATE: dict[str, list] = {}
+
+
+@_contextlib.contextmanager
+def _current_lock(index_dir: str):
+    """Serialize committers' read-modify-write of ``current.json`` (ADVICE
+    r3: two concurrent committers — e.g. a delete txn and a compact in
+    separate processes — could lose a pointer flip or rev bump, and a lost
+    flip GCs a generation the live pointer still references).  OS-level
+    advisory ``flock`` on a sibling lock file; scope is the pointer update
+    only (milliseconds), never the data rewrite, so committers still run
+    their heavy work concurrently.  Reentrant within a process."""
+    key = os.path.abspath(index_dir)
+    st = _LOCK_STATE.get(key)
+    if st is not None:
+        st[1] += 1
+        try:
+            yield
+        finally:
+            st[1] -= 1
+        return
+    f = open(os.path.join(index_dir, CURRENT + ".lock"), "w")
+    _fcntl.flock(f, _fcntl.LOCK_EX)
+    st = [f, 1]
+    _LOCK_STATE[key] = st
+    try:
+        yield
+    finally:
+        st[1] -= 1
+        if st[1] == 0:
+            del _LOCK_STATE[key]
+            _fcntl.flock(f, _fcntl.LOCK_UN)
+            f.close()
 
 
 def table_path(index_dir: str, name: str) -> str:
@@ -105,37 +147,42 @@ def current_rev(index_dir: str) -> int:
 
 
 def bump_rev(index_dir: str) -> None:
-    cur = _read_current(index_dir)
-    cur["rev"] = int(cur.get("rev", 0)) + 1
-    _write_current(index_dir, cur)
+    with _current_lock(index_dir):
+        cur = _read_current(index_dir)
+        cur["rev"] = int(cur.get("rev", 0)) + 1
+        _write_current(index_dir, cur)
 
 
 def _flip(index_dir: str, name: str, new_dirname: str) -> None:
     """Point ``name`` at ``new_dirname`` (atomic), retain the displaced
     generation for in-flight readers, GC the one retained before it."""
-    cur = _read_current(index_dir)
-    displaced = cur["tables"].get(name)
-    if displaced is None and os.path.exists(os.path.join(index_dir, name)):
-        displaced = name  # build-time plain dir = implicit generation 0
-    gc_target = cur["retained"].get(name)
-    cur["tables"][name] = new_dirname
-    cur["retained"][name] = displaced
-    cur["rev"] = int(cur.get("rev", 0)) + 1
-    _write_current(index_dir, cur)
-    if gc_target and gc_target != new_dirname:
-        shutil.rmtree(os.path.join(index_dir, gc_target), ignore_errors=True)
+    with _current_lock(index_dir):
+        cur = _read_current(index_dir)
+        displaced = cur["tables"].get(name)
+        if displaced is None and os.path.exists(os.path.join(index_dir, name)):
+            displaced = name  # build-time plain dir = implicit generation 0
+        gc_target = cur["retained"].get(name)
+        cur["tables"][name] = new_dirname
+        cur["retained"][name] = displaced
+        cur["rev"] = int(cur.get("rev", 0)) + 1
+        _write_current(index_dir, cur)
+        if gc_target and gc_target != new_dirname:
+            shutil.rmtree(os.path.join(index_dir, gc_target), ignore_errors=True)
 
 
 def publish_table(index_dir: str, name: str, src_dir: str) -> str:
     """Atomically make ``src_dir`` the current generation of ``name``
     (non-txn path — compaction rewrites; idempotent by re-run).  Returns
-    the published path."""
-    cur = _read_current(index_dir)
-    nxt = os.path.join(index_dir, f"{name}.v{int(cur.get('rev', 0)) + 1}")
-    if os.path.exists(nxt):  # orphan of a crashed earlier attempt
-        shutil.rmtree(nxt)
-    os.rename(src_dir, nxt)
-    _flip(index_dir, name, os.path.basename(nxt))
+    the published path.  The version-number allocation, rename and flip
+    run under ONE (reentrant) lock hold — a concurrent publisher can
+    neither reuse the version number nor interleave its flip."""
+    with _current_lock(index_dir):
+        cur = _read_current(index_dir)
+        nxt = os.path.join(index_dir, f"{name}.v{int(cur.get('rev', 0)) + 1}")
+        if os.path.exists(nxt):  # orphan of a crashed earlier attempt
+            shutil.rmtree(nxt)
+        os.rename(src_dir, nxt)
+        _flip(index_dir, name, os.path.basename(nxt))
     return nxt
 
 

@@ -63,4 +63,4 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0
-    assert df.columns == ["doc_id", "score"]
+    assert df.columns == ["qtag", "doc_id", "score"]
