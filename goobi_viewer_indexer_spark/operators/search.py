@@ -650,6 +650,30 @@ class InvertedIndex:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self.search(terms, k=k, mode="or")
 
+    def suggest(self, term: str, max_suggestions: int = 5) -> list[tuple[str, int]]:
+        """Solr SpellCheckComponent analog ("did you mean"): dictionary
+        terms within Levenshtein distance 1 of a MISSPELLED query term,
+        ranked by document frequency (df desc, term asc) — Solr's default
+        popularity ranking.  Returns [] when the term itself is indexed
+        (correctly-spelled terms get no suggestions, Solr's
+        ``onlyMorePopular=false`` default).  Reuses the fuzzy probe
+        construction: ~74·len generated ed≤1 strings become one
+        bucket-pruned exact ``term IN`` scan — no dictionary walk, cost
+        independent of vocabulary size."""
+        probes = sorted(_edits1(term))
+        rows = (
+            self._term_stats
+            .filter(F.col("bucket").isin(self._buckets_of(probes + [term]))
+                    & F.col("term").isin(probes + [term]))
+            .select("term", "df")
+            .collect()
+        )
+        by_term = {r["term"]: int(r["df"]) for r in rows}
+        if term in by_term:
+            return []
+        ranked = sorted(((t, df) for t, df in by_term.items()), key=lambda e: (-e[1], e[0]))
+        return ranked[:max_suggestions]
+
     # -- result grouping (Solr group=true&group.field=F) ---------------------
     def score_matches(self, query: str | list[str], mode: str = "and") -> DataFrame:
         """EVERY matching doc with its bag BM25 score (no k) — the

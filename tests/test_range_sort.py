@@ -196,3 +196,44 @@ def test_keyset_guards(idx):
         idx.search(["table"], k=5, sort="source asc", after=("a", "b", 3))
     with pytest.raises(ValueError, match="keyset|cursor"):
         idx.search(["table"], k=5, sort="source asc", offset=5, after=("a", 3))
+
+
+# ---- spellcheck / suggest ------------------------------------------------
+
+
+def test_suggest_misspelling_ranked_by_df(idx, docs):
+    from goobi_viewer_indexer_spark.functions.tokenize import tokenize_py
+
+    got = idx.suggest("tabl")
+    assert got, "misspelling must yield suggestions"
+    terms = [t for t, _df in got]
+    assert "table" in terms
+    # df values are true document frequencies and ordering is (df desc, term asc)
+    dfs = {t: d for t, d in got}
+    truth = (
+        docs.select(F.explode(F.array_distinct(tokenize_expr("text"))).alias("t"))
+        .groupBy("t").count().collect()
+    )
+    truth = {r["t"]: r["count"] for r in truth}
+    for t, d in got:
+        assert truth.get(t) == d
+    assert got == sorted(got, key=lambda e: (-e[1], e[0]))
+    # Levenshtein-1 guarantee against the plain-python truth
+    def ed1(a, b):
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        s, l = (a, b) if la < lb else (b, a)
+        i = 0
+        while i < len(s) and s[i] == l[i]:
+            i += 1
+        return s[i:] == l[i + 1:]
+    assert all(ed1("tabl", t) for t in terms)
+
+
+def test_suggest_correct_term_returns_nothing(idx):
+    assert idx.suggest("table") == []
