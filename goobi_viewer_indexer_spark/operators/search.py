@@ -81,6 +81,24 @@ def _facet_over(ids, dims, facet_col: str, min_count: int, limit, prefix):
     return out.limit(limit) if limit is not None else out
 
 
+def _facet_query_assemble(spark, subs, base_ids, names: list[str]):
+    """facet.query reduce: tagged sub-matches ⋈ base match set (base
+    appears ONCE in the plan → scanned once) → per-name count → broadcast
+    name spine for zero-count buckets."""
+    counts = (
+        subs.join(base_ids, "doc_id")
+        .groupBy("facet_query")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    spine = spark.createDataFrame([(n,) for n in names], "facet_query string")
+    return (
+        F.broadcast(spine)
+        .join(counts, "facet_query", "left")
+        .select("facet_query", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
+        .orderBy("facet_query")
+    )
+
+
 def _facet_pivot_over(ids, dims, col_a: str, col_b: str, min_count: int, limit):
     """Shared facet.pivot body (Solr ``facet.pivot=A,B`` — the viewer's
     hierarchical collection drill-down): nested (A, B) value counts over
@@ -979,20 +997,16 @@ class InvertedIndex:
         """Solr ``facet.query``: for each named sub-query, the count of
         base-result docs that ALSO match it (the viewer's fixed drill-down
         buckets, e.g. access-restriction counts).  ``named``: name →
-        (query, mode).  Each count is a doc_id equi-join of two match
-        scans + a single agg — no doc set leaves the cluster; the union
-        output has one row per name."""
-        ids = self.match_ids(base, mode=mode)
-        out = None
+        (query, mode).  ONE job for the whole set: the tagged sub-query
+        match scans union, join the base match set once (base is scanned
+        once, not once per name), and a broadcast name spine restores
+        zero-count buckets — no doc set leaves the cluster."""
+        subs = None
         for name in sorted(named):
             q, qmode = named[name]
-            c = (
-                ids.join(self.match_ids(q, mode=qmode), "doc_id")
-                .agg(F.count("*").cast("long").alias("n"))
-                .select(F.lit(name).alias("facet_query"), "n")
-            )
-            out = c if out is None else out.unionByName(c)
-        return out.orderBy("facet_query")
+            s = self.match_ids(q, mode=qmode).select(F.lit(name).alias("facet_query"), "doc_id")
+            subs = s if subs is None else subs.unionByName(s)
+        return _facet_query_assemble(self.spark, subs, self.match_ids(base, mode=mode), sorted(named))
 
     def search_phrase(self, query: str | list[str], k: int = 10) -> DataFrame:
         """Exact-phrase top-k: the query tokens must occur CONSECUTIVELY in
@@ -1063,14 +1077,20 @@ class InvertedIndex:
         cluster one postings scan serves the whole query log slice.
         ``mode="boolean"`` parses the query string with the boolean syntax
         (``'(a b) c -d'``, wildcards included) — plain modes tokenize it,
-        which would silently drop a ``-``.  Results are identical to
-        per-query :meth:`search` / :meth:`search_boolean` (tested)."""
+        which would silently drop a ``-``.  ``mode="phrase"`` batches
+        quoted-phrase queries (round 4 — token ORDER preserved, duplicates
+        allowed); the positional column is projected for the whole batch
+        scan only when at least one phrase query is live.  Results are
+        identical to per-query :meth:`search` / :meth:`search_boolean` /
+        :meth:`search_phrase` (tested)."""
         meta = self.meta
         n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
         ub_scale = self.ub_scale
 
         parsed: dict[str, tuple[list[str], str, int]] = {}
         parsed_bool: dict[str, tuple[list, list, int]] = {}
+        # qid → (distinct ordered terms, per-term offsets, k)
+        parsed_phrase: dict[str, tuple[list[str], dict[str, list[int]], int]] = {}
         results: dict[str, list] = {}
         for qid, (q, mode, k) in queries.items():
             if mode == "boolean":
@@ -1080,14 +1100,25 @@ class InvertedIndex:
                 else:
                     parsed_bool[qid] = (parts[0], parts[1], k)
                 continue
+            if mode == "phrase":
+                ordered = list(q) if isinstance(q, list) else tokenize_py(q)
+                if not ordered:
+                    results[qid] = []
+                    continue
+                distinct = list(dict.fromkeys(ordered))
+                offs = {t: [i for i, x in enumerate(ordered) if x == t] for t in distinct}
+                parsed_phrase[qid] = (distinct, offs, k)
+                continue
             terms = sorted(set(q if isinstance(q, list) else tokenize_py(q)))
             parsed[qid] = (terms, mode, k)
         all_terms = sorted(
             {t for terms, _, _ in parsed.values() for t in terms}
             | {t for g, n, _ in parsed_bool.values() for grp in g + n for t in grp}
+            | {t for d, _, _ in parsed_phrase.values() for t in d}
         )
         if not all_terms:
             results.update({qid: [] for qid in parsed})
+            results.update({qid: [] for qid in parsed_phrase})
             return results
         stats = self.term_stats_for(all_terms)
         idfs = {t: wand.idf(n_docs, stats[t][0]) for t in stats}
@@ -1100,16 +1131,23 @@ class InvertedIndex:
                 results[qid] = []
             else:
                 live[qid] = (present, mode, k)
+        live_phrase: dict[str, tuple[list[str], dict[str, list[int]], int]] = {}
+        for qid, (distinct, offs, k) in parsed_phrase.items():
+            if all(t in stats for t in distinct):
+                live_phrase[qid] = (distinct, offs, k)
+            else:
+                results[qid] = []  # a phrase with an unindexed term never matches
         # _boolean_parts already presence-filtered against term_stats
         live_bool = parsed_bool
-        if not live and not live_bool:
+        if not live and not live_bool and not live_phrase:
             return results
 
         needed = sorted(
             {t for terms, _, _ in live.values() for t in terms}
             | {t for g, n, _ in live_bool.values() for grp in g + n for t in grp}
+            | {t for d, _, _ in live_phrase.values() for t in d}
         )
-        rows = self.postings_for(needed).withColumn(
+        rows = self.postings_for(needed, with_positions=bool(live_phrase)).withColumn(
             "rng",
             F.explode(
                 F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
@@ -1140,6 +1178,16 @@ class InvertedIndex:
                 docs, scores = wand.score_topk(
                     lists, dlk, avgdl, k1, b, k, mode, lo, hi,
                     deleted=deleted, ub_scale=ub_scale,
+                )
+                out_q.extend([qid] * docs.size)
+                out_d.extend(docs.tolist())
+                out_s.extend(scores.tolist())
+            for qid, (distinct, offs, k) in live_phrase.items():
+                if any(t not in by_term for t in distinct):
+                    continue  # a phrase term absent in this range → no match here
+                term_offsets = [(by_term[t], offs[t]) for t in distinct]
+                docs, scores = wand.score_phrase(
+                    term_offsets, dlk, avgdl, k1, b, k, lo, hi, deleted=deleted
                 )
                 out_q.extend([qid] * docs.size)
                 out_d.extend(docs.tolist())
@@ -1177,6 +1225,7 @@ class InvertedIndex:
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         ks = {qid: k for qid, (_, _, k) in live.items()}
         ks.update({qid: k for qid, (_, _, k) in live_bool.items()})
+        ks.update({qid: k for qid, (_, _, k) in live_phrase.items()})
         kmap = F.create_map(*[F.lit(x) for qid, k in ks.items() for x in (qid, k)])
         final = (
             local_topk.withColumn("_rk", F.row_number().over(w))
@@ -1821,17 +1870,12 @@ class FieldedIndex:
     ) -> DataFrame:
         """Solr ``facet.query`` over FIELDED queries (named sub-queries in
         the same string syntax, ranges/NOT/wildcards included) — the flat
-        engine's contract with fielded match scans."""
-        ids = self.match_ids(base, mode=mode)
-        out = None
+        engine's contract with fielded match scans, one job for the set."""
+        subs = None
         for name in sorted(named):
-            c = (
-                ids.join(self.match_ids(named[name]), "doc_id")
-                .agg(F.count("*").cast("long").alias("n"))
-                .select(F.lit(name).alias("facet_query"), "n")
-            )
-            out = c if out is None else out.unionByName(c)
-        return out.orderBy("facet_query")
+            s = self.match_ids(named[name]).select(F.lit(name).alias("facet_query"), "doc_id")
+            subs = s if subs is None else subs.unionByName(s)
+        return _facet_query_assemble(self.spark, subs, self.match_ids(base, mode=mode), sorted(named))
 
     def expand_fuzzy(self, field: str, term: str, max_edits: int = 1,
                      max_expansions: int = 64) -> list[str]:
@@ -2198,10 +2242,16 @@ class FieldedIndex:
         every query (same per-job amortization as the flat
         ``InvertedIndex.search_many``).  ``queries``: qid → (pairs-or-
         query-string, mode, k).  Boolean string shapes — ``-f:x``
-        prohibited clauses, ``f:(a b)`` OR-groups, ``f:pre*`` wildcards —
-        batch fine (round 3); phrase clauses do not (no positional path —
-        ADVICE r2, use :meth:`search`).  Results identical to per-query
-        :meth:`search`."""
+        prohibited clauses, ``f:(a b)`` OR-groups, ``f:pre*`` wildcards,
+        ``f:[lo TO hi]`` ranges — batch fine (round 3), and PHRASE clauses
+        batch too (round 4, closing the ADVICE r2 gap): positional groups
+        execute through the boolean kernel, whose group machinery verifies
+        phrases; the positional column is projected for the batch scan
+        only when some query carries a phrase.  A plain AND-of-clauses
+        phrase query is the boolean AND of its clause groups — the same
+        candidates (every group must match) and the same bag-BM25 score
+        (AND candidates contain every scored term), so results stay
+        identical to per-query :meth:`search`."""
         from dataclasses import replace
 
         from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
@@ -2213,8 +2263,8 @@ class FieldedIndex:
 
         parsed: dict[str, tuple[list[str], dict[str, float], str, int]] = {}
         # boolean-shaped queries: qid → (groups, negs, weights, bool_or, k);
-        # groups/negs are lists of [(tagged_term, [])] (no offsets — phrases
-        # are rejected above)
+        # groups/negs are lists of [(tagged_term, offsets)] — offsets mark
+        # phrase groups
         parsed_bool: dict[str, tuple[list, list, dict[str, float], bool, int]] = {}
         for qid, (q, mode, k) in queries.items():
             if isinstance(q, str):
@@ -2222,14 +2272,10 @@ class FieldedIndex:
                     self.fields, q, mode, None, expand=self.expand_prefix,
                     expand_fuzzy=self.expand_fuzzy, expand_range=self.expand_range,
                 )
-                if mode2 == "phrase" or (groups is not None and any(
-                    offs for g in groups + negs for _, offs in g
-                )):
-                    raise ValueError(
-                        f"query {qid!r} contains a quoted phrase clause — "
-                        "phrase queries are not batchable, use search()"
-                    )
                 if groups is not None:
+                    # mode2 == "phrase" (AND of clause groups incl. positional
+                    # verify) rides the boolean AND path — same candidates,
+                    # same bag score
                     parsed_bool[qid] = (groups, negs, tw, mode2 == "boolean_or", k)
                     continue
                 weights = tw
@@ -2258,14 +2304,18 @@ class FieldedIndex:
                 results[qid] = []
             else:
                 live[qid] = (present, weights, mode, k)
-        # presence-filter boolean queries exactly like _score_plan
+        # presence-filter boolean queries exactly like _score_plan: a
+        # REQUIRED phrase group with an unindexed term can never match; a
+        # NEG phrase with an unindexed term can never exclude (drop whole
+        # group — keeping the present subset would over-exclude)
         live_bool: dict[str, tuple[list, list, dict[str, float], bool, int]] = {}
         for qid, (groups, negs, weights, bool_or, k) in parsed_bool.items():
             kept_groups = []
             dead = False
             for g in groups:
+                is_phrase = any(offs for _, offs in g)
                 ent = [(t, offs) for t, offs in g if t in stats]
-                if not ent:
+                if (is_phrase and len(ent) < len(g)) or not ent:
                     if bool_or:
                         continue
                     dead = True
@@ -2274,9 +2324,11 @@ class FieldedIndex:
             if dead or not kept_groups:
                 results[qid] = []
                 continue
-            kept_negs = [
-                ent for g in negs if (ent := [(t, offs) for t, offs in g if t in stats])
-            ]
+            kept_negs = []
+            for g in negs:
+                ent = [(t, offs) for t, offs in g if t in stats]
+                if ent and not (any(offs for _, offs in g) and len(ent) < len(g)):
+                    kept_negs.append(ent)
             live_bool[qid] = (kept_groups, kept_negs, weights, bool_or, k)
         if not live and not live_bool:
             return results
@@ -2285,7 +2337,10 @@ class FieldedIndex:
             {t for terms, _, _, _ in live.values() for t in terms}
             | {t for g, n, _, _, _ in live_bool.values() for grp in g + n for t, _ in grp}
         )
-        rows = self.postings_for(needed).withColumn(
+        batch_with_pos = any(
+            offs for g, n, _, _, _ in live_bool.values() for grp in g + n for _, offs in grp
+        )
+        rows = self.postings_for(needed, with_positions=batch_with_pos).withColumn(
             "rng",
             F.explode(
                 F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
@@ -2345,8 +2400,11 @@ class FieldedIndex:
                 }
                 groups_tl, dead = [], False
                 for g in groups:
+                    is_phrase = any(offs for _, offs in g)
                     ent = [(rep[t], offs) for t, offs in g if t in by_term]
-                    if not ent:
+                    # a required phrase missing a term in this range can't
+                    # match here (same rule as _score_plan)
+                    if (is_phrase and len(ent) < len(g)) or not ent:
                         if bool_or:
                             continue
                         dead = True
@@ -2354,10 +2412,13 @@ class FieldedIndex:
                     groups_tl.append(ent)
                 if dead or not groups_tl:
                     continue
-                negs_tl = [
-                    ent for g in negs
-                    if (ent := [(by_term[t], offs) for t, offs in g if t in by_term])
-                ]
+                negs_tl = []
+                for g in negs:
+                    ent = [(by_term[t], offs) for t, offs in g if t in by_term]
+                    # a neg phrase missing a term in this range cannot match
+                    # here → drop the group (subset would over-exclude)
+                    if ent and not (any(offs for _, offs in g) and len(ent) < len(g)):
+                        negs_tl.append(ent)
                 docs, scores = wand.score_boolean(
                     groups_tl, negs_tl, None, 0.0, k1, b, k, lo, hi,
                     deleted=deleted, mode="or" if bool_or else "and",

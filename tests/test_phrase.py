@@ -96,3 +96,45 @@ def test_phrase_offset_pages(spark, idx):
     full = [tuple(r) for r in engine.search_phrase(["spark", "window"], k=6).collect()]
     page2 = [tuple(r) for r in engine.search(["spark", "window"], k=3, mode="phrase", offset=3).collect()]
     assert page2 == full[3:6]
+
+
+# ---- phrase batching (round 4 — closes the ADVICE r2 "phrases do not
+# batch" gap on both engines) ----------------------------------------------
+
+
+def test_flat_search_many_batches_phrases(spark, idx):
+    """Mixed batch of plain/boolean/phrase queries == per-query results."""
+    eng = InvertedIndex(spark, idx)
+    batch = {
+        "p1": (["spark", "window"], "phrase", 10),
+        "p2": (["value", "value"], "phrase", 10),
+        "p3": (["scan", "a", "scan"], "phrase", 10),
+        "plain": (["table", "join"], "and", 5),
+        "px": (["zzznope", "table"], "phrase", 10),
+    }
+    got = eng.search_many(batch)
+    assert got["p1"] == [tuple(r) for r in eng.search_phrase(["spark", "window"], k=10).collect()]
+    assert got["p2"] == [tuple(r) for r in eng.search_phrase(["value", "value"], k=10).collect()]
+    assert got["p3"] == [tuple(r) for r in eng.search_phrase(["scan", "a", "scan"], k=10).collect()]
+    assert got["plain"] == [tuple(r) for r in eng.search(["table", "join"], k=5, mode="and").collect()]
+    assert got["px"] == []  # phrase with an unindexed term never matches
+    assert len(got["p1"]) > 0
+
+
+def test_fielded_search_many_batches_phrases(spark, tmp_path_factory):
+    """Fielded phrase clauses batch through the boolean kernel and stay
+    rank-identical to per-query search()."""
+    from goobi_viewer_indexer_spark.operators.search import FieldedIndex
+    from goobi_viewer_indexer_spark.plans.build import build_index_fielded
+
+    d = str(tmp_path_factory.mktemp("phrase_fidx"))
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_index_fielded(docs, d, {"text": "text", "lang": "lang"}, CFG)
+    fidx = FieldedIndex(spark, d)
+    q1 = 'text:"spark window"'
+    q2 = 'lang:en AND text:"spark window"'
+    q3 = 'text:"spark window" AND -lang:de'
+    got = fidx.search_many({"a": (q1, "and", 10), "b": (q2, "and", 10), "c": (q3, "and", 10)})
+    for qid, q in [("a", q1), ("b", q2), ("c", q3)]:
+        assert got[qid] == [tuple(r) for r in fidx.search(q, k=10).collect()], qid
+    assert len(got["a"]) > 0 and len(got["b"]) > 0
