@@ -239,9 +239,11 @@ def bm25_topk(
     cfg: IndexConfig = IndexConfig(),
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_match: int = 1,
 ) -> DataFrame:
     """Top-k BM25 over ``docs``; mode 'or' (disjunctive) or 'and'
-    (conjunctive = doc must contain every distinct query term)."""
+    (conjunctive = doc must contain every distinct query term).
+    ``min_match``: OR-mode minimum-should-match (Solr DisMax ``mm``)."""
     spark = docs.sparkSession
     terms = sorted(set(query_terms))
     qt = spark.createDataFrame([(t,) for t in terms], "term string")
@@ -277,6 +279,8 @@ def bm25_topk(
     )
     if mode == "and":
         scored = scored.filter(F.col("nmatched") == len(terms))
+    elif min_match > 1:
+        scored = scored.filter(F.col("nmatched") >= min_match)
     return (
         scored.orderBy(F.desc("score_raw"), F.asc("doc_id"))
         .limit(k)
@@ -619,12 +623,14 @@ FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
 """.strip()
 
 
-def bm25_topk_sql(query_terms: list[str], k: int = 10, mode: str = "or", cfg: IndexConfig = IndexConfig(), table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+def bm25_topk_sql(query_terms: list[str], k: int = 10, mode: str = "or", cfg: IndexConfig = IndexConfig(), table: str = "documents", id_col: str = "doc_id", text_col: str = "text", min_match: int = 1) -> str:
     """DuckDB oracle SQL computing the exact same top-k (same tokenizer,
-    same idf/w formulas, same rounding and tie-break)."""
+    same idf/w formulas, same rounding and tie-break).  ``min_match``:
+    OR-mode minimum-should-match twin (HAVING count >= N)."""
     terms = sorted(set(query_terms))
     terms_sql = ", ".join("('" + t.replace("'", "''") + "')" for t in terms)
-    and_filter = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    and_filter = f"HAVING count(*) = {len(terms)}" if mode == "and" else (
+        f"HAVING count(*) >= {min_match}" if min_match > 1 else "")
     k1, b = cfg.k1, cfg.b
     tok = duckdb_tokenize_sql(text_col)
     return f"""

@@ -411,8 +411,15 @@ class InvertedIndex:
         fl: list[str] | None = None,
         sort: str | None = None,
         after: tuple[float, int] | None = None,
+        min_match: int = 1,
     ) -> DataFrame:
-        """``after``: cursorMark-style deep paging — pass the LAST
+        """``min_match``: Solr DisMax minimum-should-match (``mm``) for OR
+        queries — a doc qualifies only with at least that many distinct
+        query terms present; counting is exact inside the kernels (see
+        wand._score_or).  ``min_match`` greater than the number of indexed
+        query terms returns empty.
+
+        ``after``: cursorMark-style deep paging — pass the LAST
         (score, doc_id) row of the previous page; only docs ranked
         strictly after it return.  Unlike ``offset`` (which fetches
         offset+k everywhere), the cursor predicate filters INSIDE the
@@ -473,7 +480,7 @@ class InvertedIndex:
             st = self.stored()
             if st is None:
                 raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
-            topk = self.search(query, k=k, mode=mode, offset=offset, after=after)
+            topk = self.search(query, k=k, mode=mode, offset=offset, after=after, min_match=min_match)
             return (
                 topk.join(st.select("doc_id", *fl), "doc_id", "left")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -487,7 +494,7 @@ class InvertedIndex:
             full = (
                 self.search_phrase(query, k=offset + k)
                 if mode == "phrase"
-                else self.search(query, k=offset + k, mode=mode)
+                else self.search(query, k=offset + k, mode=mode, min_match=min_match)
             )
             w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
             return (
@@ -505,7 +512,7 @@ class InvertedIndex:
         stats = self.term_stats_for(terms)
         present = [t for t in terms if t in stats]
         empty = self.spark.createDataFrame([], "doc_id long, score double")
-        if not present or (mode == "and" and len(present) < len(terms)):
+        if not present or (mode == "and" and len(present) < len(terms)) or len(present) < min_match:
             return empty
         idfs = {t: wand.idf(n_docs, stats[t][0]) for t in present}
         n_terms = len(present)
@@ -541,7 +548,7 @@ class InvertedIndex:
                 )
             docs, scores = wand.score_topk(
                 lists, wand.DenseDoclens(base, lens), avgdl, k1, b, k, mode, lo, hi,
-                deleted=deleted, ub_scale=ub_scale, after=after,
+                deleted=deleted, ub_scale=ub_scale, after=after, min_match=min_match,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -1331,7 +1338,8 @@ class LocalSearcher:
         return _mk_termlist(merged, rows[0][0].idf, int(pdf["df"].sum()))
 
     def search(self, query: str | list[str], k: int = 10, mode: str = "or",
-               after: tuple[float, int] | None = None) -> list[tuple[int, float]]:
+               after: tuple[float, int] | None = None,
+               min_match: int = 1) -> list[tuple[int, float]]:
         self._ensure_fresh()
         if mode == "phrase":
             if after is not None:
@@ -1347,14 +1355,14 @@ class LocalSearcher:
                     return []
                 continue
             lists.append(L)
-        if not lists:
+        if not lists or len(lists) < min_match:
             return []
         dl = wand.DenseDoclens(0, self.doclens)
         docs, scores = wand.score_topk(
             lists, dl, self.index.avgdl_live, self.meta["k1"], self.meta["b"], k, mode,
             0, self.doclens.size - 1,
             deleted=self.deleted if self.deleted.size else None,
-            ub_scale=self.index.ub_scale, after=after,
+            ub_scale=self.index.ub_scale, after=after, min_match=min_match,
         )
         return [(int(d), wand.round6f(s)) for d, s in zip(docs, scores)]
 

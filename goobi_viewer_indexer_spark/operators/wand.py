@@ -567,8 +567,17 @@ def score_phrase(
 
 def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi: int,
               deleted: np.ndarray | None = None, ub_scale: float = 1.0,
-              after: tuple[float, int] | None = None):
-    """Block-max interval pruning (WAND family), exact top-k."""
+              after: tuple[float, int] | None = None, min_match: int = 1):
+    """Block-max interval pruning (WAND family), exact top-k.
+
+    ``min_match``: Solr DisMax minimum-should-match — a doc qualifies only
+    when it contains at least that many DISTINCT query terms.  Counting is
+    exact: elementary intervals partition the doc space, so a doc's
+    postings across all lists land in exactly one interval and one
+    ``np.add.at`` per interval sees its full term count.  The filter runs
+    before the candidate buffer, so θ tracks the kth-best of QUALIFYING
+    docs and interval pruning stays exact for the filtered set (same
+    argument as the cursor filter)."""
     # elementary intervals from the union of block boundaries, clipped to
     # this task's doc range [lo, hi]
     bounds = np.unique(np.concatenate([L.block_last_doc for L in lists]))
@@ -652,6 +661,13 @@ def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi:
         udocs, inv = np.unique(alld, return_inverse=True)
         uscores = np.zeros(udocs.size)
         np.add.at(uscores, inv, alls)
+        if min_match > 1:
+            # distinct-term count per doc: each list contributes ≤1 posting
+            # per doc, so occurrences in `inv` ARE distinct-term hits
+            cnt = np.zeros(udocs.size, np.int64)
+            np.add.at(cnt, inv, 1)
+            m = cnt >= min_match
+            udocs, uscores = udocs[m], uscores[m]
         keep = _drop_deleted(udocs, deleted)
         udocs, uscores = udocs[keep], uscores[keep]
         if after is not None and udocs.size:
@@ -690,8 +706,12 @@ def score_topk(
     deleted: np.ndarray | None = None,
     ub_scale: float = 1.0,
     after: tuple[float, int] | None = None,
+    min_match: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k (doc_ids, round6-ed scores) restricted to docs in [lo, hi].
+
+    ``min_match``: OR-mode minimum-should-match (Solr DisMax ``mm``) —
+    ignored in AND mode (every term is required there anyway).
 
     ``after``: Solr cursorMark-style deep paging — only docs ranked
     strictly after (rounded_score, doc_id) in (score desc, doc_id asc)
@@ -713,4 +733,5 @@ def score_topk(
         hi = int(max(int(L.block_last_doc[-1]) for L in lists))
     if mode == "and":
         return _score_and(lists, dl, avgdl, k1, b, k, lo, hi, deleted, after=after)
-    return _score_or(lists, dl, avgdl, k1, b, k, lo, hi, deleted, ub_scale, after=after)
+    return _score_or(lists, dl, avgdl, k1, b, k, lo, hi, deleted, ub_scale, after=after,
+                     min_match=min_match)

@@ -237,3 +237,39 @@ def test_suggest_misspelling_ranked_by_df(idx, docs):
 
 def test_suggest_correct_term_returns_nothing(idx):
     assert idx.suggest("table") == []
+
+
+# ---- minimum-should-match (Solr DisMax mm) -------------------------------
+
+
+def test_min_match_three_way_identity(spark, docs, idx, duck):
+    """engine(min_match) == naive DataFrame twin == DuckDB oracle, and the
+    local searcher agrees; mm > indexed terms → empty."""
+    from goobi_viewer_indexer_spark.operators import naive_bm25
+
+    terms = ["spark", "window", "value"]
+    for mm in (2, 3):
+        exp = [tuple(r) for r in naive_bm25.bm25_topk(docs, terms, k=10, mode="or", min_match=mm).collect()]
+        got = [tuple(r) for r in idx.search(terms, k=10, mode="or", min_match=mm).collect()]
+        assert got == exp and len(got) > 0, mm
+        assert idx.open_local().search(terms, k=10, mode="or", min_match=mm) == exp
+        sql = naive_bm25.bm25_topk_sql(terms, k=10, mode="or", min_match=mm).replace(
+            "documents", f"read_parquet('{SF001}/documents.parquet')"
+        )
+        oracle = duck.sql(sql).fetchall()
+        assert [(d, round(s, 6)) for d, s in got] == [(d, round(float(s), 6)) for d, s in oracle]
+    # every-term mm == AND mode result set
+    and_res = [tuple(r) for r in idx.search(terms, k=10, mode="and").collect()]
+    mm_all = [tuple(r) for r in idx.search(terms, k=10, mode="or", min_match=3).collect()]
+    assert mm_all == and_res
+    # more required matches than indexed terms → empty
+    assert idx.search(["spark", "zzzznope"], k=10, mode="or", min_match=2).count() == 0
+
+
+def test_min_match_composes_with_cursor(idx):
+    terms = ["spark", "window", "value"]
+    full = [tuple(r) for r in idx.search(terms, k=20, mode="or", min_match=2).collect()]
+    p1 = full[:10]
+    p2 = [tuple(r) for r in idx.search(terms, k=10, mode="or", min_match=2,
+                                       after=(p1[-1][1], p1[-1][0])).collect()]
+    assert p1 + p2 == full
