@@ -182,7 +182,13 @@ def _keyset_after(scols: list[str], ascs: list[bool], after: tuple):
     the (sort cols…, doc_id) lexicographic order (per-key asc/desc).  This
     is cursorMark for FIELD sorts (VERDICT r3 #2): the filter runs before
     orderBy+limit, so page 1000 of a field-sorted result is the same
-    TakeOrderedAndProject as page 1 — never a single-task global window."""
+    TakeOrderedAndProject as page 1 — never a single-task global window.
+
+    Sort keys are assumed NON-NULL (the indexer's SORT_ twins always
+    are): a NULL key sorts nulls-first under asc (already emitted before
+    any cursor) but nulls-LAST under desc, where the strictly-greater
+    predicate could never reach it — don't keyset-page a desc sort over
+    a nullable column."""
     if len(after) != len(scols) + 1:
         raise ValueError(f"after= needs {len(scols) + 1} values (sort keys + doc_id), got {len(after)}")
     *vals, d0 = after
@@ -1909,6 +1915,28 @@ class FieldedIndex:
         if len(terms) > max_expansions:
             raise ValueError(f"fuzzy {field}:{term!r}~1 expands to {len(terms)} terms (> {max_expansions})")
         return terms
+
+    def suggest(self, field: str, term: str, max_suggestions: int = 5) -> list[tuple[str, int]]:
+        """Field-scoped spellcheck (Solr SpellCheckComponent with a
+        per-field dictionary): ed≤1 terms of ``field`` ranked by that
+        field's df — same contract as :meth:`InvertedIndex.suggest`,
+        over the TAGGED term space."""
+        from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
+
+        if field not in self.fields:
+            raise ValueError(f"unknown field {field!r} (have {self.fields})")
+        probes = sorted(tag_term(field, t) for t in _edits1(term) | {term})
+        rows = (
+            self._term_stats
+            .filter(F.col("bucket").isin(self._buckets_of(probes)) & F.col("term").isin(probes))
+            .select("term", "df")
+            .collect()
+        )
+        by_term = {r["term"].split(FIELD_SEP, 1)[1]: int(r["df"]) for r in rows}
+        if term in by_term:
+            return []
+        ranked = sorted(by_term.items(), key=lambda e: (-e[1], e[0]))
+        return ranked[:max_suggestions]
 
     def expand_range(self, field: str, lo: str, hi: str, max_expansions: int = 1024) -> list[str]:
         """Dictionary terms of ``field`` in ``[lo, hi]`` (inclusive; ``*``

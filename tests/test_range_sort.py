@@ -273,3 +273,12 @@ def test_min_match_composes_with_cursor(idx):
     p2 = [tuple(r) for r in idx.search(terms, k=10, mode="or", min_match=2,
                                        after=(p1[-1][1], p1[-1][0])).collect()]
     assert p1 + p2 == full
+
+
+def test_fielded_suggest_field_scoped(fidx):
+    # 'tabl' edits live in text's dictionary, not lang's; exact terms get
+    # no suggestions
+    got = fidx.suggest("text", "tabl")
+    assert got and got[0][0] == "table"
+    assert fidx.suggest("lang", "tabl") == []
+    assert fidx.suggest("text", "table") == []
