@@ -85,6 +85,8 @@ def _facet_query_assemble(spark, subs, base_ids, names: list[str]):
     """facet.query reduce: tagged sub-matches ⋈ base match set (base
     appears ONCE in the plan → scanned once) → per-name count → broadcast
     name spine for zero-count buckets."""
+    if subs is None:  # no named sub-queries
+        return spark.createDataFrame([], "facet_query string, n long")
     counts = (
         subs.join(base_ids, "doc_id")
         .groupBy("facet_query")
