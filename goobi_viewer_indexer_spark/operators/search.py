@@ -461,7 +461,7 @@ class InvertedIndex:
                 # driver merge), no global sort even at full match recall
                 other = [c for c in scols if c != "score"]
                 cols = fl if fl is not None else other
-                out = self.score_matches(query, mode=mode)
+                out = self.score_matches(query, mode=mode, min_match=min_match)
                 need = list(dict.fromkeys(cols + other))
                 if need:
                     out = out.join(st.select("doc_id", *need), "doc_id")
@@ -708,12 +708,14 @@ class InvertedIndex:
         return ranked[:max_suggestions]
 
     # -- result grouping (Solr group=true&group.field=F) ---------------------
-    def score_matches(self, query: str | list[str], mode: str = "and") -> DataFrame:
+    def score_matches(self, query: str | list[str], mode: str = "and",
+                      min_match: int = 1) -> DataFrame:
         """EVERY matching doc with its bag BM25 score (no k) — the
         total-recall scorer behind result grouping (Lucene's two-pass
         grouping collector also scores all matches first).  Same kernels
         and tie-order as :meth:`search`; per-range ``k`` = the range width,
-        so block-max pruning never truncates."""
+        so block-max pruning never truncates.  ``min_match``: OR-mode
+        minimum-should-match, same contract as :meth:`search`."""
         terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
         meta = self.meta
         n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
@@ -721,7 +723,7 @@ class InvertedIndex:
         stats = self.term_stats_for(terms)
         present = [t for t in terms if t in stats]
         empty = self.spark.createDataFrame([], "doc_id long, score double")
-        if not present or (mode == "and" and len(present) < len(terms)):
+        if not present or (mode == "and" and len(present) < len(terms)) or len(present) < min_match:
             return empty
         idfs = {t: wand.idf(n_docs, stats[t][0]) for t in present}
         n_terms = len(present)
@@ -752,6 +754,7 @@ class InvertedIndex:
             docs, scores = wand.score_topk(
                 lists, wand.DenseDoclens(base, lens), avgdl, k1, b,
                 hi - lo + 1, mode, lo, hi, deleted=deleted, ub_scale=ub_scale,
+                min_match=min_match,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 

@@ -282,3 +282,15 @@ def test_fielded_suggest_field_scoped(fidx):
     assert got and got[0][0] == "table"
     assert fidx.suggest("lang", "tabl") == []
     assert fidx.suggest("text", "table") == []
+
+
+def test_min_match_composes_with_compound_sort(idx):
+    terms = ["spark", "window", "value"]
+    rows = [tuple(r) for r in idx.search(terms, k=10, mode="or", min_match=2,
+                                         sort="score desc, source asc", fl=["source"]).collect()]
+    plain = {r["doc_id"]: r["score"] for r in idx.search(terms, k=10000, mode="or", min_match=2).collect()}
+    assert len(rows) > 0
+    for d, s, _src in rows:
+        assert plain[d] == s
+    keys = [(-s, src, d) for d, s, src in rows]
+    assert keys == sorted(keys)
