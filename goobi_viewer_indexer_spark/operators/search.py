@@ -770,11 +770,18 @@ class InvertedIndex:
         k_groups: int = 10,
         docs_per_group: int = 2,
         mode: str = "and",
+        group_sort: str | None = None,
     ) -> DataFrame:
         """Solr result grouping (``group=true&group.field=F``): the top
         ``k_groups`` groups ranked by their best BM25 score, each carrying
         its top ``docs_per_group`` docs — the viewer's
         collapse-by-PI_TOPSTRUCT result shape (GROUPFIELD truncation, O5).
+
+        ``group_sort``: Solr's ``group.sort`` — orders docs WITHIN each
+        group by stored fields (e.g. ``"lang asc"``; ``score`` allowed as
+        a key) instead of the default score order.  Group SELECTION and
+        group ORDER stay by best score either way (Solr's ``sort`` vs
+        ``group.sort`` split).
 
         Execution: total-recall scorer → doc_id equi-join of the stored
         group column → window row_number per group (doc rank) → group rank
@@ -787,8 +794,15 @@ class InvertedIndex:
         if st is None:
             raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
         scored = self.score_matches(query, mode=mode)
-        j = scored.join(st.select("doc_id", group_field), "doc_id")
-        wd = Window.partitionBy(group_field).orderBy(F.desc("score"), F.asc("doc_id"))
+        gcols = [group_field]
+        if group_sort is not None:
+            scols, gkeys, _ascs = _parse_sort(group_sort)
+            gcols = list(dict.fromkeys(gcols + [c for c in scols if c != "score"]))
+            inner_keys = [*gkeys, F.asc("doc_id")]
+        else:
+            inner_keys = [F.desc("score"), F.asc("doc_id")]
+        j = scored.join(st.select("doc_id", *gcols), "doc_id")
+        wd = Window.partitionBy(group_field).orderBy(*inner_keys)
         ranked = j.withColumn("_dr", F.row_number().over(wd)).filter(F.col("_dr") <= docs_per_group)
         # top k_groups by best score WITHOUT a global window: orderBy+limit
         # compiles to TakeOrderedAndProject (per-partition top-k + driver

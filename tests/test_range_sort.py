@@ -294,3 +294,28 @@ def test_min_match_composes_with_compound_sort(idx):
         assert plain[d] == s
     keys = [(-s, src, d) for d, s, src in rows]
     assert keys == sorted(keys)
+
+
+def test_search_grouped_group_sort(idx, docs):
+    """Solr group.sort: docs order WITHIN groups by the given field while
+    group selection/order stays by best score (identical groups + group
+    order as default grouping)."""
+    base = [tuple(r) for r in idx.search_grouped(["table", "join"], "source", k_groups=4, docs_per_group=3).collect()]
+    gs = [tuple(r) for r in idx.search_grouped(["table", "join"], "source", k_groups=4, docs_per_group=3, group_sort="lang asc").collect()]
+    # same multiset of rows per group, same group sequence
+    def group_seq(rows):
+        seen = []
+        for g, _d, _s in rows:
+            if not seen or seen[-1] != g:
+                seen.append(g)
+        return seen
+    assert group_seq(gs) == group_seq(base)
+    # docs_per_group truncation may pick different docs under a different
+    # within-group order — group count and per-group row counts must match
+    assert len(gs) == len(base)
+    # within-group order follows (lang asc, doc_id asc)
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    from itertools import groupby
+    for g, rows in groupby(gs, key=lambda r: r[0]):
+        keys = [(langs[d], d) for _g, d, _s in rows]
+        assert keys == sorted(keys), g
