@@ -528,6 +528,53 @@ WHERE d._dr <= {docs_per_group} AND gr._gr > {group_offset} AND gr._gr <= {group
 """.strip()
 
 
+def mlt_topk_sql(
+    src_doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 10,
+    cfg: IndexConfig = IndexConfig(),
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for ``InvertedIndex.more_like_this``: the source
+    doc's terms ranked by round(tf·idf, 6) (ties: term asc), the top
+    ``max_query_terms`` OR-combined into a bag BM25 query, the source doc
+    excluded — same idf/w formulas, rounding and tie-breaks as
+    :func:`bm25_topk_sql`."""
+    k1, b = cfg.k1, cfg.b
+    tok = duckdb_tokenize_sql(text_col)
+    return f"""
+WITH tok AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT {id_col} AS doc_id, len({tok}) AS doclen FROM {table}),
+g AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+sal AS (
+  SELECT s.term
+  FROM tf s JOIN dfs USING (term) CROSS JOIN g
+  WHERE s.doc_id = {src_doc_id}
+  ORDER BY round(s.tf * ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5)), 6) DESC, s.term ASC
+  LIMIT {max_query_terms}
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.doclen / g.avgdl)) ) AS score_raw
+  FROM tf
+  JOIN sal USING (term)
+  JOIN dfs USING (term)
+  JOIN dl  USING (doc_id)
+  CROSS JOIN g
+  WHERE tf.doc_id <> {src_doc_id}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
 def bm25_boolean_wildcard_sql(
     term: str,
     prefix: str,

@@ -68,6 +68,43 @@ def _edits1(term: str) -> set[str]:
     return out
 
 
+def _deletes(term: str, max_deletes: int) -> set[str]:
+    """All strings reachable from ``term`` by deleting up to
+    ``max_deletes`` characters (the term itself included) — SymSpell
+    delete-only keys.  |keys| = 1 + L + L(L-1)/2 for depth 2: bounded by
+    the term length, never by the vocabulary."""
+    out = {term}
+    frontier = {term}
+    for _ in range(max_deletes):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[:i] + w[i + 1:])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    out.discard("")
+    return out
+
+
+def _lev_le(a: str, b: str, k: int) -> bool:
+    """True iff Levenshtein(a, b) <= k — banded DP, early exit."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+            best = min(best, cur[j])
+        if best > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
 def _facet_over(ids, dims, facet_col: str, min_count: int, limit, prefix):
     """Shared facet body: match-id set → dims equi-join → count-ordered
     value counts (Solr facet.field; see the engine methods for contract)."""
@@ -835,29 +872,180 @@ class InvertedIndex:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self.search(terms, k=k, mode="or")
 
-    def suggest(self, term: str, max_suggestions: int = 5) -> list[tuple[str, int]]:
+    def suggest(self, term: str, max_suggestions: int = 5,
+                max_edits: int = 1) -> list[tuple[str, int]]:
         """Solr SpellCheckComponent analog ("did you mean"): dictionary
-        terms within Levenshtein distance 1 of a MISSPELLED query term,
-        ranked by document frequency (df desc, term asc) — Solr's default
-        popularity ranking.  Returns [] when the term itself is indexed
-        (correctly-spelled terms get no suggestions, Solr's
-        ``onlyMorePopular=false`` default).  Reuses the fuzzy probe
-        construction: ~74·len generated ed≤1 strings become one
-        bucket-pruned exact ``term IN`` scan — no dictionary walk, cost
-        independent of vocabulary size."""
-        probes = sorted(_edits1(term))
+        terms within Levenshtein distance ``max_edits`` of a MISSPELLED
+        query term, ranked by document frequency (df desc, term asc) —
+        Solr's default popularity ranking.  Returns [] when the term
+        itself is indexed (correctly-spelled terms get no suggestions,
+        Solr's ``onlyMorePopular=false`` default).
+
+        ed≤1 reuses the fuzzy probe construction: ~74·len generated
+        strings become one bucket-pruned exact ``term IN`` scan.  ed≤2
+        (round 5 — Solr's DirectSolrSpellChecker default ``maxEdits=2``)
+        goes SymSpell-style: delete-only keys of the query (1+L+L(L-1)/2
+        strings, never the 74²·L² generate-all set) probe a delete-key
+        side table of the dictionary (:meth:`_ensure_spell`), candidates
+        verified with an exact banded Levenshtein — no dictionary walk on
+        either path."""
+        if max_edits not in (1, 2):
+            raise ValueError("suggest supports max_edits 1 or 2 (Solr caps at 2)")
+        if max_edits == 1:
+            probes = sorted(_edits1(term))
+            rows = (
+                self._term_stats
+                .filter(F.col("bucket").isin(self._buckets_of(probes + [term]))
+                        & F.col("term").isin(probes + [term]))
+                .select("term", "df")
+                .collect()
+            )
+            by_term = {r["term"]: int(r["df"]) for r in rows}
+            if term in by_term:
+                return []
+            ranked = sorted(((t, df) for t, df in by_term.items()), key=lambda e: (-e[1], e[0]))
+            return ranked[:max_suggestions]
+        sp = self._ensure_spell()
+        keys = sorted(_deletes(term, 2))
+        from goobi_viewer_indexer_spark.functions.spark_hash import bucket_of
+
+        nb = self.meta["postings_buckets"]
+        bks = sorted({bucket_of(k, nb) for k in keys})
         rows = (
-            self._term_stats
-            .filter(F.col("bucket").isin(self._buckets_of(probes + [term]))
-                    & F.col("term").isin(probes + [term]))
+            sp.filter(F.col("bucket").isin(bks) & F.col("delkey").isin(keys))
             .select("term", "df")
+            .distinct()
             .collect()
         )
         by_term = {r["term"]: int(r["df"]) for r in rows}
         if term in by_term:
             return []
-        ranked = sorted(((t, df) for t, df in by_term.items()), key=lambda e: (-e[1], e[0]))
+        ranked = sorted(
+            ((t, df) for t, df in by_term.items() if _lev_le(t, term, 2)),
+            key=lambda e: (-e[1], e[0]),
+        )
         return ranked[:max_suggestions]
+
+    def _ensure_spell(self) -> DataFrame:
+        """The SymSpell delete-key side table for ed≤2 spellcheck:
+        (delkey, term, df), delkey = every ≤2-char deletion of a
+        dictionary term, bucketed by hash(delkey) for probe pruning.
+
+        Built ONCE per index revision as a derived parquet cache (content
+        key = index dir + rev, so maintenance commits invalidate it) —
+        ~(1+L+L²/2)·|vocab| rows, generated distributed via mapInPandas.
+        At 100 TB this is a build-time index table (same bucketed layout);
+        the lazy cache serves the read path identically."""
+        import hashlib
+        import os
+        import tempfile
+
+        key = hashlib.md5(f"{os.path.abspath(self.dir)}:{self.rev}".encode()).hexdigest()[:12]
+        path = os.path.join(tempfile.gettempdir(), f"gvi_spell_{key}")
+        if getattr(self, "_spell_df", None) is not None and self._spell_path == path:
+            return self._spell_df
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            nb = self.meta["postings_buckets"]
+
+            def gen(batches):
+                for pdf in batches:
+                    out_k, out_t, out_d = [], [], []
+                    for t, df in zip(pdf["term"], pdf["df"]):
+                        for k in _deletes(t, 2):
+                            out_k.append(k)
+                            out_t.append(t)
+                            out_d.append(int(df))
+                    yield pd.DataFrame({"delkey": out_k, "term": out_t, "df": out_d})
+
+            (
+                self._term_stats.select("term", "df")
+                .mapInPandas(gen, "delkey string, term string, df long")
+                .withColumn("bucket", F.pmod(F.hash("delkey"), F.lit(nb)))
+                .repartition("bucket")
+                .write.mode("overwrite").partitionBy("bucket").parquet(path)
+            )
+        self._spell_df = self.spark.read.parquet(path)
+        self._spell_path = path
+        return self._spell_df
+
+    def spellcheck_collate(
+        self, query: str, max_edits: int = 1, max_suggestions: int = 5
+    ) -> tuple[str, dict[str, list[tuple[str, int]]]]:
+        """Solr ``spellcheck.collate`` analog: tokenize the query, leave
+        indexed terms alone, substitute each MISSPELLED term's top
+        suggestion, and return (collated query string, per-term
+        suggestion lists).  A misspelled term with no suggestion stays
+        verbatim (the collation is best-effort, like Solr's)."""
+        toks = tokenize_py(query)
+        stats = self.term_stats_for(sorted(set(toks)))
+        out_toks: list[str] = []
+        sugg: dict[str, list[tuple[str, int]]] = {}
+        for t in toks:
+            if t in stats:
+                out_toks.append(t)
+                continue
+            if t not in sugg:
+                sugg[t] = self.suggest(t, max_suggestions, max_edits=max_edits)
+            out_toks.append(sugg[t][0][0] if sugg[t] else t)
+        return " ".join(out_toks), sugg
+
+    # -- MoreLikeThis (Solr MLT component) -----------------------------------
+    def term_vector(self, doc_id: int) -> list[tuple[str, int]]:
+        """One doc's (term, tf) forward-index row set — a parquet
+        partition-pruned point lookup on the termvecs side table
+        (maintenance.set_term_vectors), bucketed by ``pmod(doc_id, nb)``."""
+        import os
+
+        from goobi_viewer_indexer_spark.plans import txn as _txn
+
+        p = _txn.table_path(self.dir, "termvecs")
+        _txn.recover_dir(p)
+        if not os.path.exists(p):
+            raise ValueError("index has no term vectors (maintenance.set_term_vectors)")
+        nb = self.meta["postings_buckets"]
+        rows = (
+            self.spark.read.parquet(p)
+            .filter((F.col("bucket") == int(doc_id) % nb) & (F.col("doc_id") == int(doc_id)))
+            .select("term", "tf")
+            .collect()
+        )
+        return sorted((r["term"], int(r["tf"])) for r in rows)
+
+    def interesting_terms(self, doc_id: int, max_query_terms: int = 10) -> list[str]:
+        """MLT term selection: the source doc's terms ranked by tf·idf
+        (salience rounded to 6 decimals so the DuckDB oracle ties
+        identically; ties break term asc) — Solr MLT's
+        ``interestingTerms`` with its default tf·idf ranking."""
+        tv = self.term_vector(doc_id)
+        if not tv:
+            return []
+        stats = self.term_stats_for([t for t, _tf in tv])
+        n = self.n_live
+        sal = [
+            (round(tf * wand.idf(n, stats[t][0]), 6), t)
+            for t, tf in tv
+            if t in stats
+        ]
+        sal.sort(key=lambda e: (-e[0], e[1]))
+        return [t for _s, t in sal[:max_query_terms]]
+
+    def more_like_this(self, doc_id: int, k: int = 10, max_query_terms: int = 10) -> DataFrame:
+        """Solr MoreLikeThis: top-k docs scoring highest against the
+        source doc's most salient terms (tf·idf-ranked, OR-combined, the
+        source doc itself excluded) — the viewer's related-records query.
+        Execution: one bucketed point read (term vector) → driver-side
+        salience ranking over ≤|doc| terms → the standard OR top-k
+        kernel with k+1 slots (the source doc may rank anywhere) →
+        filter+limit."""
+        terms = self.interesting_terms(doc_id, max_query_terms)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return (
+            self.search(terms, k=k + 1, mode="or")
+            .filter(F.col("doc_id") != int(doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     # -- result grouping (Solr group=true&group.field=F) ---------------------
     def score_matches(self, query: str | list[str], mode: str = "and",
@@ -2330,27 +2518,119 @@ class FieldedIndex:
             raise ValueError(f"fuzzy {field}:{term!r}~1 expands to {len(terms)} terms (> {max_expansions})")
         return terms
 
-    def suggest(self, field: str, term: str, max_suggestions: int = 5) -> list[tuple[str, int]]:
+    def suggest(self, field: str, term: str, max_suggestions: int = 5,
+                max_edits: int = 1) -> list[tuple[str, int]]:
         """Field-scoped spellcheck (Solr SpellCheckComponent with a
-        per-field dictionary): ed≤1 terms of ``field`` ranked by that
-        field's df — same contract as :meth:`InvertedIndex.suggest`,
-        over the TAGGED term space."""
+        per-field dictionary): ed≤``max_edits`` terms of ``field`` ranked
+        by that field's df — same contract as :meth:`InvertedIndex.
+        suggest`, over the TAGGED term space.  ed2 probes the SymSpell
+        delete-key side table (one table for all fields, field column
+        filtered — :meth:`_ensure_spell`)."""
         from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
 
         if field not in self.fields:
             raise ValueError(f"unknown field {field!r} (have {self.fields})")
-        probes = sorted(tag_term(field, t) for t in _edits1(term) | {term})
+        if max_edits not in (1, 2):
+            raise ValueError("suggest supports max_edits 1 or 2 (Solr caps at 2)")
+        if max_edits == 1:
+            probes = sorted(tag_term(field, t) for t in _edits1(term) | {term})
+            rows = (
+                self._term_stats
+                .filter(F.col("bucket").isin(self._buckets_of(probes)) & F.col("term").isin(probes))
+                .select("term", "df")
+                .collect()
+            )
+            by_term = {r["term"].split(FIELD_SEP, 1)[1]: int(r["df"]) for r in rows}
+            if term in by_term:
+                return []
+            ranked = sorted(by_term.items(), key=lambda e: (-e[1], e[0]))
+            return ranked[:max_suggestions]
+        sp = self._ensure_spell()
+        keys = sorted(_deletes(term, 2))
+        from goobi_viewer_indexer_spark.functions.spark_hash import bucket_of
+
+        nb = self.meta["postings_buckets"]
+        bks = sorted({bucket_of(k, nb) for k in keys})
         rows = (
-            self._term_stats
-            .filter(F.col("bucket").isin(self._buckets_of(probes)) & F.col("term").isin(probes))
+            sp.filter((F.col("field") == field) & F.col("bucket").isin(bks)
+                      & F.col("delkey").isin(keys))
             .select("term", "df")
+            .distinct()
             .collect()
         )
-        by_term = {r["term"].split(FIELD_SEP, 1)[1]: int(r["df"]) for r in rows}
+        by_term = {r["term"]: int(r["df"]) for r in rows}
         if term in by_term:
             return []
-        ranked = sorted(by_term.items(), key=lambda e: (-e[1], e[0]))
+        ranked = sorted(
+            ((t, df) for t, df in by_term.items() if _lev_le(t, term, 2)),
+            key=lambda e: (-e[1], e[0]),
+        )
         return ranked[:max_suggestions]
+
+    def _ensure_spell(self) -> DataFrame:
+        """SymSpell delete-key side table over the TAGGED dictionary:
+        (field, delkey, term(body), df), bucketed by hash(delkey) —
+        fielded twin of :meth:`InvertedIndex._ensure_spell` (one derived
+        cache per index revision, all fields in one table)."""
+        import hashlib
+        import os
+        import tempfile
+
+        from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP
+
+        key = hashlib.md5(f"f:{os.path.abspath(self.dir)}:{self.rev}".encode()).hexdigest()[:12]
+        path = os.path.join(tempfile.gettempdir(), f"gvi_spell_{key}")
+        if getattr(self, "_spell_df", None) is not None and self._spell_path == path:
+            return self._spell_df
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            nb = self.meta["postings_buckets"]
+
+            def gen(batches):
+                for pdf in batches:
+                    out_f, out_k, out_t, out_d = [], [], [], []
+                    for tagged, df in zip(pdf["term"], pdf["df"]):
+                        fname, body = tagged.split(FIELD_SEP, 1)
+                        for k in _deletes(body, 2):
+                            out_f.append(fname)
+                            out_k.append(k)
+                            out_t.append(body)
+                            out_d.append(int(df))
+                    yield pd.DataFrame({"field": out_f, "delkey": out_k, "term": out_t, "df": out_d})
+
+            (
+                self._term_stats.select("term", "df")
+                .mapInPandas(gen, "field string, delkey string, term string, df long")
+                .withColumn("bucket", F.pmod(F.hash("delkey"), F.lit(nb)))
+                .repartition("bucket")
+                .write.mode("overwrite").partitionBy("bucket").parquet(path)
+            )
+        self._spell_df = self.spark.read.parquet(path)
+        self._spell_path = path
+        return self._spell_df
+
+    def spellcheck_collate(
+        self, field: str, query: str, max_edits: int = 1, max_suggestions: int = 5
+    ) -> tuple[str, dict[str, list[tuple[str, int]]]]:
+        """Field-scoped ``spellcheck.collate``: tokenize, keep terms
+        indexed in ``field``, substitute each misspelled term's top
+        suggestion — the fielded twin of :meth:`InvertedIndex.
+        spellcheck_collate`."""
+        from goobi_viewer_indexer_spark.operators.spimi import tag_term
+
+        if field not in self.fields:
+            raise ValueError(f"unknown field {field!r} (have {self.fields})")
+        toks = tokenize_py(query)
+        stats = self.term_stats_for(sorted({tag_term(field, t) for t in toks}))
+        out_toks: list[str] = []
+        sugg: dict[str, list[tuple[str, int]]] = {}
+        for t in toks:
+            if tag_term(field, t) in stats:
+                out_toks.append(t)
+                continue
+            if t not in sugg:
+                sugg[t] = self.suggest(field, t, max_suggestions, max_edits=max_edits)
+            out_toks.append(sugg[t][0][0] if sugg[t] else t)
+        return " ".join(out_toks), sugg
 
     def expand_range(self, field: str, lo: str, hi: str, max_expansions: int = 1024) -> list[str]:
         """Dictionary terms of ``field`` in ``[lo, hi]`` (inclusive; ``*``

@@ -510,6 +510,59 @@ def delete_by_query(
     return _delete_df(spark, index_dir, ids_df, trace, tag)
 
 
+def set_term_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tag: str | None = None,
+) -> None:
+    """Build the FORWARD index (per-doc term vectors) as a side table —
+    the minimal structure behind MoreLikeThis (Solr's MLT component reads
+    stored term vectors to pick a source doc's "interesting terms",
+    MoreLikeThisHandler; the reference exposes it through the viewer's
+    related-records queries).
+
+    Layout: (doc_id, term, tf), bucketed by ``pmod(doc_id, termvec_buckets)``
+    so a single-doc read is a parquet partition-pruned point lookup — the
+    doc_id twin of the postings' term-hash bucketing.  Size is one row per
+    (doc, distinct term): the same order as the inverted index itself,
+    which is what a forward index costs anywhere.  Published under the txn
+    swap protocol (same-tag replays no-op)."""
+    from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr
+    from goobi_viewer_indexer_spark.plans.build import load_meta
+
+    tv_path = txn.table_path(index_dir, "termvecs")
+    if tag is None:
+        tag = f"settv_{int(time.time() * 1000)}"
+    if txn.txn_done(index_dir, tag):
+        return
+    txn.recover_dir(tv_path)
+
+    if not (
+        txn.step_applied(index_dir, tag, "termvecs")
+        or txn.swap_already_live(tv_path, tag)
+        or txn.staging_complete(index_dir, tag, "termvecs")
+    ):
+        nb = load_meta(index_dir)["postings_buckets"]
+        tv = (
+            docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize_expr(text_col)).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").cast("long").alias("tf"))
+            .withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(nb)).cast("int"))
+        )
+        (
+            tv.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(txn.staged_path(index_dir, tag, "termvecs"))
+        )
+
+    txn.apply_swap(index_dir, tag, "termvecs", tv_path)
+    txn.txn_commit(index_dir, tag)
+
+
 def set_stored_fields(spark: SparkSession, index_dir: str, updates: DataFrame, tag: str | None = None) -> None:
     """Field-level atomic update for STORED (non-indexed) fields — the
     reference's Solr ``{"set": v}`` partial update (helper/

@@ -119,12 +119,16 @@ def oracle_sql() -> dict[str, str]:
 # §2-B Q7/Q8 — fulltext BM25 top-k (the flagship).  TWO entries: the naive
 # DataFrame scorer matrix and the REAL engine (SPIMI index + block-max WAND)
 # matrix, both under the SAME DuckDB oracles (rank-identity end to end);
-# qtags: or / and / missing / stopword.
+# qtags: or / and / missing / phrase2 (naive positional twin, folded in
+# round 5 to free the registry slot mlt_topk takes) / stopword.
 # --------------------------------------------------------------------------
+PHRASE_2GRAM = ["spark", "window"]          # ~30 matching docs at sf0.01
+
 _BM25_MATRIX_SQL = _tagged_sql([
     ("and", naive_bm25.bm25_topk_sql(Q_COMMON_AND, k=10, mode="and")),
     ("missing", naive_bm25.bm25_topk_sql(Q_MISSING, k=10, mode="or")),
     ("or", naive_bm25.bm25_topk_sql(Q_MIXED3, k=10, mode="or")),
+    ("phrase2", naive_bm25.bm25_phrase_topk_sql(PHRASE_2GRAM, k=10)),
     ("stopword", naive_bm25.bm25_topk_sql(Q_STOPWORD, k=20, mode="or")),
 ])
 
@@ -136,6 +140,7 @@ def q_bm25_naive_matrix(spark, sf_dir):
         ("and", naive_bm25.bm25_topk(d, Q_COMMON_AND, k=10, mode="and")),
         ("missing", naive_bm25.bm25_topk(d, Q_MISSING, k=10, mode="or")),
         ("or", naive_bm25.bm25_topk(d, Q_MIXED3, k=10, mode="or")),
+        ("phrase2", naive_bm25.bm25_phrase_topk(d, PHRASE_2GRAM, k=10)),
         ("stopword", naive_bm25.bm25_topk(d, Q_STOPWORD, k=20, mode="or")),
     ]).orderBy("qtag", F.desc("score"), "doc_id")
 
@@ -152,19 +157,38 @@ def q_bm25_wand_matrix(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# phrase queries (positional postings): naive twin + the real engine under
-# ONE oracle — quoted-phrase capability the reference gets from Solr's
-# positional text fields (helper/FulltextAugmentor.java:78-238)
+# phrase queries (positional postings): the real engine matrix (the naive
+# positional twin rides bm25_naive_matrix's phrase2 qtag since round 5) —
+# quoted-phrase capability the reference gets from Solr's positional text
+# fields (helper/FulltextAugmentor.java:78-238)
 # --------------------------------------------------------------------------
-PHRASE_2GRAM = ["spark", "window"]          # ~30 matching docs at sf0.01
 PHRASE_3GRAM = ["table", "join", "spark"]   # exactly 1 matching doc
 PHRASE_DUP = ["value", "value"]             # duplicate-term phrase
 PHRASE_MISSING = ["scan", "a", "scan"]      # terms exist, phrase never occurs
 
 
-@register("bm25_phrase_naive", naive_bm25.bm25_phrase_topk_sql(PHRASE_2GRAM, k=10))
-def q_phrase_naive(spark, sf_dir):
-    return naive_bm25.bm25_phrase_topk(_load(spark, sf_dir, "documents"), PHRASE_2GRAM, k=10)
+# --------------------------------------------------------------------------
+# MoreLikeThis (Solr MLT component — the viewer's related-records query):
+# forward index (termvecs side table) → tf·idf-ranked interesting terms →
+# OR top-k excluding the source doc (round 5, closes the one remaining
+# Solr component without an analog)
+# --------------------------------------------------------------------------
+def _tv_index_for(spark, sf_dir):
+    """Suite index with the forward index (term vectors) built once."""
+    idx = _index_for(spark, sf_dir)
+    key = "tv:" + sf_dir.rstrip("/")
+    if key not in _INDEX_CACHE:
+        from goobi_viewer_indexer_spark.plans.maintenance import set_term_vectors
+
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        set_term_vectors(spark, idx.dir, docs, tag="suite_tv_v1")
+        _INDEX_CACHE[key] = True
+    return idx
+
+
+@register("mlt_topk", naive_bm25.mlt_topk_sql(42, k=10, max_query_terms=10))
+def q_mlt(spark, sf_dir):
+    return _tv_index_for(spark, sf_dir).more_like_this(42, k=10, max_query_terms=10)
 
 
 _PHRASE_MATRIX_SQL = _tagged_sql([

@@ -334,3 +334,104 @@ def test_facet_range_hardend(docs, idx):
 def test_facet_range_other_guard(docs, idx):
     with pytest.raises(ValueError, match="other"):
         idx.facet_range(["table"], docs.select("doc_id", "n_chars"), "n_chars", 0, 500, 100, other="bogus")
+
+
+# ---- spellcheck ed<=2 + collation (VERDICT r4 next #6) -------------------
+
+
+def _lev(a, b):
+    import numpy as np
+    la, lb = len(a), len(b)
+    dp = np.arange(lb + 1)
+    for i in range(1, la + 1):
+        prev_diag, dp[0] = dp[0], i
+        for j in range(1, lb + 1):
+            prev_diag, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev_diag + (a[i - 1] != b[j - 1]))
+    return int(dp[lb])
+
+
+def test_suggest_ed2_df_and_levenshtein_truth(docs, idx):
+    # truth computed off the full vocabulary of the docs table
+    vocab = {
+        r["t"]: r["df"]
+        for r in docs.select(F.explode(F.array_distinct(tokenize_expr("text"))).alias("t"))
+        .groupBy("t").agg(F.count("*").alias("df")).collect()
+    }
+    term = "tabel"  # ed2 from 'table' (and ed2 from others)
+    want = sorted(
+        ((t, df) for t, df in vocab.items() if _lev(t, term) <= 2),
+        key=lambda e: (-e[1], e[0]),
+    )[:5]
+    got = idx.suggest(term, max_edits=2)
+    assert got == want and len(got) > 0
+    assert any(t == "table" for t, _ in got)
+    # ed2 is a superset of ed1 for a term with ed1 neighbours
+    e1 = idx.suggest("tabl", max_edits=1)
+    e2 = idx.suggest("tabl", max_edits=2)
+    assert set(e1) <= set(dict(e2).items()) or all(x in dict(e2).items() for x in e1)
+    # indexed term -> no suggestions; bad max_edits raises
+    assert idx.suggest("table", max_edits=2) == []
+    with pytest.raises(ValueError, match="max_edits"):
+        idx.suggest("tabl", max_edits=3)
+
+
+def test_spellcheck_collate_two_term_query(idx):
+    collated, sugg = idx.spellcheck_collate("tabl joyn", max_edits=2)
+    assert collated == "table join"
+    assert sugg["tabl"][0][0] == "table" and sugg["joyn"][0][0] == "join"
+    # correctly-spelled query passes through untouched, no suggestions
+    collated2, sugg2 = idx.spellcheck_collate("table join")
+    assert collated2 == "table join" and sugg2 == {}
+
+
+def test_fielded_suggest_ed2_and_collate(fidx, docs):
+    got = fidx.suggest("text", "tabel", max_edits=2)
+    assert got and got[0][0] == "table"
+    # field-scoped: the nch dictionary has no word terms
+    assert fidx.suggest("nch", "tabel", max_edits=2) == []
+    collated, _ = fidx.spellcheck_collate("text", "tabl joyn", max_edits=2)
+    assert collated == "table join"
+
+
+# ---- MoreLikeThis (VERDICT r4 next #8) -----------------------------------
+
+
+@pytest.fixture(scope="module")
+def tv_idx(spark, docs, idx):
+    from goobi_viewer_indexer_spark.plans.maintenance import set_term_vectors
+
+    set_term_vectors(spark, idx.dir, docs, tag="r5_tv")
+    return idx
+
+
+def test_term_vector_point_lookup(docs, tv_idx):
+    from collections import Counter
+
+    from goobi_viewer_indexer_spark.functions.tokenize import tokenize_py
+
+    text = docs.filter(F.col("doc_id") == 42).select("text").collect()[0][0]
+    want = sorted(Counter(tokenize_py(text)).items())
+    assert tv_idx.term_vector(42) == want and len(want) > 0
+
+
+def test_mlt_matches_duckdb_oracle(tv_idx, duck):
+    from goobi_viewer_indexer_spark.operators import naive_bm25
+
+    for src in (7, 42):
+        got = [tuple(r) for r in tv_idx.more_like_this(src, k=10, max_query_terms=10).collect()]
+        assert len(got) == 10
+        assert all(d != src for d, _s in got)
+        sql = naive_bm25.mlt_topk_sql(src, k=10, max_query_terms=10).replace(
+            "documents", f"read_parquet('{SF001}/documents.parquet')"
+        )
+        oracle = [(d, round(float(s), 6)) for d, s in duck.sql(sql).fetchall()]
+        assert [(d, round(s, 6)) for d, s in got] == oracle, src
+
+
+def test_mlt_without_termvecs_raises(spark, docs, tmp_path):
+    from goobi_viewer_indexer_spark.plans.build import build_index
+
+    d = str(tmp_path / "no_tv")
+    build_index(docs, d, CFG)
+    with pytest.raises(ValueError, match="term vectors"):
+        InvertedIndex(spark, d).more_like_this(1)
