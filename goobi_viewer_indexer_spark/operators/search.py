@@ -3024,10 +3024,22 @@ class FieldedIndex:
         # groups/negs are lists of [(tagged_term, offsets)] — offsets mark
         # phrase groups
         parsed_bool: dict[str, tuple[list, list, dict[str, float], bool, int]] = {}
+        # doc-values-routed range queries can't ride the shared postings
+        # kernel (the stored-filter semi-join composes BEFORE the top-k
+        # reduce) — they fall back to per-query search(); the rest of the
+        # batch still amortizes in one job
+        dv_results: dict[str, list] = {}
         for qid, (q, mode, k) in queries.items():
             if isinstance(q, str):
+                residual, pmode, dv_pos, dv_neg = self._split_dv(q, mode)
+                if dv_pos or dv_neg:
+                    dv_results[qid] = [
+                        (r["doc_id"], r["score"])
+                        for r in self.search(q, k=k, mode=mode).collect()
+                    ]
+                    continue
                 tw, mode2, groups, negs = _fielded_query_parts(
-                    self.fields, q, mode, None, expand=self.expand_prefix,
+                    self.fields, residual, pmode, None, expand=self.expand_prefix,
                     expand_fuzzy=self.expand_fuzzy, expand_range=self.expand_range,
                 )
                 if groups is not None:
@@ -3049,9 +3061,10 @@ class FieldedIndex:
             {t for terms, _, _, _ in parsed.values() for t in terms}
             | {t for g, n, _, _, _ in parsed_bool.values() for grp in g + n for t, _ in grp}
         )
-        results: dict[str, list] = {}
+        results: dict[str, list] = dict(dv_results)
         if not all_tagged:
-            return {qid: [] for qid in list(parsed) + list(parsed_bool)}
+            results.update({qid: [] for qid in list(parsed) + list(parsed_bool)})
+            return results
         stats = self.term_stats_for(all_tagged)
         idf_raw = {t: wand.idf(n_docs, stats[t][0]) for t in stats}
 

@@ -168,3 +168,14 @@ def test_dv_composes_with_field_sort_and_facets(docs, dvidx):
         .groupBy("source").agg(F.count("*").alias("n")).collect()
     }
     assert fc == twin and len(fc) > 0
+
+
+def test_dv_range_in_search_many_batch(dvidx):
+    q = "text:table AND nch:[150 TO 400]"
+    single = [tuple(r) for r in dvidx.search(q, k=10).collect()]
+    batch = dvidx.search_many({
+        "dv": (q, "and", 10),
+        "plain": ("text:table", "and", 5),
+    })
+    assert batch["dv"] == single and len(single) > 0
+    assert batch["plain"] == [tuple(r) for r in dvidx.search("text:table", k=5).collect()]
