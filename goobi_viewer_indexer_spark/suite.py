@@ -147,11 +147,14 @@ def q_bm25_naive_matrix(spark, sf_dir):
 
 @register("bm25_wand_matrix", _BM25_MATRIX_SQL)
 def q_bm25_wand_matrix(spark, sf_dir):
+    # same five shapes through the REAL engine (phrase2 = positional
+    # postings, the same oracle row set as the naive twin)
     idx = _index_for(spark, sf_dir)
     return _union_tagged([
         ("and", idx.search(Q_COMMON_AND, k=10, mode="and")),
         ("missing", idx.search(Q_MISSING, k=10, mode="or")),
         ("or", idx.search(Q_MIXED3, k=10, mode="or")),
+        ("phrase2", idx.search_phrase(PHRASE_2GRAM, k=10)),
         ("stopword", idx.search(Q_STOPWORD, k=20, mode="or")),
     ]).orderBy("qtag", F.desc("score"), "doc_id")
 
