@@ -574,6 +574,12 @@ class InvertedIndex:
         twins precisely for this, helper/MetadataHelper.java:905-931);
         execution is match scan → join stored → orderBy → limit, score is
         not computed (Solr field-sort semantics).  Ties break on doc_id."""
+        # clamp k to the live corpus: Spark's orderBy+limit compiles to
+        # TakeOrderedAndProject, whose bounded priority queue allocates
+        # CAPACITY k up front — an unclamped k=10^9 "give me everything"
+        # call OOMs the JVM before a single row flows (found by the 300k
+        # sweep).  min(k, n_live) returns the same rows.
+        k = min(k, self.n_live)
         if after is not None and (offset or mode == "phrase"):
             raise ValueError("after= (cursor paging) composes with score or field sort, not offset/phrase")
         if sort is not None and mode == "phrase":
@@ -1211,6 +1217,7 @@ class InvertedIndex:
         this shape (`+(URN:(v1 v2…)) -PI_TOPSTRUCT:"pi"`,
         helper/SolrSearchIndex.java:918-921).  Scoring = bag BM25 over the
         positive terms present in each match; negative clauses only filter."""
+        k = min(k, self.n_live)  # see search(): unclamped limit(k) OOMs
         parts = self._boolean_parts(query)
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if parts is None:
@@ -1415,6 +1422,7 @@ class InvertedIndex:
         bag-of-distinct-terms BM25 over phrase-matching docs (SQL-checkable
         contract; see wand.score_phrase).  Token ORDER is preserved —
         duplicates allowed ("the quick the")."""
+        k = min(k, self.n_live)  # see search(): unclamped limit(k) OOMs
         ordered = list(query) if isinstance(query, list) else tokenize_py(query)
         meta = self.meta
         n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
@@ -2885,6 +2893,7 @@ class FieldedIndex:
         (total-recall kernels) before the one ordered reduce.  ``after``:
         keyset paging for sorted results — the last row's (sort values…,
         doc_id); deep pages cost the same as page 1."""
+        k = min(k, self.n_docs)  # see InvertedIndex.search: unclamped limit(k) OOMs
         if after is not None and (sort is None or offset):
             raise ValueError("fielded after= is keyset paging: requires sort=, excludes offset")
         if sort is not None:
@@ -3232,6 +3241,8 @@ class FieldedIndex:
     def search_phrase(self, field: str, phrase: str | list[str], k: int = 10) -> DataFrame:
         """Field-scoped exact phrase (positions are field-internal)."""
         from goobi_viewer_indexer_spark.operators.spimi import tag_term
+
+        k = min(k, self.n_docs)  # see InvertedIndex.search: unclamped limit(k) OOMs
 
         ordered = list(phrase) if isinstance(phrase, list) else tokenize_py(phrase)
         if not ordered or field not in self.fields:

@@ -435,3 +435,19 @@ def test_mlt_without_termvecs_raises(spark, docs, tmp_path):
     build_index(docs, d, CFG)
     with pytest.raises(ValueError, match="term vectors"):
         InvertedIndex(spark, d).more_like_this(1)
+
+
+# ---- k clamped to the live corpus (JVM OOM guard) ------------------------
+
+
+def test_huge_k_clamped_returns_all_matches(idx, fidx):
+    # TakeOrderedAndProject allocates a k-capacity priority queue up
+    # front: an unclamped k=10^9 OOMs the JVM. Clamped, it returns every
+    # match — identical to the total-recall scorer's ordering.
+    got = [tuple(r) for r in idx.search(["table", "join"], k=10**9, mode="and").collect()]
+    want = sorted(
+        (tuple(r) for r in idx.score_matches(["table", "join"], mode="and").collect()),
+        key=lambda e: (-e[1], e[0]),
+    )
+    assert got == want and len(got) > 0
+    assert len(fidx.search("text:table", k=10**9).limit(5).collect()) == 5
