@@ -322,6 +322,147 @@ def _offset_window(out: DataFrame, keys: list, offset: int, k: int) -> DataFrame
     )
 
 
+class FunctionQuery:
+    """A parsed Solr function query (the ``bf``/``boost`` param grammar —
+    the viewer boosts relevance by recency/popularity fields through
+    exactly these; SearchHandler's function-query surface is public Solr
+    behavior, no reference code involved).
+
+    Supported subset — every function here is arithmetic over STORED
+    doc-values columns, so the whole boost evaluates as one Catalyst
+    projection (no UDF, stays inside whole-stage codegen):
+
+    - ``field(f)`` / bare ``f`` — the stored column, ``try_cast`` to
+      double, missing/null → 0.0 (Solr's missing-numeric default)
+    - ``recip(x, m, a, b)`` = ``a / (m·x + b)`` (Solr's date-decay shape)
+    - ``linear(x, m, c)`` = ``m·x + c``
+    - ``sum(x, y, …)`` / ``product(x, y, …)``
+    - ``sqrt(x)``, ``abs(x)``, numeric literals
+
+    The AST is evaluated with the SAME expression shape the DuckDB oracle
+    uses (left-folded sums/products), so the IEEE-754 double result is
+    bit-identical on both sides and the final round6 grid matches."""
+
+    def __init__(self, src: str):
+        self.src = src
+        self.fields: set[str] = set()
+        toks = _re.findall(r"[A-Za-z_][A-Za-z0-9_]*|-?\d+(?:\.\d+)?|[(),]", src)
+        if "".join(toks).replace(" ", "") != src.replace(" ", ""):
+            raise ValueError(f"unparseable function query: {src!r}")
+        self._toks, self._i = toks, 0
+        self._ast = self._expr()
+        if self._i != len(toks):
+            raise ValueError(f"trailing input in function query: {src!r}")
+
+    _FUNCS = {"field": 1, "recip": 4, "linear": 3, "sqrt": 1, "abs": 1,
+              "sum": None, "product": None}
+
+    def _peek(self):
+        return self._toks[self._i] if self._i < len(self._toks) else None
+
+    def _eat(self, want=None):
+        t = self._peek()
+        if t is None or (want is not None and t != want):
+            raise ValueError(f"bad function query {self.src!r}: expected {want or 'token'}, got {t!r}")
+        self._i += 1
+        return t
+
+    def _expr(self):
+        t = self._eat()
+        if _re.fullmatch(r"-?\d+(?:\.\d+)?", t):
+            return ("lit", float(t))
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t):
+            raise ValueError(f"bad function query {self.src!r}: unexpected {t!r}")
+        if self._peek() != "(":
+            self.fields.add(t)
+            return ("field", t)
+        if t not in self._FUNCS:
+            raise ValueError(f"unsupported function {t!r} in {self.src!r} "
+                             f"(supported: {sorted(self._FUNCS)})")
+        self._eat("(")
+        args = [self._expr()]
+        while self._peek() == ",":
+            self._eat(",")
+            args.append(self._expr())
+        self._eat(")")
+        arity = self._FUNCS[t]
+        if arity is not None and len(args) != arity:
+            raise ValueError(f"{t}() takes {arity} args, got {len(args)} in {self.src!r}")
+        if t == "field":
+            if args[0][0] != "field":
+                raise ValueError(f"field() takes a column name in {self.src!r}")
+            return args[0]
+        if arity is None and not args:
+            raise ValueError(f"{t}() needs at least one arg in {self.src!r}")
+        return (t, args)
+
+    def column(self):
+        """The boost as ONE Spark Column over the stored-table row."""
+        return self._col(self._ast)
+
+    def _col(self, node):
+        kind, v = node
+        if kind == "lit":
+            return F.lit(v)
+        if kind == "field":
+            return F.coalesce(F.expr(f"try_cast(`{v}` AS double)"), F.lit(0.0))
+        args = [self._col(a) for a in v]
+        if kind == "recip":
+            x, m, a, b = args
+            return a / ((m * x) + b)
+        if kind == "linear":
+            x, m, c = args
+            return (m * x) + c
+        if kind == "sqrt":
+            return F.sqrt(args[0])
+        if kind == "abs":
+            return F.abs(args[0])
+        if kind == "sum":
+            out = args[0]
+            for a in args[1:]:
+                out = out + a
+            return out
+        out = args[0]  # product
+        for a in args[1:]:
+            out = out * a
+        return out
+
+
+def _boosted_plan(st: DataFrame, scored: DataFrame, k: int,
+                  bf: str | None, boost: str | None,
+                  fl: list[str] | None) -> DataFrame:
+    """Shared function-query execution (flat + fielded engines): Solr's
+    edismax contract ``final = (score + bf) * boost``.
+
+    Function scores depend on per-doc field values, so WAND upper bounds
+    don't apply — like Solr (which collects every match for a boosted
+    query) this scores total-recall, joins the stored doc-values columns,
+    recomputes the score as one Catalyst projection, and reduces through
+    ONE ``orderBy+limit`` = TakeOrderedAndProject (per-partition top-k +
+    driver merge; no global sort).  The recomputed score lands on the SAME
+    round6 grid as every other kernel (``floor(x·1e6 + 0.5) / 1e6`` —
+    wand.round6), so boosted results page/cursor like unboosted ones."""
+    fq_add = FunctionQuery(bf) if bf else None
+    fq_mul = FunctionQuery(boost) if boost else None
+    need_fields = (fq_add.fields if fq_add else set()) | (fq_mul.fields if fq_mul else set())
+    if st is None:
+        raise ValueError("function boosts need stored doc-values fields (maintenance.set_stored_fields)")
+    missing = sorted(need_fields - set(st.columns))
+    if missing:
+        raise ValueError(f"function-boost fields not stored: {missing}")
+    fl = fl or []
+    need = sorted(need_fields | set(fl))
+    out = scored.join(st.select("doc_id", *need), "doc_id", "left") if need else scored
+    add = fq_add.column() if fq_add else F.lit(0.0)
+    mul = fq_mul.column() if fq_mul else F.lit(1.0)
+    score2 = F.floor(((F.col("score") + add) * mul) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        out.select("doc_id", score2.alias("score"), *fl)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def _bool_toks(body: str) -> list[str]:
     """:func:`tokenize_py` that PRESERVES a trailing ``*`` — ``pre*`` is a
     wildcard token the engine expands from the term dictionary (the plain
@@ -548,8 +689,20 @@ class InvertedIndex:
         sort: str | None = None,
         after: tuple[float, int] | None = None,
         min_match: int = 1,
+        bf: str | None = None,
+        boost: str | None = None,
     ) -> DataFrame:
-        """``min_match``: Solr DisMax minimum-should-match (``mm``) for OR
+        """``bf``/``boost``: Solr function-query boosts (edismax ``bf`` =
+        additive, ``boost`` = multiplicative; ``final = (score + bf) ·
+        boost``) over stored doc-values columns — e.g.
+        ``boost="recip(nch,1,1000,1000)"`` (see :class:`FunctionQuery` for
+        the grammar).  Scores every match (Solr collects every match for a
+        boosted query too — per-doc function values void WAND bounds),
+        recomputes the score as one Catalyst projection over the stored
+        join, and reduces through ONE TakeOrderedAndProject.  Composes
+        with ``fl``; not with ``sort``/``after``/``offset``/phrase.
+
+        ``min_match``: Solr DisMax minimum-should-match (``mm``) for OR
         queries — a doc qualifies only with at least that many distinct
         query terms present; counting is exact inside the kernels (see
         wand._score_or).  ``min_match`` greater than the number of indexed
@@ -580,6 +733,13 @@ class InvertedIndex:
         # call OOMs the JVM before a single row flows (found by the 300k
         # sweep).  min(k, n_live) returns the same rows.
         k = min(k, self.n_live)
+        if bf is not None or boost is not None:
+            if sort is not None or after is not None or offset or mode == "phrase":
+                raise ValueError("bf=/boost= compose with fl only, not sort/after/offset/phrase")
+            return _boosted_plan(
+                self.stored(), self.score_matches(query, mode=mode, min_match=min_match),
+                k, bf, boost, fl,
+            )
         if after is not None and (offset or mode == "phrase"):
             raise ValueError("after= (cursor paging) composes with score or field sort, not offset/phrase")
         if sort is not None and mode == "phrase":
@@ -2873,6 +3033,8 @@ class FieldedIndex:
         fl: list[str] | None = None,
         sort: str | None = None,
         after: tuple | None = None,
+        bf: str | None = None,
+        boost: str | None = None,
     ) -> DataFrame:
         """``query``: a Solr-style string — ``source:src42 AND text:spark``,
         quoted phrases (``pi:x AND text:"a b"``, the reference's
@@ -2894,6 +3056,16 @@ class FieldedIndex:
         keyset paging for sorted results — the last row's (sort values…,
         doc_id); deep pages cost the same as page 1."""
         k = min(k, self.n_docs)  # see InvertedIndex.search: unclamped limit(k) OOMs
+        if bf is not None or boost is not None:
+            # Solr function-query boosts (edismax bf/boost) — same shared
+            # plan as the flat engine; score_matches handles the full
+            # fielded query surface incl. doc-values-routed ranges
+            if sort is not None or after is not None or offset:
+                raise ValueError("bf=/boost= compose with fl only, not sort/after/offset")
+            return _boosted_plan(
+                self.stored(), self.score_matches(query, mode=mode, boosts=boosts),
+                k, bf, boost, fl,
+            )
         if after is not None and (sort is None or offset):
             raise ValueError("fielded after= is keyset paging: requires sort=, excludes offset")
         if sort is not None:
