@@ -3468,6 +3468,10 @@ class LocalFieldedSearcher:
         # prefix → expansion memo; dropped on refresh (new terms may have
         # been indexed under the prefix since)
         self._prefix_memo: dict[tuple[str, str], list[str]] = {}
+        # field → dense doc-values arrays (stored-table columns collected
+        # once on first touch — the latency-path twin of the distributed
+        # engine's pushed stored-filter range routing)
+        self._dv_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     def _expand_memo(self, field: str, prefix: str) -> list[str]:
         key = (field, prefix)
@@ -3486,6 +3490,69 @@ class LocalFieldedSearcher:
         if key not in self._prefix_memo:
             self._prefix_memo[key] = self.index.expand_range(field, lo, hi)
         return self._prefix_memo[key]
+
+    def _dv_arrays(self, field: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Dense driver-side doc-values for one stored column — Lucene's
+        doc-values idea literally: (numeric float64 with NaN for
+        missing/uncastable, string values, valid mask), all indexed by
+        doc_id.  Collected ONCE per field per load (same first-touch
+        policy as the posting-row cache); sized by the doclens arrays, so
+        lookup is O(1) per doc."""
+        if field not in self._dv_cache:
+            st = self.index.stored()
+            if st is None or field not in st.columns:
+                raise ValueError(f"doc-values field {field!r} is not a stored column")
+            n = max(a.size for a in self.doclens.values())
+            num = np.full(n, np.nan, dtype=np.float64)
+            strs = np.full(n, "", dtype=object)
+            valid = np.zeros(n, dtype=bool)
+            for r in st.select("doc_id", field).collect():
+                d, v = r["doc_id"], r[field]
+                if v is None or d < 0 or d >= n:
+                    continue
+                valid[d] = True
+                strs[d] = str(v)
+                if isinstance(v, (int, float)):
+                    num[d] = float(v)
+                else:
+                    # string column: mirror the distributed path's
+                    # try_cast(col AS long) — non-integral strings → NULL
+                    try:
+                        num[d] = float(int(str(v).strip()))
+                    except ValueError:
+                        pass
+            self._dv_cache[field] = (num, strs.astype(str), valid)
+        return self._dv_cache[field]
+
+    def _dv_mask(self, c: FieldedClause) -> np.ndarray:
+        """Boolean doc-id mask for one routed range clause — the local
+        twin of FieldedIndex._dv_condition (numeric compare when every
+        closed endpoint is an integer, else lexicographic; ``*`` open;
+        inclusive both ends; missing values never match)."""
+        lo, hi = c.toks
+        closed = [s for s in (lo, hi) if s != "*"]
+
+        def _isint(s: str) -> bool:
+            try:
+                int(s)
+                return True
+            except ValueError:
+                return False
+
+        num, strs, valid = self._dv_arrays(c.field)
+        if closed and all(_isint(s) for s in closed):
+            m = ~np.isnan(num)
+            if lo != "*":
+                m &= num >= int(lo)
+            if hi != "*":
+                m &= num <= int(hi)
+            return m
+        m = valid.copy()
+        if lo != "*":
+            m &= strs >= lo
+        if hi != "*":
+            m &= strs <= hi
+        return m
 
     def _rows_for(self, tagged: list[str]) -> None:
         missing = [t for t in tagged if t not in self._cache]
@@ -3545,17 +3612,48 @@ class LocalFieldedSearcher:
         from dataclasses import replace
 
         self._ensure_fresh()
+        # doc-values range routing (round 5): same _split_dv policy as the
+        # distributed engine — registered docvalues_fields or an
+        # expansion-overflow fallback route to the cached stored columns;
+        # the routed clauses become an EXCLUSION array merged into the
+        # kernels' deleted filter, so scoring/pruning stays exact
+        query, mode, dv_pos, dv_neg = self.index._split_dv(query, mode)
+        extra_del = None
+        if dv_pos or dv_neg:
+            n = max(a.size for a in self.doclens.values())
+            keep = np.ones(n, dtype=bool)
+            for c in dv_pos:
+                keep &= self._dv_mask(c)
+            for c in dv_neg:
+                keep &= ~self._dv_mask(c)
+            if not any(not c.neg for c in query):
+                # pure-dv membership: constant score 0.0 (ranges never
+                # score), first k live ids — the distributed path's
+                # (score desc, doc_id asc) order with all-equal scores.
+                # Residual NEGATIVE term clauses need a match scan —
+                # that stays the distributed engine's job.
+                if query:
+                    raise ValueError(
+                        "pure doc-values query with residual negative clauses — use FieldedIndex.search"
+                    )
+                if self.deleted.size:
+                    keep[self.deleted[self.deleted < n]] = False
+                return [(int(d), 0.0) for d in np.flatnonzero(keep)[:k]]
+            extra_del = np.flatnonzero(~keep).astype(np.int64)
         tagged_weights, mode, groups, negs = _fielded_query_parts(
             self.index.fields, query, mode, boosts, expand=self._expand_memo,
             expand_fuzzy=self._expand_fuzzy_memo, expand_range=self._expand_range_memo,
         )
         if not tagged_weights:
             return []
+        base_del = self.deleted
+        if extra_del is not None:
+            base_del = np.union1d(base_del, extra_del) if base_del.size else extra_del
         neg_terms = sorted({t for g in negs for t, _ in g})
         self._rows_for(sorted(tagged_weights) + neg_terms)
         if mode.startswith("boolean"):
             bool_or = mode == "boolean_or"
-            deleted = self.deleted if self.deleted.size else None
+            deleted = base_del if base_del.size else None
             hi = max(a.size for a in self.doclens.values()) - 1
             k1, b = self.meta["k1"], self.meta["b"]
             # ONE replaced TermList per distinct term (memoized): a tagged
@@ -3601,7 +3699,7 @@ class LocalFieldedSearcher:
             lists[t] = replace(L, idf=L.idf * w, _cache=L._cache)
         if not lists:
             return []
-        deleted = self.deleted if self.deleted.size else None
+        deleted = base_del if base_del.size else None
         hi = max(a.size for a in self.doclens.values()) - 1
         k1, b = self.meta["k1"], self.meta["b"]
         if groups is not None:

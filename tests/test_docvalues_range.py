@@ -179,3 +179,53 @@ def test_dv_range_in_search_many_batch(dvidx):
     })
     assert batch["dv"] == single and len(single) > 0
     assert batch["plain"] == [tuple(r) for r in dvidx.search("text:table", k=5).collect()]
+
+
+# ---- LocalFieldedSearcher routing (round 5b) -----------------------------
+
+
+def test_local_dv_route_rank_identical(dvidx):
+    q = "text:table AND nch:[150 TO 400]"
+    dist = [(r["doc_id"], r["score"]) for r in dvidx.search(q, k=25).collect()]
+    assert dvidx.open_local().search(q, k=25) == dist and len(dist) > 0
+
+
+def test_local_dv_negated_range(dvidx):
+    q = "text:table AND -nch:[150 TO 400]"
+    dist = [(r["doc_id"], r["score"]) for r in dvidx.search(q, k=25).collect()]
+    assert dvidx.open_local().search(q, k=25) == dist and len(dist) > 0
+
+
+def test_local_pure_dv_membership(dvidx):
+    q = "nch:[100 TO 260]"
+    dist = [(r["doc_id"], r["score"]) for r in dvidx.search(q, k=15).collect()]
+    loc = dvidx.open_local().search(q, k=15)
+    assert loc == dist and len(loc) > 0 and all(s == 0.0 for _, s in loc)
+
+
+def test_local_overflow_fallback_routes(fidx):
+    # unregistered field whose expansion overflows a tiny cap: the local
+    # searcher must fall back to the stored column exactly like the
+    # distributed engine instead of raising
+    loc = fidx.open_local()
+    old = fidx.range_expansion_cap
+    fidx.range_expansion_cap = 2
+    try:
+        q = "text:table AND nch:[100 TO 400]"
+        dist = [(r["doc_id"], r["score"]) for r in fidx.search(q, k=25).collect()]
+        assert loc.search(q, k=25) == dist and len(dist) > 0
+    finally:
+        fidx.range_expansion_cap = old
+
+
+def test_local_lex_dv_range(dvidx):
+    h = dvidx
+    had = "source" in h.docvalues_fields
+    h.docvalues_fields.add("source")
+    try:
+        q = "text:table AND source:[src10 TO src20]"
+        dist = [(r["doc_id"], r["score"]) for r in h.search(q, k=25).collect()]
+        assert h.open_local().search(q, k=25) == dist and len(dist) > 0
+    finally:
+        if not had:
+            h.docvalues_fields.discard("source")
