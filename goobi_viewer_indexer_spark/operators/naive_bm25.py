@@ -575,6 +575,68 @@ FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
 """.strip()
 
 
+def mlt_fielded_topk_sql(
+    src_doc_id: int,
+    fields: dict[str, str],
+    k: int = 10,
+    max_query_terms: int = 10,
+    cfg: IndexConfig = IndexConfig(),
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for ``FieldedIndex.more_like_this``: the source
+    doc's (field, term) pairs ranked by round(tf·idf, 6) with FIELD-LOCAL
+    df (ties: field asc, term asc), the top ``max_query_terms``
+    OR-combined into a BM25F-lite query (field-local df/doclen/avgdl,
+    N = global doc count), the source doc excluded — same formulas,
+    rounding and tie-breaks as :func:`bm25f_topk_sql`."""
+    k1, b = cfg.k1, cfg.b
+    tok_u = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, {id_col} AS doc_id, unnest({duckdb_tokenize_sql(c)}) AS term FROM {table}"
+        for f, c in sorted(fields.items())
+    )
+    dl_u = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, {id_col} AS doc_id, len({duckdb_tokenize_sql(c)}) AS dl FROM {table}"
+        for f, c in sorted(fields.items())
+    )
+    av_u = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, avg(len({duckdb_tokenize_sql(c)})) AS avgdl FROM {table}"
+        for f, c in sorted(fields.items())
+    )
+    return f"""
+WITH tok AS ({tok_u}),
+tf AS (SELECT field, doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+dfs AS (SELECT field, term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1, 2),
+g AS (SELECT count(*) AS n FROM {table}),
+dls AS ({dl_u}),
+fstats AS ({av_u}),
+sal AS (
+  SELECT s.field, s.term
+  FROM tf s JOIN dfs USING (field, term) CROSS JOIN g
+  WHERE s.doc_id = {src_doc_id}
+  ORDER BY round(s.tf * ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5)), 6) DESC,
+           s.field ASC, s.term ASC
+  LIMIT {max_query_terms}
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dls.dl / fstats.avgdl)) ) AS score_raw
+  FROM tf
+  JOIN sal USING (field, term)
+  JOIN dfs USING (field, term)
+  JOIN dls ON dls.field = tf.field AND dls.doc_id = tf.doc_id
+  JOIN fstats ON fstats.field = tf.field
+  CROSS JOIN g
+  WHERE tf.doc_id <> {src_doc_id}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
 def bm25_boolean_wildcard_sql(
     term: str,
     prefix: str,

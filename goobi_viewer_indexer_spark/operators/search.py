@@ -2800,6 +2800,75 @@ class FieldedIndex:
             out_toks.append(sugg[t][0][0] if sugg[t] else t)
         return " ".join(out_toks), sugg
 
+    # -- MoreLikeThis (fielded — Solr MLT with mlt.fl fields) ----------------
+    def term_vector(self, doc_id: int, fields: list[str] | None = None) -> list[tuple[str, str, int]]:
+        """One doc's (field, term, tf) forward-index rows — a bucketed
+        point lookup on the ftermvecs side table
+        (maintenance.set_term_vectors_fielded)."""
+        import os
+
+        from goobi_viewer_indexer_spark.plans import txn as _txn
+
+        p = _txn.table_path(self.dir, "ftermvecs")
+        _txn.recover_dir(p)
+        if not os.path.exists(p):
+            raise ValueError("index has no fielded term vectors (maintenance.set_term_vectors_fielded)")
+        nb = self.meta["postings_buckets"]
+        df = self.spark.read.parquet(p).filter(
+            (F.col("bucket") == int(doc_id) % nb) & (F.col("doc_id") == int(doc_id))
+        )
+        if fields is not None:
+            df = df.filter(F.col("field").isin(list(fields)))
+        rows = df.select("field", "term", "tf").collect()
+        return sorted((r["field"], r["term"], int(r["tf"])) for r in rows)
+
+    def interesting_terms(
+        self, doc_id: int, max_query_terms: int = 10, fields: list[str] | None = None
+    ) -> list[tuple[str, str]]:
+        """MLT term selection across fields: the source doc's (field,
+        term) pairs ranked by tf·idf with FIELD-LOCAL df (the same idf
+        the fielded scorer uses), salience rounded to 6 decimals so the
+        DuckDB oracle ties identically; ties break (field asc, term
+        asc)."""
+        from goobi_viewer_indexer_spark.operators.spimi import tag_term
+
+        tv = self.term_vector(doc_id, fields)
+        if not tv:
+            return []
+        stats = self.term_stats_for(sorted({tag_term(f, t) for f, t, _tf in tv}))
+        n = self.n_docs
+        sal = []
+        for f, t, tf in tv:
+            st = stats.get(tag_term(f, t))
+            if st is not None:
+                sal.append((round(tf * wand.idf(n, st[0]), 6), f, t))
+        sal.sort(key=lambda e: (-e[0], e[1], e[2]))
+        return [(f, t) for _s, f, t in sal[:max_query_terms]]
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 10,
+        fields: list[str] | None = None,
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Fielded Solr MoreLikeThis (``mlt.fl`` spanning several fields):
+        top-k docs scoring highest against the source doc's most salient
+        (field, term) pairs — field-local idf in both selection and
+        scoring, source doc excluded.  Same plan family as the flat MLT:
+        bucketed point read → driver-side salience over ≤|doc| pairs →
+        the fielded OR kernel with k+1 slots → filter+limit."""
+        pairs = self.interesting_terms(doc_id, max_query_terms, fields)
+        if not pairs:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return (
+            self.search(pairs, k=k + 1, mode="or", boosts=boosts)
+            .filter(F.col("doc_id") != int(doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def expand_range(self, field: str, lo: str, hi: str, max_expansions: int = 1024) -> list[str]:
         """Dictionary terms of ``field`` in ``[lo, hi]`` (inclusive; ``*``
         = open end) — the expansion behind ``f:[lo TO hi]`` clauses.

@@ -563,6 +563,65 @@ def set_term_vectors(
     txn.txn_commit(index_dir, tag)
 
 
+def set_term_vectors_fielded(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    fields: dict[str, str],
+    id_col: str = "doc_id",
+    tag: str | None = None,
+) -> None:
+    """Fielded forward index (per-doc per-FIELD term vectors) — the side
+    table behind ``FieldedIndex.more_like_this`` (Solr MLT with
+    ``mlt.fl`` listing several fields).  Layout: (doc_id, field, term,
+    tf), bucketed by ``pmod(doc_id, postings_buckets)`` like the flat
+    termvecs table, so a single-doc read stays a partition-pruned point
+    lookup.  ``fields``: field name → source column (the same map
+    build_index_fielded takes).  Published under the txn swap protocol
+    (same-tag replays no-op)."""
+    from functools import reduce
+
+    from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr
+    from goobi_viewer_indexer_spark.plans.build import load_meta
+
+    tv_path = txn.table_path(index_dir, "ftermvecs")
+    if tag is None:
+        tag = f"setftv_{int(time.time() * 1000)}"
+    if txn.txn_done(index_dir, tag):
+        return
+    txn.recover_dir(tv_path)
+
+    if not (
+        txn.step_applied(index_dir, tag, "ftermvecs")
+        or txn.swap_already_live(tv_path, tag)
+        or txn.staging_complete(index_dir, tag, "ftermvecs")
+    ):
+        nb = load_meta(index_dir)["postings_buckets"]
+        parts = [
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.lit(fname).alias("field"),
+                F.explode(tokenize_expr(col)).alias("term"),
+            )
+            for fname, col in sorted(fields.items())
+        ]
+        tv = (
+            reduce(lambda a, b: a.unionByName(b), parts)
+            .groupBy("doc_id", "field", "term")
+            .agg(F.count("*").cast("long").alias("tf"))
+            .withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(nb)).cast("int"))
+        )
+        (
+            tv.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(txn.staged_path(index_dir, tag, "ftermvecs"))
+        )
+
+    txn.apply_swap(index_dir, tag, "ftermvecs", tv_path)
+    txn.txn_commit(index_dir, tag)
+
+
 def set_stored_fields(spark: SparkSession, index_dir: str, updates: DataFrame, tag: str | None = None) -> None:
     """Field-level atomic update for STORED (non-indexed) fields — the
     reference's Solr ``{"set": v}`` partial update (helper/

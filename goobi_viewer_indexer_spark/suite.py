@@ -189,9 +189,39 @@ def _tv_index_for(spark, sf_dir):
     return idx
 
 
-@register("mlt_topk", naive_bm25.mlt_topk_sql(42, k=10, max_query_terms=10))
+def _ftv_index_for(spark, sf_dir):
+    """Suite FIELDED index with the fielded forward index (per-field term
+    vectors over text+lang) built once — behind the mlt_topk 'fielded'
+    qtag (Solr MLT with mlt.fl spanning several fields)."""
+    fidx = _fielded_index_for(spark, sf_dir)
+    key = "ftv:" + sf_dir.rstrip("/")
+    if key not in _INDEX_CACHE:
+        from goobi_viewer_indexer_spark.plans.maintenance import set_term_vectors_fielded
+
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        set_term_vectors_fielded(
+            spark, fidx.dir, docs, {"text": "text", "lang": "lang"}, tag="suite_ftv_v1"
+        )
+        _INDEX_CACHE[key] = True
+    return fidx
+
+
+@register(
+    "mlt_topk",
+    _tagged_sql([
+        ("fielded", naive_bm25.mlt_fielded_topk_sql(
+            42, {"text": "text", "lang": "lang"}, k=10, max_query_terms=10)),
+        ("flat", naive_bm25.mlt_topk_sql(42, k=10, max_query_terms=10)),
+    ]),
+)
 def q_mlt(spark, sf_dir):
-    return _tv_index_for(spark, sf_dir).more_like_this(42, k=10, max_query_terms=10)
+    # flat: single-text MLT; fielded (round 5b): mlt.fl across text+lang —
+    # field-local idf in both interesting-term selection and scoring
+    return _union_tagged([
+        ("fielded", _ftv_index_for(spark, sf_dir).more_like_this(
+            42, k=10, max_query_terms=10, fields=["text", "lang"])),
+        ("flat", _tv_index_for(spark, sf_dir).more_like_this(42, k=10, max_query_terms=10)),
+    ]).orderBy("qtag", F.desc("score"), "doc_id")
 
 
 _PHRASE_MATRIX_SQL = _tagged_sql([

@@ -451,3 +451,57 @@ def test_huge_k_clamped_returns_all_matches(idx, fidx):
     )
     assert got == want and len(got) > 0
     assert len(fidx.search("text:table", k=10**9).limit(5).collect()) == 5
+
+
+# ---- fielded MoreLikeThis (round 5b: Solr mlt.fl across fields) ----------
+
+
+@pytest.fixture(scope="module")
+def ftv_idx(spark, docs, tmp_path_factory):
+    from goobi_viewer_indexer_spark.plans.maintenance import set_term_vectors_fielded
+
+    d = str(tmp_path_factory.mktemp("r5b_ftv"))
+    build_index_fielded(docs, d, {"text": "text", "lang": "lang"}, CFG)
+    set_term_vectors_fielded(spark, d, docs, {"text": "text", "lang": "lang"}, tag="r5b_ftv")
+    return FieldedIndex(spark, d)
+
+
+def test_fielded_term_vector_point_lookup(docs, ftv_idx):
+    from collections import Counter
+
+    from goobi_viewer_indexer_spark.functions.tokenize import tokenize_py
+
+    row = docs.filter(F.col("doc_id") == 42).select("text", "lang").collect()[0]
+    want = sorted(
+        [("text", t, n) for t, n in Counter(tokenize_py(row["text"])).items()]
+        + [("lang", t, n) for t, n in Counter(tokenize_py(row["lang"])).items()]
+    )
+    assert ftv_idx.term_vector(42) == want and len(want) > 0
+    only_lang = ftv_idx.term_vector(42, fields=["lang"])
+    assert only_lang == [e for e in want if e[0] == "lang"]
+
+
+def test_fielded_mlt_matches_duckdb_oracle(ftv_idx, duck):
+    from goobi_viewer_indexer_spark.operators import naive_bm25
+
+    for src in (7, 42):
+        got = [tuple(r) for r in ftv_idx.more_like_this(
+            src, k=10, max_query_terms=10, fields=["text", "lang"]).collect()]
+        assert len(got) == 10 and all(d != src for d, _s in got)
+        sql = naive_bm25.mlt_fielded_topk_sql(
+            src, {"text": "text", "lang": "lang"}, k=10, max_query_terms=10
+        ).replace("documents", f"read_parquet('{SF001}/documents.parquet')")
+        oracle = [(d, round(float(s), 6)) for d, s in duck.sql(sql).fetchall()]
+        assert [(d, round(s, 6)) for d, s in got] == oracle, src
+
+
+def test_fielded_mlt_selects_cross_field_terms(ftv_idx):
+    # lang tokens are low-idf but a large max_query_terms must reach them:
+    # selection spans FIELDS, not just the text column
+    pairs = ftv_idx.interesting_terms(42, max_query_terms=10**6)
+    assert {f for f, _t in pairs} == {"text", "lang"}
+
+
+def test_fielded_mlt_without_ftermvecs_raises(fidx):
+    with pytest.raises(ValueError, match="fielded term vectors"):
+        fidx.more_like_this(1)
