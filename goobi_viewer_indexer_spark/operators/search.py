@@ -463,6 +463,76 @@ def _boosted_plan(st: DataFrame, scored: DataFrame, k: int,
     )
 
 
+def _spell_frame(term_stats: DataFrame, nb: int) -> DataFrame:
+    """The SymSpell delete-key frame for a FLAT dictionary: (delkey, term,
+    df, bucket) — every ≤2-char deletion of every dictionary term,
+    bucketed by hash(delkey) for probe pruning.  Shared by the lazy
+    per-rev cache (InvertedIndex._ensure_spell) and the txn-managed index
+    table (maintenance.set_spell_table)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out_k, out_t, out_d = [], [], []
+            for t, df in zip(pdf["term"], pdf["df"]):
+                for k in _deletes(t, 2):
+                    out_k.append(k)
+                    out_t.append(t)
+                    out_d.append(int(df))
+            yield pd.DataFrame({"delkey": out_k, "term": out_t, "df": out_d})
+
+    return (
+        term_stats.select("term", "df")
+        .mapInPandas(gen, "delkey string, term string, df long")
+        .withColumn("bucket", F.pmod(F.hash("delkey"), F.lit(nb)))
+    )
+
+
+def _spell_frame_fielded(term_stats: DataFrame, nb: int) -> DataFrame:
+    """Fielded twin of :func:`_spell_frame` over the TAGGED dictionary:
+    (field, delkey, term(body), df, bucket)."""
+    from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP
+
+    def gen(batches):
+        for pdf in batches:
+            out_f, out_k, out_t, out_d = [], [], [], []
+            for tagged, df in zip(pdf["term"], pdf["df"]):
+                fname, body = tagged.split(FIELD_SEP, 1)
+                for k in _deletes(body, 2):
+                    out_f.append(fname)
+                    out_k.append(k)
+                    out_t.append(body)
+                    out_d.append(int(df))
+            yield pd.DataFrame({"field": out_f, "delkey": out_k, "term": out_t, "df": out_d})
+
+    return (
+        term_stats.select("term", "df")
+        .mapInPandas(gen, "field string, delkey string, term string, df long")
+        .withColumn("bucket", F.pmod(F.hash("delkey"), F.lit(nb)))
+    )
+
+
+def _managed_spell_path(spark_dir: str, rev: int) -> str | None:
+    """The txn-managed spell table's path IF it exists and serves the
+    handle's revision (maintenance.set_spell_table writes a
+    ``_built_at_rev`` marker post-commit; any later committed mutation
+    bumps the rev, so a stale table falls back to the lazy cache)."""
+    import os
+
+    from goobi_viewer_indexer_spark.plans import txn as _txn
+
+    p = _txn.table_path(spark_dir, "spell")
+    _txn.recover_dir(p)
+    marker = os.path.join(p, "_built_at_rev")
+    if not os.path.exists(marker):
+        return None
+    try:
+        with open(marker) as fh:
+            built = int(fh.read().strip())
+    except ValueError:
+        return None
+    return p if built == rev else None
+
+
 def _bool_toks(body: str) -> list[str]:
     """:func:`tokenize_py` that PRESERVES a trailing ``*`` — ``pre*`` is a
     wildcard token the engine expands from the term dictionary (the plain
@@ -1097,39 +1167,29 @@ class InvertedIndex:
         (delkey, term, df), delkey = every ≤2-char deletion of a
         dictionary term, bucketed by hash(delkey) for probe pruning.
 
-        Built ONCE per index revision as a derived parquet cache (content
-        key = index dir + rev, so maintenance commits invalidate it) —
-        ~(1+L+L²/2)·|vocab| rows, generated distributed via mapInPandas.
-        At 100 TB this is a build-time index table (same bucketed layout);
-        the lazy cache serves the read path identically."""
+        Resolution order (round 5b): the txn-managed index table
+        (maintenance.set_spell_table — the 100 TB deployment shape, built
+        once at index time) when its ``_built_at_rev`` marker matches this
+        handle's revision; else a per-revision derived parquet cache
+        (content key = index dir + rev, so maintenance commits invalidate
+        it) — ~(1+L+L²/2)·|vocab| rows, generated distributed via
+        mapInPandas (:func:`_spell_frame`)."""
         import hashlib
         import os
         import tempfile
 
-        key = hashlib.md5(f"{os.path.abspath(self.dir)}:{self.rev}".encode()).hexdigest()[:12]
-        path = os.path.join(tempfile.gettempdir(), f"gvi_spell_{key}")
+        path = _managed_spell_path(self.dir, self.rev)
+        if path is None:
+            key = hashlib.md5(f"{os.path.abspath(self.dir)}:{self.rev}".encode()).hexdigest()[:12]
+            path = os.path.join(tempfile.gettempdir(), f"gvi_spell_{key}")
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                (
+                    _spell_frame(self._term_stats, self.meta["postings_buckets"])
+                    .repartition("bucket")
+                    .write.mode("overwrite").partitionBy("bucket").parquet(path)
+                )
         if getattr(self, "_spell_df", None) is not None and self._spell_path == path:
             return self._spell_df
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            nb = self.meta["postings_buckets"]
-
-            def gen(batches):
-                for pdf in batches:
-                    out_k, out_t, out_d = [], [], []
-                    for t, df in zip(pdf["term"], pdf["df"]):
-                        for k in _deletes(t, 2):
-                            out_k.append(k)
-                            out_t.append(t)
-                            out_d.append(int(df))
-                    yield pd.DataFrame({"delkey": out_k, "term": out_t, "df": out_d})
-
-            (
-                self._term_stats.select("term", "df")
-                .mapInPandas(gen, "delkey string, term string, df long")
-                .withColumn("bucket", F.pmod(F.hash("delkey"), F.lit(nb)))
-                .repartition("bucket")
-                .write.mode("overwrite").partitionBy("bucket").parquet(path)
-            )
         self._spell_df = self.spark.read.parquet(path)
         self._spell_path = path
         return self._spell_df
@@ -2738,40 +2798,25 @@ class FieldedIndex:
     def _ensure_spell(self) -> DataFrame:
         """SymSpell delete-key side table over the TAGGED dictionary:
         (field, delkey, term(body), df), bucketed by hash(delkey) —
-        fielded twin of :meth:`InvertedIndex._ensure_spell` (one derived
-        cache per index revision, all fields in one table)."""
+        fielded twin of :meth:`InvertedIndex._ensure_spell` (all fields in
+        one table; same resolution order: txn-managed set_spell_table
+        output when current, else the per-revision derived cache)."""
         import hashlib
         import os
         import tempfile
 
-        from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP
-
-        key = hashlib.md5(f"f:{os.path.abspath(self.dir)}:{self.rev}".encode()).hexdigest()[:12]
-        path = os.path.join(tempfile.gettempdir(), f"gvi_spell_{key}")
+        path = _managed_spell_path(self.dir, self.rev)
+        if path is None:
+            key = hashlib.md5(f"f:{os.path.abspath(self.dir)}:{self.rev}".encode()).hexdigest()[:12]
+            path = os.path.join(tempfile.gettempdir(), f"gvi_spell_{key}")
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                (
+                    _spell_frame_fielded(self._term_stats, self.meta["postings_buckets"])
+                    .repartition("bucket")
+                    .write.mode("overwrite").partitionBy("bucket").parquet(path)
+                )
         if getattr(self, "_spell_df", None) is not None and self._spell_path == path:
             return self._spell_df
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            nb = self.meta["postings_buckets"]
-
-            def gen(batches):
-                for pdf in batches:
-                    out_f, out_k, out_t, out_d = [], [], [], []
-                    for tagged, df in zip(pdf["term"], pdf["df"]):
-                        fname, body = tagged.split(FIELD_SEP, 1)
-                        for k in _deletes(body, 2):
-                            out_f.append(fname)
-                            out_k.append(k)
-                            out_t.append(body)
-                            out_d.append(int(df))
-                    yield pd.DataFrame({"field": out_f, "delkey": out_k, "term": out_t, "df": out_d})
-
-            (
-                self._term_stats.select("term", "df")
-                .mapInPandas(gen, "field string, delkey string, term string, df long")
-                .withColumn("bucket", F.pmod(F.hash("delkey"), F.lit(nb)))
-                .repartition("bucket")
-                .write.mode("overwrite").partitionBy("bucket").parquet(path)
-            )
         self._spell_df = self.spark.read.parquet(path)
         self._spell_path = path
         return self._spell_df

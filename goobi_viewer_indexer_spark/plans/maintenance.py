@@ -622,6 +622,60 @@ def set_term_vectors_fielded(
     txn.txn_commit(index_dir, tag)
 
 
+def set_spell_table(spark: SparkSession, index_dir: str, tag: str | None = None) -> None:
+    """Materialize the SymSpell delete-key table (ed≤2 spellcheck probes)
+    as a txn-managed INDEX table — the 100 TB deployment shape: built once
+    per dictionary state at index/maintenance time instead of lazily on
+    the first ``suggest(max_edits=2)`` call.  Auto-detects flat vs fielded
+    from the index meta; layout matches the lazy cache exactly
+    ((field,) delkey, term, df, bucket=hash(delkey) pmod nb), so the read
+    path is identical.
+
+    Freshness: a ``_built_at_rev`` marker (the index revision AFTER this
+    txn commits) is written post-commit; searchers use the managed table
+    only while their revision matches, and fall back to the per-revision
+    lazy cache once any later mutation bumps the rev — stale suggestions
+    are never served.  The default tag embeds the pre-build revision, so
+    replays of an interrupted build no-op while a call after new commits
+    rebuilds."""
+    from goobi_viewer_indexer_spark.operators.search import (
+        _spell_frame,
+        _spell_frame_fielded,
+    )
+    from goobi_viewer_indexer_spark.plans.build import load_meta
+
+    sp_path = txn.table_path(index_dir, "spell")
+    if tag is None:
+        tag = f"setspell_r{txn.current_rev(index_dir)}"
+    if txn.txn_done(index_dir, tag):
+        return
+    txn.recover_dir(sp_path)
+
+    if not (
+        txn.step_applied(index_dir, tag, "spell")
+        or txn.swap_already_live(sp_path, tag)
+        or txn.staging_complete(index_dir, tag, "spell")
+    ):
+        meta = load_meta(index_dir)
+        nb = meta["postings_buckets"]
+        stats = spark.read.parquet(txn.table_path(index_dir, "term_stats"))
+        frame = _spell_frame_fielded(stats, nb) if "fields" in meta else _spell_frame(stats, nb)
+        (
+            frame.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(txn.staged_path(index_dir, tag, "spell"))
+        )
+
+    txn.apply_swap(index_dir, tag, "spell", sp_path)
+    txn.txn_commit(index_dir, tag)
+    # post-commit freshness marker (leading underscore: parquet readers
+    # skip it); a crash before this write just leaves the table unused —
+    # searchers conservatively fall back to the lazy cache
+    with open(os.path.join(txn.table_path(index_dir, "spell"), "_built_at_rev"), "w") as f:
+        f.write(str(txn.current_rev(index_dir)))
+
+
 def set_stored_fields(spark: SparkSession, index_dir: str, updates: DataFrame, tag: str | None = None) -> None:
     """Field-level atomic update for STORED (non-indexed) fields — the
     reference's Solr ``{"set": v}`` partial update (helper/
