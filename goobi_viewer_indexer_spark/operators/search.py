@@ -1215,6 +1215,28 @@ class InvertedIndex:
             out_toks.append(sugg[t][0][0] if sugg[t] else t)
         return " ".join(out_toks), sugg
 
+    # -- TermsComponent (Solr /terms handler) --------------------------------
+    def terms(self, prefix: str = "", limit: int = 10, sort: str = "count") -> DataFrame:
+        """Solr TermsComponent (``terms.prefix``/``terms.limit``/
+        ``terms.sort``): dictionary terms under a prefix with docFreq
+        (df) and totalTermFreq (cf).  ``sort="count"`` (Solr default)
+        ranks df desc, term asc; ``sort="index"`` ranks term asc.
+
+        df/cf are INDEX-level stats — like Solr's TermsComponent (and
+        Lucene ``docFreq``), they include deleted-but-unmerged docs.
+        Execution: a pushed ``StartsWith`` filter on the term_stats
+        dictionary scan, then ONE orderBy+limit = TakeOrderedAndProject
+        — cost bounded by the dictionary slice, never the corpus."""
+        if sort not in ("count", "index"):
+            raise ValueError("terms.sort must be 'count' or 'index'")
+        t = self._term_stats.select(
+            "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
+        )
+        if prefix:
+            t = t.filter(F.col("term").startswith(prefix))
+        keys = [F.desc("df"), F.asc("term")] if sort == "count" else [F.asc("term")]
+        return t.orderBy(*keys).limit(limit)
+
     # -- MoreLikeThis (Solr MLT component) -----------------------------------
     def term_vector(self, doc_id: int) -> list[tuple[str, int]]:
         """One doc's (term, tf) forward-index row set — a parquet
@@ -2844,6 +2866,32 @@ class FieldedIndex:
                 sugg[t] = self.suggest(field, t, max_suggestions, max_edits=max_edits)
             out_toks.append(sugg[t][0][0] if sugg[t] else t)
         return " ".join(out_toks), sugg
+
+    # -- TermsComponent (fielded — Solr /terms with terms.fl) ----------------
+    def terms(self, field: str, prefix: str = "", limit: int = 10, sort: str = "count") -> DataFrame:
+        """Field-scoped Solr TermsComponent: dictionary terms of ``field``
+        under a prefix with df/cf — a pushed ``StartsWith`` scan on the
+        TAGGED dictionary (``field␀prefix``), tag stripped from the
+        output, then ONE TakeOrderedAndProject.  Same index-level df/cf
+        semantics as the flat engine."""
+        from goobi_viewer_indexer_spark.operators.spimi import tag_term
+
+        if field not in self.fields:
+            raise ValueError(f"unknown field {field!r} (have {self.fields})")
+        if sort not in ("count", "index"):
+            raise ValueError("terms.sort must be 'count' or 'index'")
+        tagged_prefix = tag_term(field, prefix)
+        body_start = len(tagged_prefix) - len(prefix) + 1  # 1-based substring
+        t = (
+            self._term_stats.filter(F.col("term").startswith(tagged_prefix))
+            .select(
+                F.expr(f"substring(term, {body_start})").alias("term"),
+                F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"),
+            )
+        )
+        keys = [F.desc("df"), F.asc("term")] if sort == "count" else [F.asc("term")]
+        return t.orderBy(*keys).limit(limit)
 
     # -- MoreLikeThis (fielded — Solr MLT with mlt.fl fields) ----------------
     def term_vector(self, doc_id: int, fields: list[str] | None = None) -> list[tuple[str, str, int]]:

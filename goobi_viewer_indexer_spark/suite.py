@@ -1079,23 +1079,68 @@ def q_text_profile(spark, sf_dir):
 # stats side tables (Solr field-stats analog)
 # --------------------------------------------------------------------------
 _TOK = duckdb_tokenize_sql("text")
+_TOK_LANG = duckdb_tokenize_sql("lang")
+
+# shared df/cf dictionary CTE (text field) for the stats/terms qtags
+_TERM_STATS_CTE = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1,2),
+dict AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+         FROM tf GROUP BY term)
+""".strip()
 
 @register(
     "term_stats_top100",
-    f"""
-WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    _tagged_sql(
+        [
+            # Solr TermsComponent over the fielded 'lang' dictionary
+            ("fielded_lang", f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK_LANG}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1,2)
 SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
-FROM tf GROUP BY term
+FROM tf GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
+""".strip()),
+            # terms.prefix=s, terms.sort=count (df desc, term asc)
+            ("prefix_count", f"""
+{_TERM_STATS_CTE}
+SELECT term, df, cf FROM dict WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 15
+""".strip()),
+            # terms.prefix=st, terms.sort=index (term asc)
+            ("prefix_index", f"""
+{_TERM_STATS_CTE}
+SELECT term, df, cf FROM dict WHERE term LIKE 'st%'
+ORDER BY term ASC LIMIT 15
+""".strip()),
+            # the round-1 full-dictionary stats shape (stats side table)
+            ("top100", f"""
+{_TERM_STATS_CTE}
+SELECT term, df, cf FROM dict
 ORDER BY df DESC, term ASC LIMIT 100
-""".strip(),
+""".strip()),
+        ],
+        order="qtag ASC, df DESC, term ASC",
+    ),
 )
 def q_term_stats(spark, sf_dir):
-    return (
+    # top100 = the stats side-table operator over the raw documents table;
+    # prefix_* / fielded_lang = the Solr TermsComponent (/terms handler,
+    # round 5) answered from the ENGINE's dictionary (pushed StartsWith on
+    # the term_stats scan → one TakeOrderedAndProject) — index df/cf equal
+    # corpus df/cf here because the suite index carries no deletes
+    idx = _index_for(spark, sf_dir)
+    fidx = _fielded_index_for(spark, sf_dir)
+    top = (
         stats.term_stats(_load(spark, sf_dir, "documents"))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(100)
     )
+    return _union_tagged([
+        ("fielded_lang", fidx.terms("lang", limit=20, sort="count")),
+        ("prefix_count", idx.terms(prefix="s", limit=15, sort="count")),
+        ("prefix_index", idx.terms(prefix="st", limit=15, sort="index")),
+        ("top100", top),
+    ]).orderBy("qtag", F.desc("df"), F.asc("term"))
 
 
 @register(
