@@ -2403,8 +2403,10 @@ class FieldedIndex:
         field exists as a stored column (the viewer's DATECREATED
         drill-down can never fit a term expansion — VERDICT r4 #1).
 
-        Routing requires AND semantics (a range is a filter): a top-level
-        OR query with other positive clauses raises."""
+        AND mode intersects the routed memberships (a range is a
+        filter); OR mode unions them as constant-score disjuncts —
+        the same semantics the dictionary route gives a zero-weight
+        expanded OR-group (round 5b)."""
         if not isinstance(query, str) or "[" not in query:
             return query, mode, [], []
         clauses, pmode = parse_fielded_clauses(query)
@@ -2445,11 +2447,6 @@ class FieldedIndex:
                 )
         if not (dv_pos or dv_neg):
             return residual, pmode, [], []
-        if pmode == "or" and sum(1 for c in clauses if not c.neg) > 1:
-            raise ValueError(
-                "doc-values range routing requires AND semantics (a range clause is a "
-                "filter) — rewrite the OR query or use a dims-side facet/filter"
-            )
         return residual, pmode, dv_pos, dv_neg
 
     def _dv_condition(self, st: DataFrame, c: FieldedClause):
@@ -2482,14 +2479,37 @@ class FieldedIndex:
             cond = cond & (col <= (int(hi) if numeric else hi))
         return cond
 
+    def _dv_live(self, ids: DataFrame) -> DataFrame:
+        """Drop tombstoned docs from a stored-table-emitted id frame: the
+        stored side table keeps rows until :func:`purge_compact`, so dv
+        membership that does NOT pass through a postings kernel (whose
+        deleted filter is exact) must anti-join the tombstone set —
+        broadcast-sized until a compact clears it."""
+        import os
+
+        from goobi_viewer_indexer_spark.plans import txn as _txn
+
+        tomb_path = _txn.table_path(self.dir, "tombstones")
+        if not os.path.exists(tomb_path):
+            return ids
+        tomb = self.spark.read.parquet(tomb_path).select("doc_id")
+        return ids.join(F.broadcast(tomb), "doc_id", "left_anti")
+
     def _dv_compose(self, residual, mode, dv_pos, dv_neg, scored: bool,
                     boosts: dict[str, float] | None = None) -> DataFrame:
-        """Execute a query whose range clauses routed doc-values-side:
-        residual match/score plan ⋈ (semi) stored-filter ids ⋈ (anti)
-        negated-range ids — the exact join shape facet_counts already
-        uses, so the match set never leaves the cluster.  With no residual
-        positive clause the stored filter IS the membership (constant
-        score 0.0 — ranges never score)."""
+        """Execute a query whose range clauses routed doc-values-side.
+
+        AND mode: residual match/score plan ⋈ (semi) stored-filter ids ⋈
+        (anti) negated-range ids — the exact join shape facet_counts
+        already uses, so the match set never leaves the cluster.  With no
+        residual positive clause the stored filter IS the membership
+        (constant score 0.0 — ranges never score).
+
+        OR mode (round 5b): each routed range is a constant-score
+        DISJUNCT — membership is the UNION of the stored filters, docs
+        matched only by a range score 0.0, and negative clauses (term or
+        range) exclude globally; rank-identical to the dictionary route's
+        zero-weight expanded OR-group."""
         st = self.stored()
         if st is None:
             raise ValueError("doc-values range routing needs stored fields (maintenance.set_stored_fields)")
@@ -2497,7 +2517,38 @@ class FieldedIndex:
             if c.field not in st.columns:
                 raise ValueError(f"doc-values field {c.field!r} is not a stored column")
         pos_clauses = [c for c in residual if not c.neg]
-        if pos_clauses:
+        if mode == "or" and dv_pos:
+            mcond = F.lit(False)
+            for c in dv_pos:
+                mcond = mcond | self._dv_condition(st, c)
+            members = self._dv_live(st.filter(mcond).select("doc_id"))
+            neg_res = [c for c in residual if c.neg]
+            if pos_clauses:
+                # negs stripped here and re-applied on the UNION below, so
+                # a doc excluded from the residual but inside a range
+                # disjunct cannot sneak back in at score 0
+                out = (
+                    self.score_matches(pos_clauses, mode="or", boosts=boosts)
+                    if scored
+                    else self.match_ids(pos_clauses, mode="or")
+                )
+                extra = members.join(out.select("doc_id"), "doc_id", "left_anti")
+                if scored:
+                    out = out.select("doc_id", "score")
+                    extra = extra.select("doc_id", F.lit(0.0).alias("score"))
+                out = out.unionByName(extra)
+            else:
+                out = members
+                if scored:
+                    out = out.select("doc_id", F.lit(0.0).alias("score"))
+            for c in neg_res:
+                out = out.join(
+                    self.match_ids([c._replace(neg=False)], mode="and"),
+                    "doc_id",
+                    "left_anti",
+                )
+            dv_pos = []
+        elif pos_clauses:
             out = (
                 self.score_matches(residual, mode=mode, boosts=boosts)
                 if scored
@@ -2510,7 +2561,7 @@ class FieldedIndex:
             for c in dv_pos:
                 cond = cond & self._dv_condition(st, c)
             dv_pos = []
-            out = st.filter(cond).select("doc_id")
+            out = self._dv_live(st.filter(cond).select("doc_id"))
             for c in residual:
                 out = out.join(
                     self.match_ids([c._replace(neg=False)], mode="and"),
@@ -3782,10 +3833,24 @@ class LocalFieldedSearcher:
         query, mode, dv_pos, dv_neg = self.index._split_dv(query, mode)
         extra_del = None
         if dv_pos or dv_neg:
+            if mode == "or" and dv_pos and any(not c.neg for c in query):
+                # an OR-mode range disjunct ADDS zero-score members beyond
+                # the kernels' match set — a union, not the exclusion mask
+                # this cache models; that shape stays distributed
+                raise ValueError(
+                    "OR-mode doc-values range disjuncts combined with scored clauses "
+                    "— use FieldedIndex.search"
+                )
             n = max(a.size for a in self.doclens.values())
-            keep = np.ones(n, dtype=bool)
-            for c in dv_pos:
-                keep &= self._dv_mask(c)
+            if mode == "or" and dv_pos:
+                # pure-dv OR: membership is the UNION of the range masks
+                keep = np.zeros(n, dtype=bool)
+                for c in dv_pos:
+                    keep |= self._dv_mask(c)
+            else:
+                keep = np.ones(n, dtype=bool)
+                for c in dv_pos:
+                    keep &= self._dv_mask(c)
             for c in dv_neg:
                 keep &= ~self._dv_mask(c)
             if not any(not c.neg for c in query):

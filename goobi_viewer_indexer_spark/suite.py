@@ -866,6 +866,19 @@ def q_bm25f_bool_matrix(spark, sf_dir):
             ),
         ),
         (
+            "dv_or",
+            f"""
+WITH scored AS ({naive_bm25.bm25f_topk_sql([("text", "table")], k=1000000)}),
+extra AS (
+  SELECT doc_id, 0.0 AS score FROM documents
+  WHERE n_chars BETWEEN 150 AND 400
+    AND doc_id NOT IN (SELECT doc_id FROM scored))
+SELECT doc_id, score
+FROM (SELECT doc_id, score FROM scored UNION ALL SELECT doc_id, score FROM extra)
+ORDER BY score DESC, doc_id ASC LIMIT 12
+""".strip(),
+        ),
+        (
             "highcard",
             naive_bm25.bm25f_topk_sql(
                 [("text", "table")], k=10,
@@ -903,11 +916,17 @@ def q_bm25f_range_matrix(spark, sf_dir):
     dictionary expansion runs (plan-asserted in
     tests/test_docvalues_range.py), which is how the reference's
     epoch-millis DATECREATED drill-downs stay executable at any
-    cardinality."""
+    cardinality.  ``dv_or`` (round 5b): the same routed range as an
+    OR-mode constant-score DISJUNCT — membership union, range-only docs
+    at score 0.0, rank-identical to the dictionary route's zero-weight
+    expanded OR-group."""
     fidx = _fielded_index_for(spark, sf_dir)
     dv = _fielded_dv_index_for(spark, sf_dir)
     return _union_tagged([
         ("dv_neg", dv.search("text:table AND -nch:[150 TO 400]", k=10)),
+        # round 5b: OR-mode constant-score disjunct — union membership,
+        # range-only docs at score 0.0, same ranks as the dictionary route
+        ("dv_or", dv.search("text:table OR nch:[150 TO 400]", k=12)),
         ("highcard", dv.search("text:table AND nch:[150 TO 400]", k=10)),
         ("lex", fidx.search("text:table AND source:[src10 TO src20]", k=10)),
         ("numeric", fidx.search("text:table AND nch:[120 TO 260]", k=10)),

@@ -116,9 +116,47 @@ def test_overflow_without_stored_column_raises(spark, docs, tmp_path):
         h.match_ids("text:table AND nch:[150 TO 400]").collect()
 
 
-def test_dv_or_mode_guard(dvidx):
-    with pytest.raises(ValueError, match="AND semantics"):
-        dvidx.search("text:table OR nch:[150 TO 400]", k=10)
+def test_dv_or_disjunct_rank_identical_to_dictionary_route(fidx, dvidx):
+    # OR-mode range = constant-score disjunct: union membership, docs
+    # matched only by the range at score 0.0 — rank-identical to the
+    # dictionary route's zero-weight expanded OR-group (round 5b)
+    q = "text:table OR nch:[150 TO 400]"
+    via_dict = sorted(tuple(r) for r in fidx.search(q, k=1000).collect())
+    via_dv = sorted(tuple(r) for r in dvidx.search(q, k=1000).collect())
+    assert via_dv == via_dict and len(via_dv) > 0
+    assert any(s == 0.0 for _, s in via_dv) and any(s > 0.0 for _, s in via_dv)
+    ids_dict = sorted(r["doc_id"] for r in fidx.match_ids(q).collect())
+    ids_dv = sorted(r["doc_id"] for r in dvidx.match_ids(q).collect())
+    assert ids_dv == ids_dict
+
+
+def test_dv_or_with_negated_term_excludes_from_range_members(docs, fidx, dvidx):
+    # a neg TERM clause excludes globally — including from docs only the
+    # range matched (the re-applied-on-the-union path)
+    q = "text:table OR nch:[150 TO 400] OR -text:join"
+    via_dict = sorted(tuple(r) for r in fidx.search(q, k=1000).collect())
+    via_dv = sorted(tuple(r) for r in dvidx.search(q, k=1000).collect())
+    assert via_dv == via_dict and len(via_dv) > 0
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            (_has("text", "table") | F.col("n_chars").between(150, 400))
+            & ~_has("text", "join")
+        ).collect()
+    )
+    assert sorted(d for d, _ in via_dv) == want
+
+
+def test_dv_or_two_ranges_union(docs, dvidx):
+    # pure-dv OR: membership is the UNION of the routed filters
+    got = sorted(r["doc_id"] for r in dvidx.match_ids("nch:[100 TO 150] OR nch:[300 TO 400]").collect())
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            F.col("n_chars").between(100, 150) | F.col("n_chars").between(300, 400)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
 
 
 def test_pure_dv_query(docs, dvidx):
@@ -229,3 +267,43 @@ def test_local_lex_dv_range(dvidx):
     finally:
         if not had:
             h.docvalues_fields.discard("source")
+
+
+def test_local_pure_dv_or_union(dvidx):
+    q = "nch:[100 TO 150] OR nch:[300 TO 400]"
+    dist = [(r["doc_id"], r["score"]) for r in dvidx.search(q, k=20).collect()]
+    loc = dvidx.open_local().search(q, k=20)
+    assert loc == dist and len(loc) > 0 and all(s == 0.0 for _, s in loc)
+
+
+def test_local_or_disjunct_with_scored_clause_raises(dvidx):
+    with pytest.raises(ValueError, match="use FieldedIndex.search"):
+        dvidx.open_local().search("text:table OR nch:[150 TO 400]", k=10)
+
+
+def test_dv_membership_excludes_tombstoned_docs(spark, docs, tmp_path):
+    """Stored side table keeps rows until compact — dv membership that
+    bypasses the postings kernels must still drop tombstoned docs."""
+    from goobi_viewer_indexer_spark.plans.maintenance import delete_docs
+
+    d = str(tmp_path / "dv_tomb")
+    build_index_fielded(
+        docs.withColumn("nch", F.col("n_chars").cast("string")),
+        d, {"text": "text", "nch": "nch"}, CFG,
+    )
+    set_stored_fields(
+        spark, d, docs.select("doc_id", F.col("n_chars").cast("long").alias("nch")), tag="t"
+    )
+    h = FieldedIndex(spark, d)
+    h.docvalues_fields.add("nch")
+    members = sorted(r["doc_id"] for r in h.match_ids("nch:[150 TO 400]").collect())
+    assert len(members) > 2
+    victim = members[1]
+    delete_docs(spark, d, [victim], trace=False, tag="dv_tomb_del")
+    h2 = FieldedIndex(spark, d)
+    h2.docvalues_fields.add("nch")
+    after = sorted(r["doc_id"] for r in h2.match_ids("nch:[150 TO 400]").collect())
+    assert after == [i for i in members if i != victim]
+    # the OR union path drops it too: score-0 disjunct members are live-only
+    or_ids = sorted(r["doc_id"] for r in h2.match_ids("text:table OR nch:[150 TO 400]").collect())
+    assert victim not in or_ids
