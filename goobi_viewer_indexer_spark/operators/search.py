@@ -236,19 +236,37 @@ def _facet_range_over(ids, dims, col: str, start: int, end: int, gap: int,
     return out.orderBy("bucket")
 
 
-def _stats_over(ids, dims, stats_col: str):
-    """Shared stats body (Solr stats.field): one long-typed agg row."""
+def _stats_over(ids, dims, stats_col: str, facet_col: str | None = None):
+    """Shared stats body (Solr stats.field): count / missing / min / max /
+    sum / mean / stddev in one long-typed agg row — or one row per value
+    of ``facet_col`` (Solr ``stats.facet``: the same stats broken down by
+    a facet field; a null facet value keys under ``''``).  ``stddev`` is
+    Solr's sample formula spelled out over exact aggregates —
+    ``sqrt((sumsq - sum*sum/n)/(n-1))`` with the same IEEE operation
+    order as the DuckDB oracle twin, NULL when fewer than two values.
+    One equi-join + one (grouped) agg; the match set never leaves the
+    cluster."""
     c = F.col(stats_col)
-    return (
-        ids.join(dims.select(F.col("doc_id"), c), "doc_id")
-        .agg(
-            F.count("*").alias("n"),
-            F.min(c).cast("long").alias("min"),
-            F.max(c).cast("long").alias("max"),
-            F.sum(c).cast("long").alias("sum"),
-            F.round(F.avg(c), 6).alias("mean"),
-        )
-    )
+    sel = [F.col("doc_id"), c] + ([F.col(facet_col)] if facet_col else [])
+    j = ids.join(dims.select(*sel), "doc_id")
+    nn = F.count(c)  # non-null count (Solr's count; missing = nulls)
+    sm = F.sum(c).cast("double")
+    sq = F.sum(c.cast("double") * c.cast("double"))
+    var = (sq - sm * sm / nn) / (nn - F.lit(1))
+    aggs = [
+        F.count("*").alias("n"),
+        (F.count("*") - nn).cast("long").alias("missing"),
+        F.min(c).cast("long").alias("min"),
+        F.max(c).cast("long").alias("max"),
+        F.sum(c).cast("long").alias("sum"),
+        F.round(F.avg(c), 6).alias("mean"),
+        F.round(F.when(nn > 1, F.sqrt(var)), 6).alias("stddev"),
+    ]
+    if facet_col:
+        return j.groupBy(
+            F.coalesce(F.col(facet_col).cast("string"), F.lit("")).alias("facet")
+        ).agg(*aggs)
+    return j.agg(*aggs)
 
 
 def _parse_sort(sort: str) -> tuple[list[str], list, list[bool]]:
@@ -1596,13 +1614,16 @@ class InvertedIndex:
         dims: DataFrame,
         stats_col: str,
         mode: str = "and",
+        facet_col: str | None = None,
     ) -> DataFrame:
-        """Solr StatsComponent (``stats=true&stats.field=F``): count / min /
-        max / sum / mean of a numeric column over the docs matching the
-        query.  ``dims`` is any (doc_id, …) side table, same contract as
-        :meth:`facet_counts`.  One row out; the match set never leaves the
-        cluster (match scan → equi-join → single agg)."""
-        return _stats_over(self.match_ids(query, mode=mode), dims, stats_col)
+        """Solr StatsComponent (``stats=true&stats.field=F``): count /
+        missing / min / max / sum / mean / stddev of a numeric column over
+        the docs matching the query.  ``facet_col`` = Solr ``stats.facet``
+        — the same stats per value of a facet field (one grouped agg).
+        ``dims`` is any (doc_id, …) side table, same contract as
+        :meth:`facet_counts`; the match set never leaves the cluster
+        (match scan → equi-join → single agg)."""
+        return _stats_over(self.match_ids(query, mode=mode), dims, stats_col, facet_col)
 
     def facet_range(
         self,
@@ -2742,10 +2763,12 @@ class FieldedIndex:
         dims: DataFrame,
         stats_col: str,
         mode: str = "and",
+        facet_col: str | None = None,
     ) -> DataFrame:
-        """Solr stats.field over a FIELDED query — same contract as
+        """Solr stats.field (+ ``stats.facet`` via ``facet_col``) over a
+        FIELDED query — same contract as
         :meth:`InvertedIndex.field_stats`."""
-        return _stats_over(self.match_ids(query, mode=mode), dims, stats_col)
+        return _stats_over(self.match_ids(query, mode=mode), dims, stats_col, facet_col)
 
     def facet_range(
         self,

@@ -598,27 +598,54 @@ def q_expand_matrix(spark, sf_dir):
     ]).orderBy("qtag", F.desc("score"), "doc_id")
 
 
-@register(
-    "q_field_stats",
-    f"""
-SELECT CAST(count(*) AS BIGINT) AS n,
-       min(len({duckdb_tokenize_sql('text')})) AS min,
-       max(len({duckdb_tokenize_sql('text')})) AS max,
-       CAST(sum(len({duckdb_tokenize_sql('text')})) AS BIGINT) AS sum,
-       round(avg(len({duckdb_tokenize_sql('text')})), 6) AS mean
+# Solr StatsComponent aggregate list, spelled identically on both sides:
+# stddev is the sample formula over exact aggregates — sqrt((sumsq -
+# sum*sum/n)/(n-1)) in the SAME IEEE operation order as the Spark body
+# (_stats_over), NULL when fewer than two values
+_FSTATS_AGGS = """
+CAST(count(*) AS BIGINT) AS n,
+CAST(count(*) - count(v) AS BIGINT) AS missing,
+min(v) AS min, max(v) AS max,
+CAST(sum(v) AS BIGINT) AS sum,
+round(avg(v), 6) AS mean,
+round(CASE WHEN count(v) > 1 THEN
+  sqrt((sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))
+        - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(v))
+       / (count(v) - 1)) END, 6) AS stddev
+""".strip()
+
+_FSTATS_MATCH = f"""
+SELECT doc_id, coalesce(lang, '') AS facet, len({duckdb_tokenize_sql('text')}) AS v
 FROM documents
 WHERE list_contains({duckdb_tokenize_sql('text')}, 'table')
   AND list_contains({duckdb_tokenize_sql('text')}, 'join')
-""".strip(),
+""".strip()
+
+@register(
+    "q_field_stats",
+    _tagged_sql(
+        [
+            ("by_lang", f"WITH m AS ({_FSTATS_MATCH})\nSELECT facet, {_FSTATS_AGGS} FROM m GROUP BY facet"),
+            ("global", f"WITH m AS ({_FSTATS_MATCH})\nSELECT '' AS facet, {_FSTATS_AGGS} FROM m"),
+        ],
+        order="qtag ASC, facet ASC",
+    ),
 )
 def q_field_stats(spark, sf_dir):
-    # Solr StatsComponent (stats.field): numeric aggregates over the match
-    # set — here doclen over docs matching table AND join
+    # Solr StatsComponent: stats.field aggregates (count/missing/min/max/
+    # sum/mean/stddev) over the match set — doclen over docs matching
+    # table AND join — plus the stats.facet breakdown by lang (round 5b):
+    # ONE grouped agg, stddev bit-identical to the oracle's spelled-out
+    # sample formula
     idx = _index_for(spark, sf_dir)
     dims = _load(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokenize_expr("text")).alias("doclen")
+        "doc_id", F.size(tokenize_expr("text")).alias("doclen"), "lang"
     )
-    return idx.field_stats(["table", "join"], dims, "doclen", mode="and")
+    g = idx.field_stats(["table", "join"], dims, "doclen", mode="and")
+    return _union_tagged([
+        ("by_lang", idx.field_stats(["table", "join"], dims, "doclen", mode="and", facet_col="lang")),
+        ("global", g.select(F.lit("").alias("facet"), "*")),
+    ]).orderBy("qtag", "facet")
 
 
 # the total-recall scored base both compound sort and function boosts

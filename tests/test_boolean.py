@@ -546,3 +546,69 @@ def test_field_stats_and_multikey_sort(spark, tmp_path):
     assert keys == exp
     # the full match set respects the window too (first key really orders)
     assert [k[0] for k in keys] == sorted(k[0] for k in keys)
+
+
+def test_field_stats_facet_missing_stddev(spark, tmp_path):
+    """stats.facet breakdown + missing/stddev (round 5b): per-facet-value
+    sample stddev against a python twin; null stats values count as
+    missing; a single-value bucket gets stddev NULL; null facet keys ''."""
+    import math
+
+    d = str(tmp_path / "stats_facet_idx")
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_index(docs, d, CFG)
+    engine = InvertedIndex(spark, d)
+    # doclen is NULL for doc_id % 7 == 0, facet NULL for doc_id % 11 == 0
+    dims = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 != 0, F.size(tokenize_expr("text"))).alias("doclen"),
+        F.when(F.col("doc_id") % 11 != 0, F.col("lang")).alias("lang"),
+    )
+    rows = {
+        r["facet"]: r
+        for r in engine.field_stats(["table"], dims, "doclen", mode="and", facet_col="lang").collect()
+    }
+    ids = {r["doc_id"] for r in engine.match_ids(["table"], mode="and").collect()}
+    by_facet: dict[str, list] = {}
+    missing: dict[str, int] = {}
+    for r in dims.collect():
+        if r["doc_id"] not in ids:
+            continue
+        f = r["lang"] if r["lang"] is not None else ""
+        if r["doclen"] is None:
+            missing[f] = missing.get(f, 0) + 1
+            by_facet.setdefault(f, [])
+        else:
+            by_facet.setdefault(f, []).append(r["doclen"])
+    assert set(rows) == set(by_facet)
+    assert "" in rows  # null facet keys under ''
+    for f, vals in by_facet.items():
+        r = rows[f]
+        assert r["n"] == len(vals) + missing.get(f, 0)
+        assert r["missing"] == missing.get(f, 0)
+        if len(vals) > 1:
+            m = sum(vals) / len(vals)
+            sd = math.sqrt(
+                (sum(float(v) * float(v) for v in vals) - float(sum(vals)) * float(sum(vals)) / len(vals))
+                / (len(vals) - 1)
+            )
+            assert abs(r["stddev"] - round(sd, 6)) < 2e-6, (f, r["stddev"], sd)
+            assert r["sum"] == sum(vals) and r["min"] == min(vals) and r["max"] == max(vals)
+        elif len(vals) <= 1:
+            assert r["stddev"] is None or len(vals) == 1 and r["stddev"] is None
+
+
+def test_field_stats_single_value_stddev_null(spark, tmp_path):
+    d = str(tmp_path / "stats_one_idx")
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").limit(60)
+    build_index(docs, d, CFG)
+    engine = InvertedIndex(spark, d)
+    # one doc only carries a value
+    dims = docs.select(
+        "doc_id", F.when(F.col("doc_id") == 1, F.lit(42)).alias("v")
+    )
+    # global stats over a query matching many docs but with exactly one
+    # non-null value: stddev NULL, missing = n - 1
+    r = engine.field_stats(["the"], dims, "v", mode="or").collect()[0]
+    assert r["stddev"] is None
+    assert r["missing"] == r["n"] - (1 if r["sum"] is not None else 0)
