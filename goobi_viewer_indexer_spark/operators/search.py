@@ -779,8 +779,20 @@ class InvertedIndex:
         min_match: int = 1,
         bf: str | None = None,
         boost: str | None = None,
+        fq: str | list | None = None,
     ) -> DataFrame:
-        """``bf``/``boost``: Solr function-query boosts (edismax ``bf`` =
+        """``fq``: Solr filter queries — one boolean-syntax string (the
+        full flat surface: NOT, OR-groups, wildcards, ``[lo TO hi]``
+        ranges) or a list of them (intersected), or a list of plain terms
+        (an AND filter).  Filters MEMBERSHIP, never scores — the viewer
+        passes its drill-downs as fq precisely so ranking ignores them
+        (helper/SolrSearchIndex.java query assembly).  Execution: the
+        query scores total-recall (a filtered collection voids WAND
+        bounds, as in Solr), one semi-join per the combined filter set,
+        ONE TakeOrderedAndProject; composes with every path but phrase
+        mode (use the FieldedIndex for filtered phrases).
+
+        ``bf``/``boost``: Solr function-query boosts (edismax ``bf`` =
         additive, ``boost`` = multiplicative; ``final = (score + bf) ·
         boost``) over stored doc-values columns — e.g.
         ``boost="recip(nch,1,1000,1000)"`` (see :class:`FunctionQuery` for
@@ -821,13 +833,15 @@ class InvertedIndex:
         # call OOMs the JVM before a single row flows (found by the 300k
         # sweep).  min(k, n_live) returns the same rows.
         k = min(k, self.n_live)
+        if fq is not None and mode == "phrase":
+            raise ValueError("fq= with mode='phrase' is not supported on the flat engine — use FieldedIndex")
         if bf is not None or boost is not None:
             if sort is not None or after is not None or offset or mode == "phrase":
                 raise ValueError("bf=/boost= compose with fl only, not sort/after/offset/phrase")
-            return _boosted_plan(
-                self.stored(), self.score_matches(query, mode=mode, min_match=min_match),
-                k, bf, boost, fl,
-            )
+            scored = self.score_matches(query, mode=mode, min_match=min_match)
+            if fq is not None:
+                scored = scored.join(self.fq_ids(fq), "doc_id", "left_semi")
+            return _boosted_plan(self.stored(), scored, k, bf, boost, fl)
         if after is not None and (offset or mode == "phrase"):
             raise ValueError("after= (cursor paging) composes with score or field sort, not offset/phrase")
         if sort is not None and mode == "phrase":
@@ -850,6 +864,8 @@ class InvertedIndex:
                 other = [c for c in scols if c != "score"]
                 cols = fl if fl is not None else other
                 out = self.score_matches(query, mode=mode, min_match=min_match)
+                if fq is not None:
+                    out = out.join(self.fq_ids(fq), "doc_id", "left_semi")
                 need = list(dict.fromkeys(cols + other))
                 if need:
                     out = out.join(st.select("doc_id", *need), "doc_id")
@@ -862,6 +878,8 @@ class InvertedIndex:
                 return out.select("doc_id", "score", *cols)
             cols = fl if fl is not None else scols
             ids = self.match_ids(query, mode=mode)
+            if fq is not None:
+                ids = ids.join(self.fq_ids(fq), "doc_id", "left_semi")
             out = ids.join(st.select("doc_id", *dict.fromkeys(cols + scols)), "doc_id")
             if after is not None:
                 # keyset paging (cursorMark for field sorts): filter pushes
@@ -876,7 +894,8 @@ class InvertedIndex:
             st = self.stored()
             if st is None:
                 raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
-            topk = self.search(query, k=k, mode=mode, offset=offset, after=after, min_match=min_match)
+            topk = self.search(query, k=k, mode=mode, offset=offset, after=after,
+                               min_match=min_match, fq=fq)
             return (
                 topk.join(st.select("doc_id", *fl), "doc_id", "left")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -890,7 +909,7 @@ class InvertedIndex:
             full = (
                 self.search_phrase(query, k=offset + k)
                 if mode == "phrase"
-                else self.search(query, k=offset + k, mode=mode, min_match=min_match)
+                else self.search(query, k=offset + k, mode=mode, min_match=min_match, fq=fq)
             )
             w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
             return (
@@ -900,6 +919,20 @@ class InvertedIndex:
             )
         if mode == "phrase":
             return self.search_phrase(query, k=k)
+        if fq is not None:
+            # filtered top-k: total-recall scoring (a membership filter
+            # voids WAND upper bounds — Solr collects through a filtered
+            # docset too), ONE semi-join, ONE TakeOrderedAndProject
+            out = self.score_matches(query, mode=mode, min_match=min_match).join(
+                self.fq_ids(fq), "doc_id", "left_semi"
+            )
+            if after is not None:
+                out = out.filter(_keyset_after(["score"], [False], after))
+            return (
+                out.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .select("doc_id", F.round("score", 6).alias("score"))
+            )
         terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
         meta = self.meta
         n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
@@ -962,6 +995,32 @@ class InvertedIndex:
             .limit(k)
             .select("doc_id", F.round("score", 6).alias("score"))
         )
+
+    def _mids_fq(self, query, mode, fq) -> DataFrame:
+        """match set of ``query`` intersected with the ``fq`` filter set
+        (Solr component semantics: facets/stats apply to q ∧ fq)."""
+        ids = self.match_ids(query, mode=mode)
+        return ids if fq is None else ids.join(self.fq_ids(fq), "doc_id", "left_semi")
+
+    def fq_ids(self, fq: str | list) -> DataFrame:
+        """The combined match set of Solr filter queries (``fq``):
+        a boolean-syntax string or a list of them (each filter's ids
+        intersect — Solr ANDs its fq params), or a list of plain terms
+        (one AND filter).  Membership only — never scored."""
+        if isinstance(fq, str):
+            filters: list = [fq]
+        elif isinstance(fq, list) and fq and all(isinstance(f, str) for f in fq) \
+                and not any(any(ch in f for ch in ' -*:["(') for f in fq):
+            filters = [fq]  # plain term list = one AND filter
+        else:
+            filters = list(fq)
+        out = None
+        for f in filters:
+            ids = self.match_ids_boolean(f) if isinstance(f, str) else self.match_ids(f, mode="and")
+            out = ids if out is None else out.join(ids, "doc_id", "left_semi")
+        if out is None:
+            raise ValueError("empty fq")
+        return out.select("doc_id")
 
     def match_ids(self, query: str | list[str], mode: str = "and") -> DataFrame:
         """ALL doc_ids matching the boolean term query (no scoring, no k) —
@@ -1596,6 +1655,7 @@ class InvertedIndex:
         min_count: int = 1,
         limit: int | None = None,
         prefix: str | None = None,
+        fq: str | list | None = None,
     ) -> DataFrame:
         """Solr ``facet.field`` analog (the viewer's collection/drill-down
         sidebar queries): value counts of ``facet_col`` over the docs
@@ -1605,8 +1665,10 @@ class InvertedIndex:
         groupBy count (map-side partial agg).  ``limit``/``prefix`` are
         Solr's facet.limit / facet.prefix: prefix filters BEFORE the join
         (fewer rows shuffled), limit truncates the count-ordered result
-        (count desc, value asc — Solr's default ordering)."""
-        return _facet_over(self.match_ids(query, mode=mode), dims, facet_col, min_count, limit, prefix)
+        (count desc, value asc — Solr's default ordering).  ``fq``:
+        filter queries intersected into the match set (Solr facets apply
+        to q ∧ fq)."""
+        return _facet_over(self._mids_fq(query, mode, fq), dims, facet_col, min_count, limit, prefix)
 
     def field_stats(
         self,
@@ -1615,6 +1677,7 @@ class InvertedIndex:
         stats_col: str,
         mode: str = "and",
         facet_col: str | None = None,
+        fq: str | list | None = None,
     ) -> DataFrame:
         """Solr StatsComponent (``stats=true&stats.field=F``): count /
         missing / min / max / sum / mean / stddev of a numeric column over
@@ -1622,8 +1685,9 @@ class InvertedIndex:
         — the same stats per value of a facet field (one grouped agg).
         ``dims`` is any (doc_id, …) side table, same contract as
         :meth:`facet_counts`; the match set never leaves the cluster
-        (match scan → equi-join → single agg)."""
-        return _stats_over(self.match_ids(query, mode=mode), dims, stats_col, facet_col)
+        (match scan → equi-join → single agg); ``fq`` composes like
+        :meth:`facet_counts`."""
+        return _stats_over(self._mids_fq(query, mode, fq), dims, stats_col, facet_col)
 
     def facet_range(
         self,
@@ -1636,12 +1700,14 @@ class InvertedIndex:
         mode: str = "and",
         other: str = "none",
         hardend: bool = True,
+        fq: str | list | None = None,
     ) -> DataFrame:
         """Solr ``facet.range`` over the match set (the viewer's YEAR
         timeline): gap-bucketed counts of numeric ``col``, empty buckets
         included; ``other``/``hardend`` model Solr's before/after/between
-        buckets and last-bucket clipping — see :func:`_facet_range_over`."""
-        return _facet_range_over(self.match_ids(query, mode=mode), dims, col, start, end, gap,
+        buckets and last-bucket clipping — see :func:`_facet_range_over`;
+        ``fq`` composes like :meth:`facet_counts`."""
+        return _facet_range_over(self._mids_fq(query, mode, fq), dims, col, start, end, gap,
                                  other=other, hardend=hardend)
 
     def facet_pivot(
@@ -1653,16 +1719,19 @@ class InvertedIndex:
         mode: str = "and",
         min_count: int = 1,
         limit: int | None = None,
+        fq: str | list | None = None,
     ) -> DataFrame:
         """Solr ``facet.pivot=A,B`` over the match set — see
-        :func:`_facet_pivot_over`."""
-        return _facet_pivot_over(self.match_ids(query, mode=mode), dims, col_a, col_b, min_count, limit)
+        :func:`_facet_pivot_over`; ``fq`` composes like
+        :meth:`facet_counts`."""
+        return _facet_pivot_over(self._mids_fq(query, mode, fq), dims, col_a, col_b, min_count, limit)
 
     def facet_query(
         self,
         base: str | list[str],
         named: dict[str, tuple[str | list[str], str]],
         mode: str = "and",
+        fq: str | list | None = None,
     ) -> DataFrame:
         """Solr ``facet.query``: for each named sub-query, the count of
         base-result docs that ALSO match it (the viewer's fixed drill-down
@@ -1676,7 +1745,7 @@ class InvertedIndex:
             q, qmode = named[name]
             s = self.match_ids(q, mode=qmode).select(F.lit(name).alias("facet_query"), "doc_id")
             subs = s if subs is None else subs.unionByName(s)
-        return _facet_query_assemble(self.spark, subs, self.match_ids(base, mode=mode), sorted(named))
+        return _facet_query_assemble(self.spark, subs, self._mids_fq(base, mode, fq), sorted(named))
 
     def search_phrase(self, query: str | list[str], k: int = 10) -> DataFrame:
         """Exact-phrase top-k: the query tokens must occur CONSECUTIVELY in
@@ -2625,6 +2694,26 @@ class FieldedIndex:
         _txn.recover_dir(p)
         return self.spark.read.parquet(p) if os.path.exists(p) else None
 
+    def _mids_fq(self, query, mode, fq) -> DataFrame:
+        """match set of ``query`` intersected with the ``fq`` filter set
+        (Solr component semantics: facets/stats apply to q ∧ fq)."""
+        ids = self.match_ids(query, mode=mode)
+        return ids if fq is None else ids.join(self.fq_ids(fq), "doc_id", "left_semi")
+
+    def fq_ids(self, fq: str | list[str]) -> DataFrame:
+        """The combined match set of Solr filter queries (``fq``): fielded
+        query strings — every :meth:`match_ids` shape, doc-values-routed
+        ranges included — intersected when a list (Solr ANDs its fq
+        params).  Membership only — never scored."""
+        filters = [fq] if isinstance(fq, str) else list(fq)
+        if not filters:
+            raise ValueError("empty fq")
+        out = None
+        for f in filters:
+            ids = self.match_ids(f)
+            out = ids if out is None else out.join(ids, "doc_id", "left_semi")
+        return out.select("doc_id")
+
     def match_ids(self, query: str | list[tuple[str, str]], mode: str = "and") -> DataFrame:
         """ALL doc_ids matching a fielded query (no scoring, no k) — the
         fielded field-sort / delete-by-query scan.  Accepts every
@@ -2750,12 +2839,13 @@ class FieldedIndex:
         min_count: int = 1,
         limit: int | None = None,
         prefix: str | None = None,
+        fq: str | list[str] | None = None,
     ) -> DataFrame:
         """Solr facet.field over a FIELDED query — same contract as
-        :meth:`InvertedIndex.facet_counts`, driven by the fielded
-        :meth:`match_ids` (every query shape: phrase/group/NOT/wildcard/
-        fuzzy)."""
-        return _facet_over(self.match_ids(query, mode=mode), dims, facet_col, min_count, limit, prefix)
+        :meth:`InvertedIndex.facet_counts` (``fq`` included), driven by
+        the fielded :meth:`match_ids` (every query shape:
+        phrase/group/NOT/wildcard/fuzzy/ranges)."""
+        return _facet_over(self._mids_fq(query, mode, fq), dims, facet_col, min_count, limit, prefix)
 
     def field_stats(
         self,
@@ -2764,11 +2854,12 @@ class FieldedIndex:
         stats_col: str,
         mode: str = "and",
         facet_col: str | None = None,
+        fq: str | list[str] | None = None,
     ) -> DataFrame:
         """Solr stats.field (+ ``stats.facet`` via ``facet_col``) over a
         FIELDED query — same contract as
-        :meth:`InvertedIndex.field_stats`."""
-        return _stats_over(self.match_ids(query, mode=mode), dims, stats_col, facet_col)
+        :meth:`InvertedIndex.field_stats` (``fq`` included)."""
+        return _stats_over(self._mids_fq(query, mode, fq), dims, stats_col, facet_col)
 
     def facet_range(
         self,
@@ -2781,11 +2872,13 @@ class FieldedIndex:
         mode: str = "and",
         other: str = "none",
         hardend: bool = True,
+        fq: str | list[str] | None = None,
     ) -> DataFrame:
         """Solr ``facet.range`` over a FIELDED query (every query shape the
         fielded :meth:`match_ids` takes, ranges included); ``other``/
-        ``hardend`` per Solr — see :func:`_facet_range_over`."""
-        return _facet_range_over(self.match_ids(query, mode=mode), dims, col, start, end, gap,
+        ``hardend`` per Solr — see :func:`_facet_range_over`; ``fq``
+        composes like :meth:`facet_counts`."""
+        return _facet_range_over(self._mids_fq(query, mode, fq), dims, col, start, end, gap,
                                  other=other, hardend=hardend)
 
     def facet_pivot(
@@ -2797,16 +2890,19 @@ class FieldedIndex:
         mode: str = "and",
         min_count: int = 1,
         limit: int | None = None,
+        fq: str | list[str] | None = None,
     ) -> DataFrame:
         """Solr ``facet.pivot=A,B`` over a FIELDED query — see
-        :func:`_facet_pivot_over`."""
-        return _facet_pivot_over(self.match_ids(query, mode=mode), dims, col_a, col_b, min_count, limit)
+        :func:`_facet_pivot_over`; ``fq`` composes like
+        :meth:`facet_counts`."""
+        return _facet_pivot_over(self._mids_fq(query, mode, fq), dims, col_a, col_b, min_count, limit)
 
     def facet_query(
         self,
         base: str | list[tuple[str, str]],
         named: dict[str, str | list[tuple[str, str]]],
         mode: str = "and",
+        fq: str | list[str] | None = None,
     ) -> DataFrame:
         """Solr ``facet.query`` over FIELDED queries (named sub-queries in
         the same string syntax, ranges/NOT/wildcards included) — the flat
@@ -2815,7 +2911,7 @@ class FieldedIndex:
         for name in sorted(named):
             s = self.match_ids(named[name]).select(F.lit(name).alias("facet_query"), "doc_id")
             subs = s if subs is None else subs.unionByName(s)
-        return _facet_query_assemble(self.spark, subs, self.match_ids(base, mode=mode), sorted(named))
+        return _facet_query_assemble(self.spark, subs, self._mids_fq(base, mode, fq), sorted(named))
 
     def expand_fuzzy(self, field: str, term: str, max_edits: int = 1,
                      max_expansions: int = 64) -> list[str]:
@@ -3271,8 +3367,16 @@ class FieldedIndex:
         after: tuple | None = None,
         bf: str | None = None,
         boost: str | None = None,
+        fq: str | list[str] | None = None,
     ) -> DataFrame:
-        """``query``: a Solr-style string — ``source:src42 AND text:spark``,
+        """``fq``: Solr filter queries — fielded query strings (every
+        :meth:`match_ids` shape: phrases, NOT, OR-groups, wildcards,
+        ranges incl. doc-values routing), intersected when a list.
+        Filters MEMBERSHIP, never scores (the viewer's drill-downs ride
+        fq so ranking ignores them); execution is total-recall scoring +
+        one semi-join + ONE TakeOrderedAndProject.
+
+        ``query``: a Solr-style string — ``source:src42 AND text:spark``,
         quoted phrases (``pi:x AND text:"a b"``, the reference's
         bread-and-butter shape), OR-groups (``text:(a b c)``) and
         prohibited clauses (``-lang:de``, ``-text:"a b"``) and wildcard
@@ -3298,10 +3402,10 @@ class FieldedIndex:
             # fielded query surface incl. doc-values-routed ranges
             if sort is not None or after is not None or offset:
                 raise ValueError("bf=/boost= compose with fl only, not sort/after/offset")
-            return _boosted_plan(
-                self.stored(), self.score_matches(query, mode=mode, boosts=boosts),
-                k, bf, boost, fl,
-            )
+            scored = self.score_matches(query, mode=mode, boosts=boosts)
+            if fq is not None:
+                scored = scored.join(self.fq_ids(fq), "doc_id", "left_semi")
+            return _boosted_plan(self.stored(), scored, k, bf, boost, fl)
         if after is not None and (sort is None or offset):
             raise ValueError("fielded after= is keyset paging: requires sort=, excludes offset")
         if sort is not None:
@@ -3313,6 +3417,8 @@ class FieldedIndex:
                 other = [c for c in scols if c != "score"]
                 cols = fl if fl is not None else other
                 out = self.score_matches(query, mode=mode, boosts=boosts)
+                if fq is not None:
+                    out = out.join(self.fq_ids(fq), "doc_id", "left_semi")
                 need = list(dict.fromkeys(cols + other))
                 if need:
                     out = out.join(st.select("doc_id", *need), "doc_id")
@@ -3325,6 +3431,8 @@ class FieldedIndex:
                 return out.select("doc_id", "score", *cols)
             cols = fl if fl is not None else scols
             ids = self.match_ids(query, mode=mode)
+            if fq is not None:
+                ids = ids.join(self.fq_ids(fq), "doc_id", "left_semi")
             out = ids.join(st.select("doc_id", *dict.fromkeys(cols + scols)), "doc_id")
             if after is not None:
                 out = out.filter(_keyset_after(scols, ascs, after))
@@ -3337,7 +3445,7 @@ class FieldedIndex:
             st = self.stored()
             if st is None:
                 raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
-            topk = self.search(query, k=k, mode=mode, boosts=boosts, offset=offset)
+            topk = self.search(query, k=k, mode=mode, boosts=boosts, offset=offset, fq=fq)
             return (
                 topk.join(st.select("doc_id", *fl), "doc_id", "left")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -3346,12 +3454,25 @@ class FieldedIndex:
         if offset:
             from pyspark.sql.window import Window
 
-            full = self.search(query, k=offset + k, mode=mode, boosts=boosts)
+            full = self.search(query, k=offset + k, mode=mode, boosts=boosts, fq=fq)
             w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
             return (
                 full.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") > offset)
                 .drop("_rk")
+            )
+        if fq is not None:
+            # filtered top-k (Solr fq): total-recall scoring (score_matches
+            # carries the full surface incl. dv-routed ranges), ONE
+            # semi-join with the combined filter set, ONE
+            # TakeOrderedAndProject
+            out = self.score_matches(query, mode=mode, boosts=boosts).join(
+                self.fq_ids(fq), "doc_id", "left_semi"
+            )
+            return (
+                out.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .select("doc_id", F.round("score", 6).alias("score"))
             )
         query, mode, dv_pos, dv_neg = self._split_dv(query, mode)
         if dv_pos or dv_neg:

@@ -429,6 +429,17 @@ def q_paging_matrix(spark, sf_dir):
 # (helper/SolrSearchIndex.java:918-921)
 # --------------------------------------------------------------------------
 _BOOL_MATRIX_SQL = _tagged_sql([
+    # fq (round 5b): OR query over Q_MIXED3 FILTERED by a boolean fq —
+    # membership shrinks, surviving docs keep their unfiltered OR scores
+    ("fq", f"""
+WITH scored AS ({naive_bm25.bm25_topk_sql(Q_MIXED3, k=1000000, mode="or")})
+SELECT doc_id, score FROM scored
+WHERE doc_id IN (
+  SELECT doc_id FROM documents
+  WHERE list_contains({duckdb_tokenize_sql('text')}, 'table')
+    AND NOT list_contains({duckdb_tokenize_sql('text')}, 'join'))
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""".strip()),
     ("groups", naive_bm25.bm25_boolean_topk_sql([["spark", "window"], ["value"]], [["join"]], k=10)),
     ("not", naive_bm25.bm25_boolean_topk_sql([["table"], ["join"]], [["spark"]], k=10)),
     ("range", naive_bm25.bm25_boolean_range_sql("table", "sa", "sz", k=10)),
@@ -447,6 +458,7 @@ def q_bool_matrix(spark, sf_dir):
     # scores — surviving docs keep their plain 'table' BM25 scores)
     idx = _index_for(spark, sf_dir)
     return _union_tagged([
+        ("fq", idx.search(Q_MIXED3, k=10, mode="or", fq="table -join")),
         ("groups", idx.search_boolean("(spark window) value -join", k=10)),
         ("not", idx.search_boolean("table join -spark", k=10)),
         ("range", idx.search_boolean("table [sa TO sz]", k=10)),
@@ -836,6 +848,12 @@ F_OR_BOOSTS = {"lang": 0.25}
 
 _BM25F_MATRIX_SQL = _tagged_sql([
     ("and", naive_bm25.bm25f_topk_sql(F_AND_PAIRS, k=10, mode="and")),
+    # fq (round 5b): fielded filter queries (lang term + dictionary-routed
+    # nch range) — membership only, score stays text:spark's BM25F
+    ("fq", naive_bm25.bm25f_topk_sql(
+        [("text", "spark")], k=10,
+        where_docs=f"list_contains({duckdb_tokenize_sql('lang')}, 'en') AND n_chars BETWEEN 120 AND 400",
+    )),
     ("or_boosted", naive_bm25.bm25f_topk_sql(F_OR_PAIRS, k=10, mode="or", boosts=F_OR_BOOSTS)),
     ("point", naive_bm25.bm25f_topk_sql([("source", "src42")], k=5)),
 ])
@@ -848,6 +866,7 @@ def q_bm25f_matrix(spark, sf_dir):
     fidx = _fielded_index_for(spark, sf_dir)
     return _union_tagged([
         ("and", fidx.search(F_AND_PAIRS, k=10, mode="and")),
+        ("fq", fidx.search("text:spark", k=10, fq=["lang:en", "nch:[120 TO 400]"])),
         ("or_boosted", fidx.search(F_OR_PAIRS, k=10, mode="or", boosts=F_OR_BOOSTS)),
         ("point", fidx.search([("source", "src42")], k=5)),
     ]).orderBy("qtag", F.desc("score"), "doc_id")
