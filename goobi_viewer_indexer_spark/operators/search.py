@@ -1440,6 +1440,7 @@ class InvertedIndex:
         group_sort: str | None = None,
         group_offset: int = 0,
         include_ngroups: bool = False,
+        fq: str | list | None = None,
     ) -> DataFrame:
         """Solr result grouping (``group=true&group.field=F``): groups
         ``[group_offset, group_offset+k_groups)`` ranked by their best BM25
@@ -1471,6 +1472,10 @@ class InvertedIndex:
         if st is None:
             raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
         scored = self.score_matches(query, mode=mode)
+        if fq is not None:
+            # Solr fq composes with grouping too: one semi-join upstream of
+            # everything (doc ranks, group selection, ngroups)
+            scored = scored.join(self.fq_ids(fq), "doc_id", "left_semi")
         gcols = [group_field]
         if group_sort is not None:
             scols, gkeys, _ascs = _parse_sort(group_sort)
@@ -1833,7 +1838,21 @@ class InvertedIndex:
         # qid → (distinct ordered terms, per-term offsets, k)
         parsed_phrase: dict[str, tuple[list[str], dict[str, list[int]], int]] = {}
         results: dict[str, list] = {}
-        for qid, (q, mode, k) in queries.items():
+        for qid, spec in queries.items():
+            if len(spec) == 4:
+                # (q, mode, k, fq): the filter semi-join composes BEFORE
+                # the top-k reduce, so fq entries fall back to per-query
+                # search() (same pattern as the fielded dv fallback); the
+                # rest of the batch still amortizes in one job
+                q, mode, k, qfq = spec
+                if mode not in ("or", "and"):
+                    raise ValueError("search_many fq entries support or/and modes only")
+                results[qid] = [
+                    (r["doc_id"], r["score"])
+                    for r in self.search(q, k=k, mode=mode, fq=qfq).collect()
+                ]
+                continue
+            q, mode, k = spec
             if mode == "boolean":
                 parts = self._boolean_parts(q)
                 if parts is None:
@@ -3567,7 +3586,17 @@ class FieldedIndex:
         # reduce) — they fall back to per-query search(); the rest of the
         # batch still amortizes in one job
         dv_results: dict[str, list] = {}
-        for qid, (q, mode, k) in queries.items():
+        for qid, spec in queries.items():
+            if len(spec) == 4:
+                # (q, mode, k, fq): filtered entries fall back per-query —
+                # the fq semi-join composes before the top-k reduce
+                q, mode, k, qfq = spec
+                dv_results[qid] = [
+                    (r["doc_id"], r["score"])
+                    for r in self.search(q, k=k, mode=mode, fq=qfq).collect()
+                ]
+                continue
+            q, mode, k = spec
             if isinstance(q, str):
                 residual, pmode, dv_pos, dv_neg = self._split_dv(q, mode)
                 if dv_pos or dv_neg:

