@@ -780,8 +780,16 @@ class InvertedIndex:
         bf: str | None = None,
         boost: str | None = None,
         fq: str | list | None = None,
+        bq: str | list[str] | None = None,
     ) -> DataFrame:
-        """``fq``: Solr filter queries — one boolean-syntax string (the
+        """``bq``: Solr edismax boost query — an additive scoring clause:
+        docs matching it gain its BM25 score ON TOP of the main query's
+        (``final = q + bq``, then ``(q+bq+bf)·boost`` when function
+        boosts compose — Solr's edismax order).  bq never adds docs.
+        Terms list or boolean-free flat string, scored OR-mode
+        total-recall and left-joined onto the match scores.
+
+        ``fq``: Solr filter queries — one boolean-syntax string (the
         full flat surface: NOT, OR-groups, wildcards, ``[lo TO hi]``
         ranges) or a list of them (intersected), or a list of plain terms
         (an AND filter).  Filters MEMBERSHIP, never scores — the viewer
@@ -835,12 +843,16 @@ class InvertedIndex:
         k = min(k, self.n_live)
         if fq is not None and mode == "phrase":
             raise ValueError("fq= with mode='phrase' is not supported on the flat engine — use FieldedIndex")
+        if bq is not None and (sort is not None or after is not None or mode == "phrase"):
+            raise ValueError("bq= composes with fl/fq/offset/bf/boost, not sort/after/phrase")
         if bf is not None or boost is not None:
             if sort is not None or after is not None or offset or mode == "phrase":
                 raise ValueError("bf=/boost= compose with fl only, not sort/after/offset/phrase")
             scored = self.score_matches(query, mode=mode, min_match=min_match)
             if fq is not None:
                 scored = scored.join(self.fq_ids(fq), "doc_id", "left_semi")
+            if bq is not None:
+                scored = self._apply_bq(scored, bq)
             return _boosted_plan(self.stored(), scored, k, bf, boost, fl)
         if after is not None and (offset or mode == "phrase"):
             raise ValueError("after= (cursor paging) composes with score or field sort, not offset/phrase")
@@ -895,7 +907,7 @@ class InvertedIndex:
             if st is None:
                 raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
             topk = self.search(query, k=k, mode=mode, offset=offset, after=after,
-                               min_match=min_match, fq=fq)
+                               min_match=min_match, fq=fq, bq=bq)
             return (
                 topk.join(st.select("doc_id", *fl), "doc_id", "left")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -909,7 +921,7 @@ class InvertedIndex:
             full = (
                 self.search_phrase(query, k=offset + k)
                 if mode == "phrase"
-                else self.search(query, k=offset + k, mode=mode, min_match=min_match, fq=fq)
+                else self.search(query, k=offset + k, mode=mode, min_match=min_match, fq=fq, bq=bq)
             )
             w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
             return (
@@ -919,13 +931,16 @@ class InvertedIndex:
             )
         if mode == "phrase":
             return self.search_phrase(query, k=k)
-        if fq is not None:
-            # filtered top-k: total-recall scoring (a membership filter
-            # voids WAND upper bounds — Solr collects through a filtered
-            # docset too), ONE semi-join, ONE TakeOrderedAndProject
-            out = self.score_matches(query, mode=mode, min_match=min_match).join(
-                self.fq_ids(fq), "doc_id", "left_semi"
-            )
+        if fq is not None or bq is not None:
+            # filtered / boost-query top-k: total-recall scoring (a
+            # membership filter or per-doc additive boost voids WAND upper
+            # bounds — Solr collects through a filtered docset too), ONE
+            # semi-join / left-join, ONE TakeOrderedAndProject
+            out = self.score_matches(query, mode=mode, min_match=min_match)
+            if fq is not None:
+                out = out.join(self.fq_ids(fq), "doc_id", "left_semi")
+            if bq is not None:
+                out = self._apply_bq(out, bq)
             if after is not None:
                 out = out.filter(_keyset_after(["score"], [False], after))
             return (
@@ -994,6 +1009,18 @@ class InvertedIndex:
             local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .select("doc_id", F.round("score", 6).alias("score"))
+        )
+
+    def _apply_bq(self, scored, bq) -> DataFrame:
+        """Add the boost query's OR-mode BM25 score onto matching docs
+        (Solr edismax ``bq``; non-matching docs gain 0, no doc is added).
+        One left join; scores return on the round6 grid."""
+        bqs = self.score_matches(bq, mode="or").select(
+            "doc_id", F.col("score").alias("_bq")
+        )
+        return scored.join(bqs, "doc_id", "left").select(
+            "doc_id",
+            F.round(F.col("score") + F.coalesce(F.col("_bq"), F.lit(0.0)), 6).alias("score"),
         )
 
     def _mids_fq(self, query, mode, fq) -> DataFrame:
@@ -2713,6 +2740,16 @@ class FieldedIndex:
         _txn.recover_dir(p)
         return self.spark.read.parquet(p) if os.path.exists(p) else None
 
+    def _apply_bq(self, scored, bq) -> DataFrame:
+        """Add the boost query's BM25F score onto matching docs (Solr
+        edismax ``bq``; no doc is added).  One left join; scores return
+        on the round6 grid."""
+        bqs = self.score_matches(bq).select("doc_id", F.col("score").alias("_bq"))
+        return scored.join(bqs, "doc_id", "left").select(
+            "doc_id",
+            F.round(F.col("score") + F.coalesce(F.col("_bq"), F.lit(0.0)), 6).alias("score"),
+        )
+
     def _mids_fq(self, query, mode, fq) -> DataFrame:
         """match set of ``query`` intersected with the ``fq`` filter set
         (Solr component semantics: facets/stats apply to q ∧ fq)."""
@@ -3387,8 +3424,15 @@ class FieldedIndex:
         bf: str | None = None,
         boost: str | None = None,
         fq: str | list[str] | None = None,
+        bq: str | None = None,
     ) -> DataFrame:
-        """``fq``: Solr filter queries — fielded query strings (every
+        """``bq``: Solr edismax boost query — an additive fielded scoring
+        clause (``lang:en^2.0`` shapes): docs matching it gain its BM25F
+        score on top of the main query's (``final = q + bq``, then
+        ``(q+bq+bf)·boost`` under function boosts — Solr's edismax
+        order); never adds docs.  Scored total-recall and left-joined.
+
+        ``fq``: Solr filter queries — fielded query strings (every
         :meth:`match_ids` shape: phrases, NOT, OR-groups, wildcards,
         ranges incl. doc-values routing), intersected when a list.
         Filters MEMBERSHIP, never scores (the viewer's drill-downs ride
@@ -3415,6 +3459,8 @@ class FieldedIndex:
         keyset paging for sorted results — the last row's (sort values…,
         doc_id); deep pages cost the same as page 1."""
         k = min(k, self.n_docs)  # see InvertedIndex.search: unclamped limit(k) OOMs
+        if bq is not None and (sort is not None or after is not None):
+            raise ValueError("bq= composes with fl/fq/offset/bf/boost, not sort/after")
         if bf is not None or boost is not None:
             # Solr function-query boosts (edismax bf/boost) — same shared
             # plan as the flat engine; score_matches handles the full
@@ -3424,6 +3470,8 @@ class FieldedIndex:
             scored = self.score_matches(query, mode=mode, boosts=boosts)
             if fq is not None:
                 scored = scored.join(self.fq_ids(fq), "doc_id", "left_semi")
+            if bq is not None:
+                scored = self._apply_bq(scored, bq)
             return _boosted_plan(self.stored(), scored, k, bf, boost, fl)
         if after is not None and (sort is None or offset):
             raise ValueError("fielded after= is keyset paging: requires sort=, excludes offset")
@@ -3464,7 +3512,7 @@ class FieldedIndex:
             st = self.stored()
             if st is None:
                 raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
-            topk = self.search(query, k=k, mode=mode, boosts=boosts, offset=offset, fq=fq)
+            topk = self.search(query, k=k, mode=mode, boosts=boosts, offset=offset, fq=fq, bq=bq)
             return (
                 topk.join(st.select("doc_id", *fl), "doc_id", "left")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -3473,21 +3521,23 @@ class FieldedIndex:
         if offset:
             from pyspark.sql.window import Window
 
-            full = self.search(query, k=offset + k, mode=mode, boosts=boosts, fq=fq)
+            full = self.search(query, k=offset + k, mode=mode, boosts=boosts, fq=fq, bq=bq)
             w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
             return (
                 full.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") > offset)
                 .drop("_rk")
             )
-        if fq is not None:
-            # filtered top-k (Solr fq): total-recall scoring (score_matches
-            # carries the full surface incl. dv-routed ranges), ONE
-            # semi-join with the combined filter set, ONE
+        if fq is not None or bq is not None:
+            # filtered / boost-query top-k (Solr fq/bq): total-recall
+            # scoring (score_matches carries the full surface incl.
+            # dv-routed ranges), ONE semi-join / left-join, ONE
             # TakeOrderedAndProject
-            out = self.score_matches(query, mode=mode, boosts=boosts).join(
-                self.fq_ids(fq), "doc_id", "left_semi"
-            )
+            out = self.score_matches(query, mode=mode, boosts=boosts)
+            if fq is not None:
+                out = out.join(self.fq_ids(fq), "doc_id", "left_semi")
+            if bq is not None:
+                out = self._apply_bq(out, bq)
             return (
                 out.orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)

@@ -440,6 +440,15 @@ WHERE doc_id IN (
     AND NOT list_contains({duckdb_tokenize_sql('text')}, 'join'))
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """.strip()),
+    # bq (round 5b): edismax additive boost query — matching docs gain the
+    # bq clause's OR score on top of the main OR score; no doc added
+    ("bq", f"""
+WITH qsc AS ({naive_bm25.bm25_topk_sql(Q_MIXED3, k=1000000, mode="or")}),
+bsc AS ({naive_bm25.bm25_topk_sql(["table", "join"], k=1000000, mode="or")})
+SELECT q.doc_id, round(q.score + coalesce(b.score, 0.0), 6) AS score
+FROM qsc q LEFT JOIN bsc b USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""".strip()),
     ("groups", naive_bm25.bm25_boolean_topk_sql([["spark", "window"], ["value"]], [["join"]], k=10)),
     ("not", naive_bm25.bm25_boolean_topk_sql([["table"], ["join"]], [["spark"]], k=10)),
     ("range", naive_bm25.bm25_boolean_range_sql("table", "sa", "sz", k=10)),
@@ -458,6 +467,7 @@ def q_bool_matrix(spark, sf_dir):
     # scores — surviving docs keep their plain 'table' BM25 scores)
     idx = _index_for(spark, sf_dir)
     return _union_tagged([
+        ("bq", idx.search(Q_MIXED3, k=10, mode="or", bq=["table", "join"])),
         ("fq", idx.search(Q_MIXED3, k=10, mode="or", fq="table -join")),
         ("groups", idx.search_boolean("(spark window) value -join", k=10)),
         ("not", idx.search_boolean("table join -spark", k=10)),
@@ -848,6 +858,15 @@ F_OR_BOOSTS = {"lang": 0.25}
 
 _BM25F_MATRIX_SQL = _tagged_sql([
     ("and", naive_bm25.bm25f_topk_sql(F_AND_PAIRS, k=10, mode="and")),
+    # bq (round 5b): edismax additive boost query — lang:en^2.0 BM25F
+    # score added onto text:spark matches, no doc added
+    ("bq", f"""
+WITH qsc AS ({naive_bm25.bm25f_topk_sql([("text", "spark")], k=1000000)}),
+bsc AS ({naive_bm25.bm25f_topk_sql([("lang", "en")], k=1000000, boosts=dict(lang=2.0))})
+SELECT q.doc_id, round(q.score + coalesce(b.score, 0.0), 6) AS score
+FROM qsc q LEFT JOIN bsc b USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""".strip()),
     # fq (round 5b): fielded filter queries (lang term + dictionary-routed
     # nch range) — membership only, score stays text:spark's BM25F
     ("fq", naive_bm25.bm25f_topk_sql(
@@ -866,6 +885,7 @@ def q_bm25f_matrix(spark, sf_dir):
     fidx = _fielded_index_for(spark, sf_dir)
     return _union_tagged([
         ("and", fidx.search(F_AND_PAIRS, k=10, mode="and")),
+        ("bq", fidx.search("text:spark", k=10, bq="lang:en^2.0")),
         ("fq", fidx.search("text:spark", k=10, fq=["lang:en", "nch:[120 TO 400]"])),
         ("or_boosted", fidx.search(F_OR_PAIRS, k=10, mode="or", boosts=F_OR_BOOSTS)),
         ("point", fidx.search([("source", "src42")], k=5)),

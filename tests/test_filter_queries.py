@@ -236,3 +236,60 @@ def test_search_grouped_fq(docs, idx):
                                       mode="or", fq="table").collect()
     ]
     assert all(r["doc_id"] in fq_ids for r in filtered_rows)
+
+
+# ---- bq (Solr edismax additive boost query, round 5b) --------------------
+
+
+def test_flat_bq_adds_scores_without_adding_docs(idx):
+    qs = {r["doc_id"]: r["score"] for r in idx.score_matches(Q, mode="or").collect()}
+    bs = {r["doc_id"]: r["score"] for r in idx.score_matches(["table"], mode="or").collect()}
+    want = sorted(
+        ((d, round(s + bs.get(d, 0.0), 6)) for d, s in qs.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = [tuple(r) for r in idx.search(Q, k=10, mode="or", bq="table").collect()]
+    assert got == want and len(got) > 0
+    assert {d for d, _ in got} <= set(qs)
+
+
+def test_bq_composes_with_fq_and_fl(idx):
+    got = idx.search(Q, k=5, mode="or", bq="table", fq="scan", fl=["source"]).collect()
+    qs = {r["doc_id"]: r["score"] for r in idx.score_matches(Q, mode="or").collect()}
+    bs = {r["doc_id"]: r["score"] for r in idx.score_matches(["table"], mode="or").collect()}
+    fq_ids = {r["doc_id"] for r in idx.match_ids(["scan"], mode="and").collect()}
+    want = sorted(
+        ((d, round(s + bs.get(d, 0.0), 6)) for d, s in qs.items() if d in fq_ids),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert [(r["doc_id"], r["score"]) for r in got] == want and len(got) > 0
+    assert all(r["source"] is not None for r in got)
+
+
+def test_fielded_bq_with_clause_boost_and_function_boost(fidx):
+    # ((q + bq) + bf) — Solr's edismax order: bq folds into the additive
+    # score BEFORE the function boost recomputation
+    base = [tuple(r) for r in fidx.search("text:spark", k=10, bq="lang:en^2.0").collect()]
+    qs = {r["doc_id"]: r["score"] for r in fidx.score_matches("text:spark").collect()}
+    bs = {r["doc_id"]: r["score"] for r in fidx.score_matches("lang:en^2.0").collect()}
+    want = sorted(
+        ((d, round(s + bs.get(d, 0.0), 6)) for d, s in qs.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert base == want and len(base) > 0
+    boosted = [
+        tuple(r) for r in fidx.search("text:spark", k=10, bq="lang:en^2.0", bf="nch").collect()
+    ]
+    stored = {r["doc_id"]: r["nch"] for r in fidx.stored().select("doc_id", "nch").collect()}
+    wantb = sorted(
+        ((d, round(round(s + bs.get(d, 0.0), 6) + float(stored.get(d) or 0), 6)) for d, s in qs.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [d for d, _ in boosted] == [d for d, _ in wantb]
+
+
+def test_bq_sort_guard(idx, fidx):
+    with pytest.raises(ValueError, match="bq="):
+        idx.search(Q, k=5, mode="or", bq="table", sort="source asc")
+    with pytest.raises(ValueError, match="bq="):
+        fidx.search("text:spark", k=5, bq="lang:en", sort="source asc")
