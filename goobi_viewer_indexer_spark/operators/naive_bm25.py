@@ -173,7 +173,9 @@ def bm25f_topk_sql(
     N = global doc count, boost multiplying idf; AND = every pair matches.
     ``phrase_filters``: quoted clauses — each (field, tokens) additionally
     restricts results to docs whose FIELD token stream contains the tokens
-    consecutively (the mixed ``pi:x AND text:"a b"`` shape).
+    consecutively (the mixed ``pi:x AND text:"a b"`` shape); a 3-tuple
+    (field, tokens, slop) applies the ordered-window proximity contract
+    instead (``text:"a b"~N`` — in order, span ≤ n−1+slop).
     ``neg_filters``: prohibited clauses — each (field, term) EXCLUDES docs
     whose field contains the term (``-lang:de``; filters, never scores)."""
     boosts = boosts or {}
@@ -199,9 +201,27 @@ def bm25f_topk_sql(
     union = " UNION ALL ".join(pair_ctes)
     having = f"HAVING count(*) = {len(pairs)}" if mode == "and" else ""
     phrase_joins = ""
-    for fname, toks in phrase_filters or []:
+    for pf in phrase_filters or []:
+        fname, toks = pf[0], pf[1]
+        pslop = pf[2] if len(pf) > 2 else 0
         col = field_cols[fname]
         tok = duckdb_tokenize_sql(col)
+        if pslop > 0:
+            n = len(toks)
+            esc = [t.replace("'", "''") for t in toks]
+            pj = "".join(
+                f" JOIN (SELECT doc_id, pos FROM ptok WHERE term = '{esc[j]}') a{j}"
+                f" ON a{j}.doc_id = a0.doc_id AND a{j}.pos > a{j - 1}.pos"
+                for j in range(1, n)
+            )
+            phrase_joins += (
+                f"\n  JOIN (WITH ptok AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term, "
+                f"unnest(range(len({tok}))) AS pos FROM {table}) "
+                f"SELECT DISTINCT a0.doc_id FROM "
+                f"(SELECT doc_id, pos FROM ptok WHERE term = '{esc[0]}') a0{pj} "
+                f"WHERE a{n - 1}.pos - a0.pos <= {n - 1 + pslop}) USING (doc_id)"
+            )
+            continue
         needle = " " + " ".join(t.replace("'", "''") for t in toks) + " "
         phrase_joins += (
             f"\n  JOIN (SELECT {id_col} AS doc_id FROM {table} "
@@ -303,19 +323,40 @@ def bm25_phrase_topk(
     cfg: IndexConfig = IndexConfig(),
     id_col: str = "doc_id",
     text_col: str = "text",
+    slop: int = 0,
 ) -> DataFrame:
     """Naive phrase twin of ``InvertedIndex.search_phrase``: filter to docs
     containing the token sequence, score with the bag-of-distinct-terms
     BM25 using FULL-corpus stats (df/avgdl over all docs — the engine's
     idf/doclen side tables are corpus-global, matching Solr).  Token order
-    matters; ``phrase_terms`` is NOT deduplicated."""
+    matters; ``phrase_terms`` is NOT deduplicated.  ``slop`` > 0 switches
+    the filter to the ordered-window proximity contract (positions in
+    order, span ≤ n−1+slop) via an n-way position self-join."""
     spark = docs.sparkSession
     distinct = sorted(set(phrase_terms))
     qt = spark.createDataFrame([(t,) for t in distinct], "term string")
 
-    matching = docs.filter(_phrase_filter_expr(phrase_terms, text_col)).select(
-        F.col(id_col).alias("doc_id")
-    )
+    if slop > 0:
+        n = len(phrase_terms)
+        pos = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokenize_expr(text_col)).alias("pos", "term"),
+        )
+        cur = pos.filter(F.col("term") == phrase_terms[0]).select("doc_id", F.col("pos").alias("p0"))
+        for j in range(1, n):
+            pj = pos.filter(F.col("term") == phrase_terms[j]).select(
+                "doc_id", F.col("pos").alias(f"p{j}")
+            )
+            cur = cur.join(pj, "doc_id").filter(F.col(f"p{j}") > F.col(f"p{j-1}"))
+        matching = (
+            cur.filter(F.col(f"p{n-1}") - F.col("p0") <= n - 1 + slop)
+            .select("doc_id")
+            .distinct()
+        )
+    else:
+        matching = docs.filter(_phrase_filter_expr(phrase_terms, text_col)).select(
+            F.col(id_col).alias("doc_id")
+        )
 
     toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize_expr(text_col)).alias("term"))
     tf_all = toks.join(F.broadcast(qt), "term").groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -350,19 +391,40 @@ def bm25_phrase_topk_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    slop: int = 0,
 ) -> str:
-    """DuckDB oracle for the phrase contract (same filter + bag scoring)."""
+    """DuckDB oracle for the phrase contract (same filter + bag scoring).
+    ``slop`` > 0: ordered-window proximity — positions p0 < p1 < … < pn in
+    token order with span ≤ n−1+slop (the engine's ``"a b"~N`` contract),
+    expressed as an n-way position self-join."""
     distinct = sorted(set(phrase_terms))
     terms_sql = ", ".join("('" + t.replace("'", "''") + "')" for t in distinct)
     needle = " " + " ".join(t.replace("'", "''") for t in phrase_terms) + " "
     k1, b = cfg.k1, cfg.b
     tok = duckdb_tokenize_sql(text_col)
-    return f"""
-WITH qt(term) AS (VALUES {terms_sql}),
+    if slop > 0:
+        n = len(phrase_terms)
+        joins = "".join(
+            f"\n  JOIN (SELECT doc_id, pos FROM ptok WHERE term = '{phrase_terms[j].replace(chr(39), chr(39) * 2)}') a{j}"
+            f" ON a{j}.doc_id = a0.doc_id AND a{j}.pos > a{j - 1}.pos"
+            for j in range(1, n)
+        )
+        match_cte = f"""ptok AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term, unnest(range(len({tok}))) AS pos FROM {table}
+),
 m AS (
+  SELECT DISTINCT a0.doc_id
+  FROM (SELECT doc_id, pos FROM ptok WHERE term = '{phrase_terms[0].replace(chr(39), chr(39) * 2)}') a0{joins}
+  WHERE a{n - 1}.pos - a0.pos <= {n - 1 + slop}
+)"""
+    else:
+        match_cte = f"""m AS (
   SELECT {id_col} AS doc_id FROM {table}
   WHERE contains(' ' || array_to_string({tok}, ' ') || ' ', '{needle}')
-),
+)"""
+    return f"""
+WITH qt(term) AS (VALUES {terms_sql}),
+{match_cte},
 tok AS (
   SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
 ),

@@ -1779,13 +1779,19 @@ class InvertedIndex:
             subs = s if subs is None else subs.unionByName(s)
         return _facet_query_assemble(self.spark, subs, self._mids_fq(base, mode, fq), sorted(named))
 
-    def search_phrase(self, query: str | list[str], k: int = 10) -> DataFrame:
+    def search_phrase(self, query: str | list[str], k: int = 10, slop: int = 0) -> DataFrame:
         """Exact-phrase top-k: the query tokens must occur CONSECUTIVELY in
         order (Solr quoted-phrase analog over the reference's positional
         text fields, helper/FulltextAugmentor.java:78-238).  Scoring is the
         bag-of-distinct-terms BM25 over phrase-matching docs (SQL-checkable
         contract; see wand.score_phrase).  Token ORDER is preserved —
-        duplicates allowed ("the quick the")."""
+        duplicates allowed ("the quick the").
+
+        ``slop`` (Solr ``"a b"~N``): ordered-window proximity — tokens
+        must appear in order with at most ``slop`` extra positions
+        interleaved (span ≤ n−1+slop).  slop=0 is the exact phrase;
+        out-of-order matches never qualify (wand._sloppy_keep documents
+        the deviation from Lucene's transposition-tolerant scorer)."""
         k = min(k, self.n_live)  # see search(): unclamped limit(k) OOMs
         ordered = list(query) if isinstance(query, list) else tokenize_py(query)
         meta = self.meta
@@ -1827,7 +1833,8 @@ class InvertedIndex:
                 return emptypdf  # phrase needs every term in this range
             term_offsets = [(by_term[t], offsets[t]) for t in distinct]
             docs, scores = wand.score_phrase(
-                term_offsets, wand.DenseDoclens(base, lens), avgdl, k1, b, k, lo, hi, deleted=deleted
+                term_offsets, wand.DenseDoclens(base, lens), avgdl, k1, b, k, lo, hi,
+                deleted=deleted, slop=slop,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -2169,8 +2176,9 @@ class LocalSearcher:
         )
         return [(int(d), wand.round6f(s)) for d, s in zip(docs, scores)]
 
-    def search_phrase(self, query: str | list[str], k: int = 10) -> list[tuple[int, float]]:
-        """Exact-phrase top-k, rank-identical to the distributed
+    def search_phrase(self, query: str | list[str], k: int = 10, slop: int = 0) -> list[tuple[int, float]]:
+        """Exact-phrase (or, with ``slop``, ordered-window proximity)
+        top-k, rank-identical to the distributed
         :meth:`InvertedIndex.search_phrase`."""
         self._ensure_fresh()
         ordered = list(query) if isinstance(query, list) else tokenize_py(query)
@@ -2188,7 +2196,7 @@ class LocalSearcher:
             term_offsets, wand.DenseDoclens(0, self.doclens),
             self.index.avgdl_live, self.meta["k1"], self.meta["b"], k,
             0, self.doclens.size - 1,
-            deleted=self.deleted if self.deleted.size else None,
+            deleted=self.deleted if self.deleted.size else None, slop=slop,
         )
         return [(int(d), wand.round6f(s)) for d, s in zip(docs, scores)]
 
@@ -2244,6 +2252,7 @@ class FieldedClause(NamedTuple):
     prefix: bool = False  # wildcard clause (f:pre*) — expands to an OR-group
     fuzzy: bool = False   # fuzzy clause (f:term~ / f:term~1) — ed≤1 OR-group
     is_range: bool = False  # range clause (f:[lo TO hi]) — toks = [lo, hi]
+    slop: int = 0  # proximity bound for quoted clauses (f:"a b"~N) — ordered window
 
 
 def parse_fielded_clauses(q: str) -> tuple[list[FieldedClause], str]:
@@ -2265,8 +2274,21 @@ def parse_fielded_clauses(q: str) -> tuple[list[FieldedClause], str]:
         neg = clause.startswith("-")
         if neg:
             clause = clause[1:].lstrip()
-        m = _re.match(r'^(\w+):"([^"]*)"(?:\^([0-9.]+))?$', clause)
-        quoted = m is not None
+        qm = _re.match(r'^(\w+):"([^"]*)"(?:~(\d+))?(?:\^([0-9.]+))?$', clause)
+        if qm:
+            # quoted phrase, optionally sloppy (f:"a b"~N — Solr proximity;
+            # ordered-window contract, see wand._sloppy_keep)
+            toks = tokenize_py(qm.group(2))
+            if toks:
+                clauses.append(
+                    FieldedClause(
+                        qm.group(1), toks, float(qm.group(4) or 1.0), True, neg,
+                        False, slop=int(qm.group(3) or 0),
+                    )
+                )
+            continue
+        m = None
+        quoted = False
         group = prefix = fuzzy = False
         if not m:
             m = _re.match(r"^(\w+):\(([^()]*)\)(?:\^([0-9.]+))?$", clause)
@@ -2413,6 +2435,10 @@ def _fielded_query_parts(
 
             for c in clauses:
                 ent = entries(c)
+                if c.quoted and c.slop:
+                    # sloppy phrase (f:"a b"~N): the group carries its slop
+                    ent = wand.PhraseGroup(ent)
+                    ent.slop = c.slop
                 if c.neg:
                     neg_groups.append(ent)
                     continue
@@ -2797,7 +2823,7 @@ class FieldedIndex:
         kept_groups = []
         for g in groups:
             is_phrase = any(offs for _, offs in g)
-            ent = [(t, offs) for t, offs in g if t in stats]
+            ent = wand.regroup(g, [(t, offs) for t, offs in g if t in stats])
             if (is_phrase and len(ent) < len(g)) or not ent:
                 if bool_or:
                     continue
@@ -2807,7 +2833,7 @@ class FieldedIndex:
             return empty
         kept_negs = []
         for g in negs:
-            ent = [(t, offs) for t, offs in g if t in stats]
+            ent = wand.regroup(g, [(t, offs) for t, offs in g if t in stats])
             if ent and not (any(offs for _, offs in g) and len(ent) < len(g)):
                 kept_negs.append(ent)
         groups, negs = kept_groups, kept_negs
@@ -2838,7 +2864,7 @@ class FieldedIndex:
             groups_tl = []
             for g in groups:
                 is_phrase = any(offs for _, offs in g)
-                ent = [(by_term[t], offs) for t, offs in g if t in by_term]
+                ent = wand.regroup(g, [(by_term[t], offs) for t, offs in g if t in by_term])
                 if (is_phrase and len(ent) < len(g)) or not ent:
                     if bool_or:
                         continue
@@ -2848,7 +2874,7 @@ class FieldedIndex:
                 return emptypdf
             negs_tl = []
             for og in negs:
-                ent = [(by_term[t], offs) for t, offs in og if t in by_term]
+                ent = wand.regroup(og, [(by_term[t], offs) for t, offs in og if t in by_term])
                 if ent and not (any(offs for _, offs in og) and len(ent) < len(og)):
                     negs_tl.append(ent)
             docs = wand.match_docs_boolean(
@@ -3297,7 +3323,7 @@ class FieldedIndex:
             kept_groups = []
             for g in phrase_groups:
                 is_phrase = any(offs for _, offs in g)
-                ent = [(t, offs) for t, offs in g if t in stats]
+                ent = wand.regroup(g, [(t, offs) for t, offs in g if t in stats])
                 if is_phrase and len(ent) < len(g):
                     if not bool_or:
                         return empty  # required phrase has an unindexed term
@@ -3312,7 +3338,7 @@ class FieldedIndex:
             phrase_groups = kept_groups
             kept_negs = []
             for g in neg_groups:
-                ent = [(t, offs) for t, offs in g if t in stats]
+                ent = wand.regroup(g, [(t, offs) for t, offs in g if t in stats])
                 # a NEG PHRASE with an unindexed term can never match → drop
                 # whole group; a neg OR-group keeps its present terms
                 if ent and not (any(offs for _, offs in g) and len(ent) < len(g)):
@@ -3359,7 +3385,7 @@ class FieldedIndex:
                 groups_tl = []
                 for g in pos_groups:
                     is_phrase = any(offs for _, offs in g)
-                    ent = [(by_term[t], offs) for t, offs in g if t in by_term]
+                    ent = wand.regroup(g, [(by_term[t], offs) for t, offs in g if t in by_term])
                     if (is_phrase and len(ent) < len(g)) or not ent:
                         if bool_or:
                             continue
@@ -3369,7 +3395,7 @@ class FieldedIndex:
                     return emptypdf
                 negs_tl = []
                 for og in neg_groups:
-                    ent = [(by_term[t], offs) for t, offs in og if t in by_term]
+                    ent = wand.regroup(og, [(by_term[t], offs) for t, offs in og if t in by_term])
                     # a neg phrase missing a term in this range cannot match here
                     if ent and not (any(offs for _, offs in og) and len(ent) < len(og)):
                         negs_tl.append(ent)
@@ -3381,7 +3407,7 @@ class FieldedIndex:
             elif mode == "phrase":
                 if len(by_term) < n_terms:
                     return emptypdf
-                groups = [[(by_term[t], offs) for t, offs in g] for g in pos_groups]
+                groups = [wand.regroup(g, [(by_term[t], offs) for t, offs in g]) for g in pos_groups]
                 kk = (hi - lo + 1) if return_all else k
                 docs, scores = wand.score_mixed(
                     groups, None, 0.0, k1, b, kk, lo, hi, deleted=deleted
@@ -3702,7 +3728,7 @@ class FieldedIndex:
             dead = False
             for g in groups:
                 is_phrase = any(offs for _, offs in g)
-                ent = [(t, offs) for t, offs in g if t in stats]
+                ent = wand.regroup(g, [(t, offs) for t, offs in g if t in stats])
                 if (is_phrase and len(ent) < len(g)) or not ent:
                     if bool_or:
                         continue
@@ -3714,7 +3740,7 @@ class FieldedIndex:
                 continue
             kept_negs = []
             for g in negs:
-                ent = [(t, offs) for t, offs in g if t in stats]
+                ent = wand.regroup(g, [(t, offs) for t, offs in g if t in stats])
                 if ent and not (any(offs for _, offs in g) and len(ent) < len(g)):
                     kept_negs.append(ent)
             live_bool[qid] = (kept_groups, kept_negs, weights, bool_or, k)
@@ -3789,7 +3815,7 @@ class FieldedIndex:
                 groups_tl, dead = [], False
                 for g in groups:
                     is_phrase = any(offs for _, offs in g)
-                    ent = [(rep[t], offs) for t, offs in g if t in by_term]
+                    ent = wand.regroup(g, [(rep[t], offs) for t, offs in g if t in by_term])
                     # a required phrase missing a term in this range can't
                     # match here (same rule as _score_plan)
                     if (is_phrase and len(ent) < len(g)) or not ent:
@@ -3802,7 +3828,7 @@ class FieldedIndex:
                     continue
                 negs_tl = []
                 for g in negs:
-                    ent = [(by_term[t], offs) for t, offs in g if t in by_term]
+                    ent = wand.regroup(g, [(by_term[t], offs) for t, offs in g if t in by_term])
                     # a neg phrase missing a term in this range cannot match
                     # here → drop the group (subset would over-exclude)
                     if ent and not (any(offs for _, offs in g) and len(ent) < len(g)):
@@ -4121,7 +4147,7 @@ class LocalFieldedSearcher:
             groups_tl = []
             for g in groups:
                 is_phrase = any(offs for _, offs in g)
-                ent = [(L, offs) for t, offs in g if (L := _rl(t)) is not None]
+                ent = wand.regroup(g, [(L, offs) for t, offs in g if (L := _rl(t)) is not None])
                 if (is_phrase and len(ent) < len(g)) or not ent:
                     if bool_or:
                         continue
@@ -4131,7 +4157,7 @@ class LocalFieldedSearcher:
                 return []
             negs_tl = []
             for g in negs:
-                ent = [(L, offs) for t, offs in g if (L := self._merged_list(t)) is not None]
+                ent = wand.regroup(g, [(L, offs) for t, offs in g if (L := self._merged_list(t)) is not None])
                 if ent and not (any(offs for _, offs in g) and len(ent) < len(g)):
                     negs_tl.append(ent)
             docs, scores = wand.score_boolean(
@@ -4153,7 +4179,7 @@ class LocalFieldedSearcher:
         hi = max(a.size for a in self.doclens.values()) - 1
         k1, b = self.meta["k1"], self.meta["b"]
         if groups is not None:
-            gs = [[(lists[t], offs) for t, offs in g] for g in groups]
+            gs = [wand.regroup(g, [(lists[t], offs) for t, offs in g]) for g in groups]
             docs, scores = wand.score_mixed(gs, None, 0.0, k1, b, k, 0, hi, deleted=deleted)
         else:
             docs, scores = wand.score_topk(

@@ -30,7 +30,7 @@ from goobi_viewer_indexer_spark.functions import codec
 
 __all__ = [
     "TermList", "score_topk", "score_phrase", "score_mixed", "score_boolean",
-    "match_docs", "match_docs_boolean", "idf",
+    "match_docs", "match_docs_boolean", "idf", "PhraseGroup", "regroup",
 ]
 
 
@@ -361,6 +361,25 @@ _P64 = np.int64(1) << np.int64(32)  # doc-index stride (positions are int32-safe
 _PAD64 = np.int64(65536)            # keeps pos - off non-negative for any query
 
 
+class PhraseGroup(list):
+    """A phrase clause group — a plain ``list[(TermList|term, offsets)]``
+    carrying its proximity ``slop`` (Solr ``"a b"~N``).  Being a list it
+    flows through every existing group consumer unchanged; sites that
+    REBUILD a group's entries (term→TermList substitution) must wrap the
+    result with :func:`regroup` or a sloppy phrase silently degrades to
+    exact-phrase (too strict — a wrong-answer class)."""
+
+    slop: int = 0
+
+
+def regroup(src, entries) -> "PhraseGroup":
+    """Rebuild a clause group from mapped ``entries``, preserving the
+    source group's slop attribute."""
+    g = PhraseGroup(entries)
+    g.slop = getattr(src, "slop", 0)
+    return g
+
+
 def _flat_positions(L: "TermList", docs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(doc_index_into_docs, position) flat pairs of term L over ``docs``
     (sorted), decoding only blocks that contain at least one of them."""
@@ -385,7 +404,12 @@ def _flat_positions(L: "TermList", docs: np.ndarray) -> tuple[np.ndarray, np.nda
 def _phrase_keep(g: list[tuple["TermList", list[int]]], docs: np.ndarray) -> np.ndarray:
     """Boolean mask over ``docs`` (sorted, all containing every term of g):
     True where the group's phrase matches.  Anchor-key intersection per
-    (term, offset): ``key = doc_idx * 2^32 + (pos - off + PAD)``."""
+    (term, offset): ``key = doc_idx * 2^32 + (pos - off + PAD)``.  A group
+    carrying ``slop`` (:class:`PhraseGroup`) routes to the ordered-window
+    proximity verifier instead."""
+    slop = getattr(g, "slop", 0)
+    if slop:
+        return _sloppy_keep(g, docs, int(slop))
     keys: np.ndarray | None = None
     for L, offs in g:
         if not offs:
@@ -401,6 +425,51 @@ def _phrase_keep(g: list[tuple["TermList", list[int]]], docs: np.ndarray) -> np.
     out = np.zeros(docs.size, dtype=bool)
     if keys is not None and keys.size:
         out[np.unique(keys // _P64)] = True
+    return out
+
+
+def _sloppy_keep(g: list[tuple["TermList", list[int]]], docs: np.ndarray, slop: int) -> np.ndarray:
+    """Ordered-window proximity (Solr ``"a b"~N``): True where the doc
+    contains the phrase tokens IN ORDER with span ≤ (m−1) + slop, i.e. at
+    most ``slop`` extra positions interleaved — slop=0 degenerates to the
+    exact-consecutive contract.  Lucene's SloppyPhraseScorer additionally
+    admits out-of-order matches at higher edit cost; the in-order window
+    (= Lucene's ordered SpanNear / intervals ``ordered()``) is this
+    engine's named deviation, chosen because it is SQL-checkable.
+
+    Greedy successor chains, fully vectorized: every occurrence of phrase
+    token 0 starts a chain; step j advances all live chains at once to the
+    SMALLEST position of token j strictly after the chain's current
+    position (one ``searchsorted`` per step on doc-keyed position arrays,
+    ``key = doc_idx * 2^32 + pos``).  The greedy successor minimizes the
+    final span for each start, so the window test is exact."""
+    by_off: dict[int, "TermList"] = {}
+    m = 0
+    for L, offs in g:
+        for off in offs:
+            by_off[off] = L
+            m = max(m, off + 1)
+    keys: dict[int, np.ndarray] = {}
+    for L, offs in g:
+        if not offs or id(L) in keys:
+            continue
+        ci, pos = _flat_positions(L, docs)
+        keys[id(L)] = np.sort(ci * _P64 + pos)
+    start = cur = keys[id(by_off[0])]
+    for j in range(1, m):
+        kj = keys[id(by_off[j])]
+        if cur.size == 0 or kj.size == 0:
+            start = cur = np.zeros(0, np.int64)
+            break
+        idx = np.searchsorted(kj, cur, side="right")
+        ok = idx < kj.size
+        nxt = kj[idx[ok]]
+        same = (nxt // _P64) == (cur[ok] // _P64)
+        start, cur = start[ok][same], nxt[same]
+    out = np.zeros(docs.size, dtype=bool)
+    if cur.size:
+        span_ok = (cur - start) <= np.int64(m - 1 + slop)
+        out[np.unique(start[span_ok] // _P64)] = True
     return out
 
 
@@ -560,9 +629,13 @@ def score_phrase(
     lo: int,
     hi: int,
     deleted: np.ndarray | None = None,
+    slop: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Single-phrase top-k (one positional group) — see :func:`score_mixed`."""
-    return score_mixed([term_offsets], dl, avgdl, k1, b, k, lo, hi, deleted)
+    """Single-phrase top-k (one positional group) — see :func:`score_mixed`.
+    ``slop``: ordered-window proximity bound (:func:`_sloppy_keep`)."""
+    g = PhraseGroup(term_offsets)
+    g.slop = slop
+    return score_mixed([g], dl, avgdl, k1, b, k, lo, hi, deleted)
 
 
 def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi: int,

@@ -168,6 +168,7 @@ def q_bm25_wand_matrix(spark, sf_dir):
 PHRASE_3GRAM = ["table", "join", "spark"]   # exactly 1 matching doc
 PHRASE_DUP = ["value", "value"]             # duplicate-term phrase
 PHRASE_MISSING = ["scan", "a", "scan"]      # terms exist, phrase never occurs
+PHRASE_SLOPPY = ["table", "spark"]          # proximity "table spark"~3 (round 5b)
 
 
 # --------------------------------------------------------------------------
@@ -228,6 +229,9 @@ _PHRASE_MATRIX_SQL = _tagged_sql([
     ("2gram", naive_bm25.bm25_phrase_topk_sql(PHRASE_2GRAM, k=10)),
     ("dup", naive_bm25.bm25_phrase_topk_sql(PHRASE_DUP, k=10)),
     ("missing", naive_bm25.bm25_phrase_topk_sql(PHRASE_MISSING, k=10)),
+    # slop (round 5b): "table spark"~3 — ordered-window proximity (in
+    # order, span ≤ n−1+slop), position self-join oracle
+    ("slop", naive_bm25.bm25_phrase_topk_sql(PHRASE_SLOPPY, k=10, slop=3)),
     ("trigram", naive_bm25.bm25_phrase_topk_sql(PHRASE_3GRAM, k=10)),
 ])
 
@@ -235,12 +239,14 @@ _PHRASE_MATRIX_SQL = _tagged_sql([
 @register("bm25_wand_phrase_matrix", _PHRASE_MATRIX_SQL)
 def q_wand_phrase_matrix(spark, sf_dir):
     # positional-postings engine: common 2-gram / duplicate-term phrase /
-    # terms-exist-but-phrase-doesn't / exactly-one-doc trigram
+    # terms-exist-but-phrase-doesn't / exactly-one-doc trigram / sloppy
+    # proximity phrase (round 5b)
     idx = _index_for(spark, sf_dir)
     return _union_tagged([
         ("2gram", idx.search_phrase(PHRASE_2GRAM, k=10)),
         ("dup", idx.search_phrase(PHRASE_DUP, k=10)),
         ("missing", idx.search_phrase(PHRASE_MISSING, k=10)),
+        ("slop", idx.search_phrase(PHRASE_SLOPPY, k=10, slop=3)),
         ("trigram", idx.search_phrase(PHRASE_3GRAM, k=10)),
     ]).orderBy("qtag", F.desc("score"), "doc_id")
 
@@ -903,6 +909,17 @@ _BM25F_BOOL_MATRIX_SQL = _tagged_sql([
         ),
     ),
     ("not", naive_bm25.bm25f_topk_sql([("text", "table")], k=10, neg_filters=[("lang", "de")])),
+    # sloppy (round 5b): fielded proximity phrase text:"table spark"~3 —
+    # ordered-window membership, phrase terms still score (bag BM25F)
+    (
+        "sloppy",
+        naive_bm25.bm25f_topk_sql(
+            [("lang", "en"), ("text", "table"), ("text", "spark")],
+            k=10,
+            mode="and",
+            phrase_filters=[("text", ["table", "spark"], 3)],
+        ),
+    ),
     ("prefix", naive_bm25.bm25f_prefix_and_term_sql("text", "s", "lang", "en", k=10)),
 ])
 
@@ -918,6 +935,7 @@ def q_bm25f_bool_matrix(spark, sf_dir):
         ("mixed_phrase", fidx.search('lang:en AND text:"spark window"', k=10)),
         ("not", fidx.search("text:table AND -lang:de", k=10)),
         ("prefix", fidx.search("lang:en AND text:s*", k=10)),
+        ("sloppy", fidx.search('lang:en AND text:"table spark"~3', k=10)),
     ]).orderBy("qtag", F.desc("score"), "doc_id")
 
 

@@ -138,3 +138,93 @@ def test_fielded_search_many_batches_phrases(spark, tmp_path_factory):
     for qid, q in [("a", q1), ("b", q2), ("c", q3)]:
         assert got[qid] == [tuple(r) for r in fidx.search(q, k=10).collect()], qid
     assert len(got["a"]) > 0 and len(got["b"]) > 0
+
+
+# ---- sloppy phrases ("a b"~N ordered-window proximity, round 5b) ---------
+
+SLOPPY = [
+    (["table", "spark"], 3),
+    (["table", "join"], 1),
+    (["value", "value"], 2),       # duplicate-term proximity
+    (["table", "join", "spark"], 4),
+    (["spark", "window"], 0),      # slop=0 == exact phrase
+]
+
+
+@pytest.mark.parametrize("phrase,slop", SLOPPY, ids=["_".join(p) + f"_s{s}" for p, s in SLOPPY])
+def test_sloppy_phrase_rank_identity_three_ways(spark, idx, phrase, slop):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    exp = [(r["doc_id"], r["score"]) for r in bm25_phrase_topk(docs, phrase, k=10, slop=slop).collect()]
+    engine = InvertedIndex(spark, idx)
+    got = [(r["doc_id"], r["score"]) for r in engine.search_phrase(phrase, k=10, slop=slop).collect()]
+    assert got == exp
+    assert engine.open_local().search_phrase(phrase, k=10, slop=slop) == exp
+
+
+def test_sloppy_membership_df_truth(spark, idx):
+    """Engine match set == brute-force ordered-window scan of the raw
+    token streams (independent of the naive twin's join plan)."""
+    from goobi_viewer_indexer_spark.functions.tokenize import tokenize_py
+
+    phrase, slop = ["table", "spark"], 3
+    engine = InvertedIndex(spark, idx)
+    got = {r["doc_id"] for r in engine.search_phrase(phrase, k=10**6, slop=slop).collect()}
+    want = set()
+    for row in spark.read.parquet(f"{SF001}/documents.parquet").select("doc_id", "text").collect():
+        toks = tokenize_py(row["text"])
+        pos = [i for i, t in enumerate(toks) if t == phrase[0]]
+        for p0 in pos:
+            # greedy successor chain
+            cur, ok = p0, True
+            for t in phrase[1:]:
+                nxt = next((i for i in range(cur + 1, len(toks)) if toks[i] == t), None)
+                if nxt is None:
+                    ok = False
+                    break
+                cur = nxt
+            if ok and cur - p0 <= len(phrase) - 1 + slop:
+                want.add(row["doc_id"])
+                break
+    assert got == want and len(got) > 0
+
+
+def test_sloppy_exact_subset(spark, idx):
+    engine = InvertedIndex(spark, idx)
+    exact = {r["doc_id"] for r in engine.search_phrase(["table", "join"], k=10**6).collect()}
+    slop2 = {r["doc_id"] for r in engine.search_phrase(["table", "join"], k=10**6, slop=2).collect()}
+    assert exact <= slop2 and len(slop2) > len(exact)
+    # slop never admits out-of-order matches: reversed phrase w/ slop 0..2
+    rev = {r["doc_id"] for r in engine.search_phrase(["join", "table"], k=10**6, slop=2).collect()}
+    assert rev != slop2  # distinct contracts (in-order only)
+
+
+def test_fielded_sloppy_phrase(spark, tmp_path_factory):
+    """f:"a b"~N parses, executes on both fielded engines, composes with
+    AND clauses / negation / search_many batching."""
+    from goobi_viewer_indexer_spark.operators.search import FieldedIndex, parse_fielded_clauses
+    from goobi_viewer_indexer_spark.plans.build import build_index_fielded
+
+    cl, _ = parse_fielded_clauses('text:"table spark"~3')
+    assert cl[0].quoted and cl[0].slop == 3 and cl[0].toks == ["table", "spark"]
+    cl2, _ = parse_fielded_clauses('text:"table spark"~2^1.5')
+    assert cl2[0].slop == 2 and cl2[0].boost == 1.5
+
+    d = str(tmp_path_factory.mktemp("sloppy_fidx"))
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_index_fielded(docs, d, {"text": "text", "lang": "lang"}, CFG)
+    fidx = FieldedIndex(spark, d)
+    q = 'lang:en AND text:"table spark"~3'
+    got = [tuple(r) for r in fidx.search(q, k=10).collect()]
+    assert len(got) > 0
+    assert fidx.open_local().search(q, k=10) == got
+    # exact is a strict subset here (slop admits more docs)
+    exact = {r["doc_id"] for r in fidx.search('lang:en AND text:"table spark"', k=10**6).collect()}
+    slopd = {r["doc_id"] for r in fidx.search(q, k=10**6).collect()}
+    assert exact <= slopd
+    # negated sloppy phrase excludes its window matches
+    neg = {r["doc_id"] for r in fidx.search('text:table AND -text:"table spark"~3', k=10**6).collect()}
+    assert neg.isdisjoint(slopd & neg | (slopd & neg))
+    assert not (neg & slopd)
+    # search_many batch == per-query
+    batch = fidx.search_many({"s": (q, "and", 10)})
+    assert batch["s"] == got
