@@ -105,12 +105,21 @@ def _lev_le(a: str, b: str, k: int) -> bool:
     return prev[lb] <= k
 
 
-def _facet_over(ids, dims, facet_col: str, min_count: int, limit, prefix):
+def _facet_over(ids, dims, facet_col: str, min_count: int, limit, prefix,
+                contains=None, contains_ignore_case=False):
     """Shared facet body: match-id set → dims equi-join → count-ordered
-    value counts (Solr facet.field; see the engine methods for contract)."""
+    value counts (Solr facet.field; see the engine methods for contract).
+    ``contains``/``contains_ignore_case`` = Solr facet.contains — a
+    substring filter on facet VALUES, applied (like prefix) BEFORE the
+    join so filtered rows never shuffle."""
     dim = dims.select(F.col("doc_id"), F.col(facet_col))
     if prefix is not None:
         dim = dim.filter(F.col(facet_col).startswith(prefix))
+    if contains is not None:
+        if contains_ignore_case:
+            dim = dim.filter(F.lower(F.col(facet_col)).contains(contains.lower()))
+        else:
+            dim = dim.filter(F.col(facet_col).contains(contains))
     out = (
         ids.join(dim, "doc_id")
         .groupBy(facet_col)
@@ -1320,17 +1329,29 @@ class InvertedIndex:
         return " ".join(out_toks), sugg
 
     # -- TermsComponent (Solr /terms handler) --------------------------------
-    def terms(self, prefix: str = "", limit: int = 10, sort: str = "count") -> DataFrame:
+    def terms(
+        self,
+        prefix: str = "",
+        limit: int = 10,
+        sort: str = "count",
+        regex: str | None = None,
+        mincount: int | None = None,
+        maxcount: int | None = None,
+    ) -> DataFrame:
         """Solr TermsComponent (``terms.prefix``/``terms.limit``/
-        ``terms.sort``): dictionary terms under a prefix with docFreq
+        ``terms.sort``/``terms.regex``/``terms.mincount``/
+        ``terms.maxcount``): dictionary terms under a prefix with docFreq
         (df) and totalTermFreq (cf).  ``sort="count"`` (Solr default)
         ranks df desc, term asc; ``sort="index"`` ranks term asc.
+        ``regex`` fully anchors like Solr's (the whole term must match);
+        ``mincount``/``maxcount`` bound df inclusively.
 
         df/cf are INDEX-level stats — like Solr's TermsComponent (and
         Lucene ``docFreq``), they include deleted-but-unmerged docs.
         Execution: a pushed ``StartsWith`` filter on the term_stats
-        dictionary scan, then ONE orderBy+limit = TakeOrderedAndProject
-        — cost bounded by the dictionary slice, never the corpus."""
+        dictionary scan (regex/df bounds filter the slice Spark-side),
+        then ONE orderBy+limit = TakeOrderedAndProject — cost bounded by
+        the dictionary slice, never the corpus."""
         if sort not in ("count", "index"):
             raise ValueError("terms.sort must be 'count' or 'index'")
         t = self._term_stats.select(
@@ -1338,6 +1359,12 @@ class InvertedIndex:
         )
         if prefix:
             t = t.filter(F.col("term").startswith(prefix))
+        if regex is not None:
+            t = t.filter(F.col("term").rlike(f"^(?:{regex})$"))
+        if mincount is not None:
+            t = t.filter(F.col("df") >= int(mincount))
+        if maxcount is not None:
+            t = t.filter(F.col("df") <= int(maxcount))
         keys = [F.desc("df"), F.asc("term")] if sort == "count" else [F.asc("term")]
         return t.orderBy(*keys).limit(limit)
 
@@ -1688,6 +1715,8 @@ class InvertedIndex:
         limit: int | None = None,
         prefix: str | None = None,
         fq: str | list | None = None,
+        contains: str | None = None,
+        contains_ignore_case: bool = False,
     ) -> DataFrame:
         """Solr ``facet.field`` analog (the viewer's collection/drill-down
         sidebar queries): value counts of ``facet_col`` over the docs
@@ -1699,8 +1728,11 @@ class InvertedIndex:
         (fewer rows shuffled), limit truncates the count-ordered result
         (count desc, value asc — Solr's default ordering).  ``fq``:
         filter queries intersected into the match set (Solr facets apply
-        to q ∧ fq)."""
-        return _facet_over(self._mids_fq(query, mode, fq), dims, facet_col, min_count, limit, prefix)
+        to q ∧ fq).  ``contains``/``contains_ignore_case`` = Solr
+        facet.contains — substring filter on facet values, applied before
+        the join like prefix."""
+        return _facet_over(self._mids_fq(query, mode, fq), dims, facet_col, min_count, limit, prefix,
+                           contains=contains, contains_ignore_case=contains_ignore_case)
 
     def field_stats(
         self,
@@ -2922,12 +2954,15 @@ class FieldedIndex:
         limit: int | None = None,
         prefix: str | None = None,
         fq: str | list[str] | None = None,
+        contains: str | None = None,
+        contains_ignore_case: bool = False,
     ) -> DataFrame:
         """Solr facet.field over a FIELDED query — same contract as
         :meth:`InvertedIndex.facet_counts` (``fq`` included), driven by
         the fielded :meth:`match_ids` (every query shape:
         phrase/group/NOT/wildcard/fuzzy/ranges)."""
-        return _facet_over(self._mids_fq(query, mode, fq), dims, facet_col, min_count, limit, prefix)
+        return _facet_over(self._mids_fq(query, mode, fq), dims, facet_col, min_count, limit, prefix,
+                           contains=contains, contains_ignore_case=contains_ignore_case)
 
     def field_stats(
         self,
@@ -3120,12 +3155,22 @@ class FieldedIndex:
         return " ".join(out_toks), sugg
 
     # -- TermsComponent (fielded — Solr /terms with terms.fl) ----------------
-    def terms(self, field: str, prefix: str = "", limit: int = 10, sort: str = "count") -> DataFrame:
+    def terms(
+        self,
+        field: str,
+        prefix: str = "",
+        limit: int = 10,
+        sort: str = "count",
+        regex: str | None = None,
+        mincount: int | None = None,
+        maxcount: int | None = None,
+    ) -> DataFrame:
         """Field-scoped Solr TermsComponent: dictionary terms of ``field``
         under a prefix with df/cf — a pushed ``StartsWith`` scan on the
         TAGGED dictionary (``field␀prefix``), tag stripped from the
         output, then ONE TakeOrderedAndProject.  Same index-level df/cf
-        semantics as the flat engine."""
+        semantics and ``regex``/``mincount``/``maxcount`` filters as the
+        flat engine (the regex applies to the STRIPPED term body)."""
         from goobi_viewer_indexer_spark.operators.spimi import tag_term
 
         if field not in self.fields:
@@ -3142,6 +3187,12 @@ class FieldedIndex:
                 F.col("cf").cast("long").alias("cf"),
             )
         )
+        if regex is not None:
+            t = t.filter(F.col("term").rlike(f"^(?:{regex})$"))
+        if mincount is not None:
+            t = t.filter(F.col("df") >= int(mincount))
+        if maxcount is not None:
+            t = t.filter(F.col("df") <= int(maxcount))
         keys = [F.desc("df"), F.asc("term")] if sort == "count" else [F.asc("term")]
         return t.orderBy(*keys).limit(limit)
 

@@ -291,6 +291,20 @@ ORDER BY n DESC, source ASC
 LIMIT 5
 """.strip(),
         ),
+        # contains (round 5b): Solr facet.contains — substring filter on
+        # facet values, case-insensitive variant
+        (
+            "contains",
+            f"""
+SELECT source, count(*) AS n
+FROM documents
+WHERE list_contains({duckdb_tokenize_sql('text')}, 'table')
+  AND contains(lower(source), 'rc2')
+GROUP BY source
+ORDER BY n DESC, source ASC
+LIMIT 5
+""".strip(),
+        ),
     ],
     order="qtag ASC, n DESC, source ASC",
 )
@@ -305,6 +319,8 @@ def q_facet_matrix(spark, sf_dir):
     fidx = _fielded_index_for(spark, sf_dir)
     dims = _load(spark, sf_dir, "documents").select("doc_id", "source")
     return _union_tagged([
+        ("contains", idx.facet_counts(["table"], dims, "source", mode="and",
+                                      contains="RC2", contains_ignore_case=True, limit=5)),
         ("counts", idx.facet_counts(["table", "join"], dims, "source", mode="and", min_count=2)),
         ("fielded_not", fidx.facet_counts("text:table AND -lang:de", dims, "source", min_count=2)),
         ("prefix_limit", idx.facet_counts(["table"], dims, "source", mode="and", prefix="src1", limit=5)),
@@ -1215,6 +1231,14 @@ ORDER BY df DESC, term ASC LIMIT 15
 SELECT term, df, cf FROM dict WHERE term LIKE 'st%'
 ORDER BY term ASC LIMIT 15
 """.strip()),
+            # terms.regex + mincount (round 5b): anchored regex over the
+            # dictionary slice, df lower bound
+            ("regex_mincount", f"""
+{_TERM_STATS_CTE}
+SELECT term, df, cf FROM dict
+WHERE regexp_full_match(term, 's.*n') AND df >= 3
+ORDER BY df DESC, term ASC LIMIT 15
+""".strip()),
             # the round-1 full-dictionary stats shape (stats side table)
             ("top100", f"""
 {_TERM_STATS_CTE}
@@ -1242,6 +1266,7 @@ def q_term_stats(spark, sf_dir):
         ("fielded_lang", fidx.terms("lang", limit=20, sort="count")),
         ("prefix_count", idx.terms(prefix="s", limit=15, sort="count")),
         ("prefix_index", idx.terms(prefix="st", limit=15, sort="index")),
+        ("regex_mincount", idx.terms(regex="s.*n", mincount=3, limit=15, sort="count")),
         ("top100", top),
     ]).orderBy("qtag", F.desc("df"), F.asc("term"))
 

@@ -105,3 +105,23 @@ def test_current_lock_reentrant_and_cross_process(tmp_path):
     assert txn.current_rev(d) == 1 + 100
     cur = json.load(open(os.path.join(d, "current.json")))
     assert cur["tables"]["t"].startswith("t.v")
+
+
+def test_facet_contains_matches_twin(docs, idx):
+    """facet.contains (round 5b): substring filter on facet values, case
+    -sensitive and -insensitive, against a DataFrame twin."""
+    twin = (
+        docs.filter(_has("text", "table"))
+        .filter(F.lower(F.col("source")).contains("rc2"))
+        .groupBy("source").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("source"))
+    )
+    exp = [tuple(r) for r in twin.collect()]
+    got = [tuple(r) for r in idx.facet_counts(
+        ["table"], docs.select("doc_id", "source"), "source",
+        contains="RC2", contains_ignore_case=True).collect()]
+    assert got == exp and len(got) > 0
+    # case-sensitive: 'RC2' matches nothing in lowercase source values
+    got_cs = idx.facet_counts(
+        ["table"], docs.select("doc_id", "source"), "source", contains="RC2").collect()
+    assert got_cs == []

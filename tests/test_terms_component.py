@@ -122,3 +122,33 @@ def test_fielded_terms_unknown_field_raises(fidx):
 def test_terms_plan_is_pushed_scan_plus_take_ordered(idx):
     plan = idx.terms(prefix="s", limit=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---- terms.regex / mincount / maxcount (round 5b) ------------------------
+
+
+def test_terms_regex_and_count_bounds(idx, truth):
+    import re
+
+    got = [(r.term, r.df, r.cf) for r in idx.terms(regex="s.*n", mincount=3, limit=50).collect()]
+    exp = sorted(
+        ((t, d, c) for t, (d, c) in truth.items() if re.fullmatch("s.*n", t) and d >= 3),
+        key=lambda x: (-x[1], x[0]),
+    )[:50]
+    assert got == exp and len(got) > 0
+    # regex is anchored: 's.*n' never matches a term with a trailing char
+    assert all(t.startswith("s") and t.endswith("n") for t, _, _ in got)
+    # maxcount bounds df from above; composes with prefix
+    cap = max(d for _, (d, _) in truth.items() if _ or True) // 2
+    got2 = {r.term for r in idx.terms(prefix="s", maxcount=cap, limit=1000).collect()}
+    exp2 = {t for t, (d, _) in truth.items() if t.startswith("s") and d <= cap}
+    assert got2 == exp2
+
+
+def test_fielded_terms_regex(fidx, truth):
+    import re
+
+    got = [(r.term, r.df) for r in fidx.terms("text", regex="[sw].*w", limit=50, sort="index").collect()]
+    exp = sorted((t, d) for t, (d, _) in truth.items() if re.fullmatch("[sw].*w", t))[:50]
+    assert got == exp
+    assert all("\x00" not in t for t, _ in got)
