@@ -790,8 +790,19 @@ class InvertedIndex:
         boost: str | None = None,
         fq: str | list | None = None,
         bq: str | list[str] | None = None,
+        pf: float | None = None,
+        ps: int = 0,
     ) -> DataFrame:
-        """``bq``: Solr edismax boost query — an additive scoring clause:
+        """``pf``/``ps``: edismax phrase-boost fields — docs containing
+        the WHOLE query as an ordered-window phrase (slop ``ps``) have
+        their score scaled by ``(1 + pf)``.  Because this engine's phrase
+        scoring is bag-of-distinct-terms BM25, Solr's additive
+        ``q + pf·phrase(q)`` collapses to exactly that multiplication on
+        window-matching docs (the phrase bag equals the query bag there),
+        so the contract stays SQL-checkable.  Skipped for single-token
+        queries, like Solr.
+
+        ``bq``: Solr edismax boost query — an additive scoring clause:
         docs matching it gain its BM25 score ON TOP of the main query's
         (``final = q + bq``, then ``(q+bq+bf)·boost`` when function
         boosts compose — Solr's edismax order).  bq never adds docs.
@@ -854,12 +865,16 @@ class InvertedIndex:
             raise ValueError("fq= with mode='phrase' is not supported on the flat engine — use FieldedIndex")
         if bq is not None and (sort is not None or after is not None or mode == "phrase"):
             raise ValueError("bq= composes with fl/fq/offset/bf/boost, not sort/after/phrase")
+        if pf is not None and (sort is not None or after is not None or mode == "phrase"):
+            raise ValueError("pf= composes with fl/fq/bq/offset/bf/boost, not sort/after/phrase")
         if bf is not None or boost is not None:
             if sort is not None or after is not None or offset or mode == "phrase":
                 raise ValueError("bf=/boost= compose with fl only, not sort/after/offset/phrase")
             scored = self.score_matches(query, mode=mode, min_match=min_match)
             if fq is not None:
                 scored = scored.join(self.fq_ids(fq), "doc_id", "left_semi")
+            if pf is not None:
+                scored = self._apply_pf(scored, query, pf, ps)
             if bq is not None:
                 scored = self._apply_bq(scored, bq)
             return _boosted_plan(self.stored(), scored, k, bf, boost, fl)
@@ -916,7 +931,7 @@ class InvertedIndex:
             if st is None:
                 raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
             topk = self.search(query, k=k, mode=mode, offset=offset, after=after,
-                               min_match=min_match, fq=fq, bq=bq)
+                               min_match=min_match, fq=fq, bq=bq, pf=pf, ps=ps)
             return (
                 topk.join(st.select("doc_id", *fl), "doc_id", "left")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -930,7 +945,8 @@ class InvertedIndex:
             full = (
                 self.search_phrase(query, k=offset + k)
                 if mode == "phrase"
-                else self.search(query, k=offset + k, mode=mode, min_match=min_match, fq=fq, bq=bq)
+                else self.search(query, k=offset + k, mode=mode, min_match=min_match,
+                                 fq=fq, bq=bq, pf=pf, ps=ps)
             )
             w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
             return (
@@ -940,14 +956,16 @@ class InvertedIndex:
             )
         if mode == "phrase":
             return self.search_phrase(query, k=k)
-        if fq is not None or bq is not None:
-            # filtered / boost-query top-k: total-recall scoring (a
-            # membership filter or per-doc additive boost voids WAND upper
-            # bounds — Solr collects through a filtered docset too), ONE
-            # semi-join / left-join, ONE TakeOrderedAndProject
+        if fq is not None or bq is not None or pf is not None:
+            # filtered / boost-query / phrase-boost top-k: total-recall
+            # scoring (a membership filter or per-doc boost voids WAND
+            # upper bounds — Solr collects through a filtered docset too),
+            # ONE semi-join / left-join each, ONE TakeOrderedAndProject
             out = self.score_matches(query, mode=mode, min_match=min_match)
             if fq is not None:
                 out = out.join(self.fq_ids(fq), "doc_id", "left_semi")
+            if pf is not None:
+                out = self._apply_pf(out, query, pf, ps)
             if bq is not None:
                 out = self._apply_bq(out, bq)
             if after is not None:
@@ -1018,6 +1036,28 @@ class InvertedIndex:
             local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .select("doc_id", F.round("score", 6).alias("score"))
+        )
+
+    def _apply_pf(self, scored, query, pf: float, ps: int) -> DataFrame:
+        """edismax ``pf``/``ps``: scale the score by (1+pf) on docs that
+        contain the whole query as an ordered-window phrase with slop
+        ``ps`` (see :meth:`search`).  One left join against the phrase
+        match set; scores return on the round6 grid.  No-op for
+        single-token queries (Solr skips pf there too)."""
+        ordered = list(query) if isinstance(query, list) else tokenize_py(query)
+        if len(ordered) < 2:
+            return scored
+        pids = (
+            self.search_phrase(ordered, k=self.n_live, slop=ps)
+            .select("doc_id", F.lit(True).alias("_pf"))
+        )
+        return scored.join(pids, "doc_id", "left").select(
+            "doc_id",
+            F.round(
+                F.col("score")
+                * (1.0 + F.when(F.col("_pf"), F.lit(float(pf))).otherwise(F.lit(0.0))),
+                6,
+            ).alias("score"),
         )
 
     def _apply_bq(self, scored, bq) -> DataFrame:
@@ -2800,13 +2840,53 @@ class FieldedIndex:
 
     def _apply_bq(self, scored, bq) -> DataFrame:
         """Add the boost query's BM25F score onto matching docs (Solr
-        edismax ``bq``; no doc is added).  One left join; scores return
-        on the round6 grid."""
-        bqs = self.score_matches(bq).select("doc_id", F.col("score").alias("_bq"))
-        return scored.join(bqs, "doc_id", "left").select(
-            "doc_id",
-            F.round(F.col("score") + F.coalesce(F.col("_bq"), F.lit(0.0)), 6).alias("score"),
-        )
+        edismax ``bq``; no doc is added) — one left join per clause;
+        scores return on the round6 grid.  A list applies each clause in
+        order (sum of additive boosts — pf folds in this way)."""
+        for clause in [bq] if isinstance(bq, str) else list(bq):
+            bqs = self.score_matches(clause).select("doc_id", F.col("score").alias("_bq"))
+            scored = scored.join(bqs, "doc_id", "left").select(
+                "doc_id",
+                F.round(F.col("score") + F.coalesce(F.col("_bq"), F.lit(0.0)), 6).alias("score"),
+            )
+        return scored
+
+    def _fold_pf(self, query, pf, ps: int, bq):
+        """Normalize edismax ``pf``/``ps`` into bq clause strings (see
+        :meth:`search`): the query's positive plain tokens in order form
+        ``field:"tok …"~ps^boost`` per pf field.  Returns the merged bq
+        (str | list) or the original when pf doesn't apply."""
+        if isinstance(query, str):
+            clauses, _m = parse_fielded_clauses(query)
+            toks = [
+                t
+                for c in clauses
+                if not (c.neg or c.quoted or c.group or c.prefix or c.fuzzy or c.is_range)
+                for t in c.toks
+            ]
+        else:
+            first = next(iter(query), None)
+            if isinstance(first, FieldedClause):
+                toks = [
+                    t
+                    for c in query
+                    if not (c.neg or c.quoted or c.group or c.prefix or c.fuzzy or c.is_range)
+                    for t in c.toks
+                ]
+            else:
+                toks = [t for _f, t in query]
+        if len(toks) < 2:
+            return bq
+        fields = {pf: 1.0} if isinstance(pf, str) else dict(pf)
+        phrase = " ".join(toks)
+        sl = f"~{int(ps)}" if ps else ""
+        clauses_out = [
+            f'{f}:"{phrase}"{sl}' + (f"^{w}" if w != 1.0 else "")
+            for f, w in fields.items()
+        ]
+        if bq is None:
+            return clauses_out if len(clauses_out) > 1 else clauses_out[0]
+        return ([bq] if isinstance(bq, str) else list(bq)) + clauses_out
 
     def _mids_fq(self, query, mode, fq) -> DataFrame:
         """match set of ``query`` intersected with the ``fq`` filter set
@@ -3501,9 +3581,21 @@ class FieldedIndex:
         bf: str | None = None,
         boost: str | None = None,
         fq: str | list[str] | None = None,
-        bq: str | None = None,
+        bq: str | list[str] | None = None,
+        pf: str | dict[str, float] | None = None,
+        ps: int = 0,
     ) -> DataFrame:
-        """``bq``: Solr edismax boost query — an additive fielded scoring
+        """``pf``/``ps``: edismax phrase-boost fields — the query's
+        positive plain tokens (in query order) form an implicit
+        ordered-window phrase (slop ``ps``) over each pf field, whose
+        BM25F score is ADDED to matching docs, boosted per field.
+        ``pf`` is a field name or {field: boost}; folded into ``bq``
+        clauses (``f:"tok tok"~ps^boost``) so every composition bq
+        supports holds.  Multiple pf fields SUM their phrase scores —
+        the named deviation from Lucene's dismax max.  Skipped for
+        single-token queries, like Solr.
+
+        ``bq``: Solr edismax boost query — an additive fielded scoring
         clause (``lang:en^2.0`` shapes): docs matching it gain its BM25F
         score on top of the main query's (``final = q + bq``, then
         ``(q+bq+bf)·boost`` under function boosts — Solr's edismax
@@ -3536,8 +3628,11 @@ class FieldedIndex:
         keyset paging for sorted results — the last row's (sort values…,
         doc_id); deep pages cost the same as page 1."""
         k = min(k, self.n_docs)  # see InvertedIndex.search: unclamped limit(k) OOMs
+        if pf is not None:
+            bq = self._fold_pf(query, pf, ps, bq)
+            pf = None
         if bq is not None and (sort is not None or after is not None):
-            raise ValueError("bq= composes with fl/fq/offset/bf/boost, not sort/after")
+            raise ValueError("bq=/pf= compose with fl/fq/offset/bf/boost, not sort/after")
         if bf is not None or boost is not None:
             # Solr function-query boosts (edismax bf/boost) — same shared
             # plan as the flat engine; score_matches handles the full

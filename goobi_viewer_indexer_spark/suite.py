@@ -471,6 +471,17 @@ SELECT q.doc_id, round(q.score + coalesce(b.score, 0.0), 6) AS score
 FROM qsc q LEFT JOIN bsc b USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """.strip()),
+    # pf (round 5b): edismax phrase boost — docs containing the whole query
+    # as an ordered-window phrase (ps=3) score ×(1+pf) (bag-scoring
+    # collapse of Solr's additive q + pf·phrase(q))
+    ("pf", f"""
+WITH qsc AS ({naive_bm25.bm25_topk_sql(["table", "spark"], k=1000000, mode="or")}),
+win AS (SELECT doc_id FROM ({naive_bm25.bm25_phrase_topk_sql(["table", "spark"], k=1000000, slop=3)}))
+SELECT q.doc_id,
+       round(q.score * (1.0 + CASE WHEN w.doc_id IS NOT NULL THEN 2.0 ELSE 0.0 END), 6) AS score
+FROM qsc q LEFT JOIN win w USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""".strip()),
     ("groups", naive_bm25.bm25_boolean_topk_sql([["spark", "window"], ["value"]], [["join"]], k=10)),
     ("not", naive_bm25.bm25_boolean_topk_sql([["table"], ["join"]], [["spark"]], k=10)),
     ("range", naive_bm25.bm25_boolean_range_sql("table", "sa", "sz", k=10)),
@@ -491,6 +502,7 @@ def q_bool_matrix(spark, sf_dir):
     return _union_tagged([
         ("bq", idx.search(Q_MIXED3, k=10, mode="or", bq=["table", "join"])),
         ("fq", idx.search(Q_MIXED3, k=10, mode="or", fq="table -join")),
+        ("pf", idx.search(["table", "spark"], k=10, mode="or", pf=2.0, ps=3)),
         ("groups", idx.search_boolean("(spark window) value -join", k=10)),
         ("not", idx.search_boolean("table join -spark", k=10)),
         ("range", idx.search_boolean("table [sa TO sz]", k=10)),
@@ -889,6 +901,17 @@ SELECT q.doc_id, round(q.score + coalesce(b.score, 0.0), 6) AS score
 FROM qsc q LEFT JOIN bsc b USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """.strip()),
+    # pf (round 5b): edismax phrase-boost field over a fielded AND query —
+    # the implicit text:"table spark"~3^2.0 phrase score adds on (bq fold)
+    ("pf", f"""
+WITH qsc AS ({naive_bm25.bm25f_topk_sql([("text", "table"), ("text", "spark")], k=1000000, mode="and")}),
+bsc AS ({naive_bm25.bm25f_topk_sql(
+    [("text", "table"), ("text", "spark")], k=1000000, mode="and",
+    boosts=dict(text=2.0), phrase_filters=[("text", ["table", "spark"], 3)])})
+SELECT q.doc_id, round(q.score + coalesce(b.score, 0.0), 6) AS score
+FROM qsc q LEFT JOIN bsc b USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""".strip()),
     # fq (round 5b): fielded filter queries (lang term + dictionary-routed
     # nch range) — membership only, score stays text:spark's BM25F
     ("fq", naive_bm25.bm25f_topk_sql(
@@ -909,6 +932,7 @@ def q_bm25f_matrix(spark, sf_dir):
         ("and", fidx.search(F_AND_PAIRS, k=10, mode="and")),
         ("bq", fidx.search("text:spark", k=10, bq="lang:en^2.0")),
         ("fq", fidx.search("text:spark", k=10, fq=["lang:en", "nch:[120 TO 400]"])),
+        ("pf", fidx.search("text:table AND text:spark", k=10, pf={"text": 2.0}, ps=3)),
         ("or_boosted", fidx.search(F_OR_PAIRS, k=10, mode="or", boosts=F_OR_BOOSTS)),
         ("point", fidx.search([("source", "src42")], k=5)),
     ]).orderBy("qtag", F.desc("score"), "doc_id")

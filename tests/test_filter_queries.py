@@ -293,3 +293,42 @@ def test_bq_sort_guard(idx, fidx):
         idx.search(Q, k=5, mode="or", bq="table", sort="source asc")
     with pytest.raises(ValueError, match="bq="):
         fidx.search("text:spark", k=5, bq="lang:en", sort="source asc")
+
+
+# ---- pf/ps (edismax phrase-boost fields, round 5b) -----------------------
+
+
+def test_flat_pf_scales_window_matches(idx):
+    q = ["table", "spark"]
+    qs = {r["doc_id"]: r["score"] for r in idx.score_matches(q, mode="or").collect()}
+    win = {r["doc_id"] for r in idx.search_phrase(q, k=10**6, slop=3).collect()}
+    want = sorted(
+        ((d, round(s * (1 + (2.0 if d in win else 0.0)), 6)) for d, s in qs.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = [tuple(r) for r in idx.search(q, k=10, mode="or", pf=2.0, ps=3).collect()]
+    assert got == want and len(got) > 0
+    assert any(d in win for d, _ in got)  # boosted docs actually surface
+    # single-token query: pf is a no-op (Solr skips pf there)
+    a = [tuple(r) for r in idx.search(["table"], k=10, mode="or", pf=5.0, ps=2).collect()]
+    b = [tuple(r) for r in idx.search(["table"], k=10, mode="or").collect()]
+    assert a == b
+
+
+def test_fielded_pf_folds_into_bq(fidx):
+    got = [tuple(r) for r in fidx.search("text:table AND text:spark", k=10, pf="text", ps=3).collect()]
+    want = [tuple(r) for r in fidx.search("text:table AND text:spark", k=10, bq='text:"table spark"~3').collect()]
+    assert got == want and len(got) > 0
+    # dict boost + merge with an existing bq clause (sum of boosts)
+    got2 = [tuple(r) for r in fidx.search(
+        "text:table AND text:spark", k=10, pf={"text": 2.0}, ps=3, bq="lang:en").collect()]
+    want2 = [tuple(r) for r in fidx.search(
+        "text:table AND text:spark", k=10, bq=["lang:en", 'text:"table spark"~3^2.0']).collect()]
+    assert got2 == want2
+
+
+def test_pf_sort_guard(idx, fidx):
+    with pytest.raises(ValueError, match="pf="):
+        idx.search(Q, k=5, mode="or", pf=2.0, sort="source asc")
+    with pytest.raises(ValueError, match="bq=/pf="):
+        fidx.search("text:spark AND text:table", k=5, pf="text", sort="source asc")
