@@ -2219,14 +2219,75 @@ class LocalSearcher:
         self._merged_memo[t] = L
         return L
 
+    def _fq_members(self, fq) -> np.ndarray:
+        """Sorted member ids of the combined filter set — driver-side twin
+        of :meth:`InvertedIndex.fq_ids` (same normalization: a boolean
+        filter string or a list of them intersected; a plain term list =
+        one AND filter).  Matching runs the local boolean kernel."""
+        if isinstance(fq, str):
+            filters: list = [fq]
+        elif isinstance(fq, list) and fq and all(isinstance(f, str) for f in fq) \
+                and not any(any(ch in f for ch in ' -*:["(') for f in fq):
+            filters = [fq]  # plain term list = one AND filter
+        else:
+            filters = list(fq)
+        if not filters:
+            raise ValueError("empty fq")
+        out: np.ndarray | None = None
+        hi = self.doclens.size - 1
+        for f in filters:
+            parsed = parse_boolean_query(f) if isinstance(f, str) else ([[t] for t in sorted(set(f))], [])
+            expanded = expand_boolean_wildcards(parsed[0], parsed[1], self.index.expand_prefix,
+                                                self.index.expand_range)
+            if expanded is None:
+                ids = np.zeros(0, np.int64)
+            else:
+                groups, negs, _const = expanded
+                self._rows_for(sorted({t for g in groups + negs for t in g}))
+                groups_tl, negs_tl, dead = [], [], False
+                for g in groups:
+                    lists = [(L, []) for t in g if (L := self._merged_list(t)) is not None]
+                    if not lists:
+                        dead = True
+                        break
+                    groups_tl.append(lists)
+                if dead:
+                    ids = np.zeros(0, np.int64)
+                else:
+                    for ng in negs:
+                        lists = [(L, []) for t in ng if (L := self._merged_list(t)) is not None]
+                        if lists:
+                            negs_tl.append(lists)
+                    ids = wand.match_docs_boolean(
+                        groups_tl, negs_tl, 0, hi,
+                        deleted=self.deleted if self.deleted.size else None,
+                    )
+            out = ids if out is None else np.intersect1d(out, ids, assume_unique=True)
+            if out.size == 0:
+                break
+        return out
+
     def search(self, query: str | list[str], k: int = 10, mode: str = "or",
                after: tuple[float, int] | None = None,
-               min_match: int = 1) -> list[tuple[int, float]]:
+               min_match: int = 1, fq: str | list | None = None) -> list[tuple[int, float]]:
         self._ensure_fresh()
+        if fq is not None and mode == "phrase":
+            raise ValueError("fq= with mode='phrase' is not supported on the flat engine — use FieldedIndex")
         if mode == "phrase":
             if after is not None:
                 raise ValueError("after= (cursor paging) applies to plain and/or score queries only")
             return self.search_phrase(query, k=k)
+        deleted = self.deleted
+        if fq is not None:
+            # fq filters MEMBERSHIP, never scores: merge the member set's
+            # COMPLEMENT into the kernels' deleted filter — pruning stays
+            # exact (θ only tracks qualifying docs, the dv-mask argument),
+            # rank-identical to the distributed semi-join
+            members = self._fq_members(fq)
+            mask = np.zeros(self.doclens.size, dtype=bool)
+            mask[members[members < self.doclens.size]] = True
+            excl = np.flatnonzero(~mask).astype(np.int64)
+            deleted = np.union1d(deleted, excl) if deleted.size else excl
         terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
         self._rows_for(terms)
         lists = []
@@ -2243,7 +2304,7 @@ class LocalSearcher:
         docs, scores = wand.score_topk(
             lists, dl, self.index.avgdl_live, self.meta["k1"], self.meta["b"], k, mode,
             0, self.doclens.size - 1,
-            deleted=self.deleted if self.deleted.size else None,
+            deleted=deleted if deleted.size else None,
             ub_scale=self.index.ub_scale, after=after, min_match=min_match,
         )
         return [(int(d), wand.round6f(s)) for d, s in zip(docs, scores)]
@@ -4216,10 +4277,108 @@ class LocalFieldedSearcher:
         self._merged[t] = L
         return L
 
-    def search(self, query, k: int = 10, mode: str = "or", boosts: dict[str, float] | None = None) -> list[tuple[int, float]]:
+    def _fq_members(self, fq) -> np.ndarray:
+        """Sorted member ids of the combined fielded filter set — the
+        driver-side twin of :meth:`FieldedIndex.fq_ids` (fielded query
+        strings intersected when a list; dv-routed ranges supported via
+        the cached stored columns).  OR-mode dv disjuncts mixed with term
+        clauses raise, like :meth:`search`."""
+        filters = [fq] if isinstance(fq, str) else list(fq)
+        if not filters:
+            raise ValueError("empty fq")
+        out: np.ndarray | None = None
+        n = max(a.size for a in self.doclens.values())
+        for f in filters:
+            query, fmode, dv_pos, dv_neg = self.index._split_dv(f, "and")
+            keep: np.ndarray | None = None
+            if dv_pos or dv_neg:
+                if fmode == "or" and dv_pos and any(not c.neg for c in query):
+                    raise ValueError(
+                        "OR-mode doc-values range disjuncts in fq — use FieldedIndex")
+                if fmode == "or" and dv_pos:
+                    keep = np.zeros(n, dtype=bool)
+                    for c in dv_pos:
+                        keep |= self._dv_mask(c)
+                else:
+                    keep = np.ones(n, dtype=bool)
+                    for c in dv_pos:
+                        keep &= self._dv_mask(c)
+                for c in dv_neg:
+                    keep &= ~self._dv_mask(c)
+            if keep is not None and not any(not c.neg for c in query):
+                # pure-dv filter (residual clauses, if any, are negative)
+                if query:
+                    raise ValueError(
+                        "pure doc-values fq with residual negative clauses — use FieldedIndex")
+                ids = np.flatnonzero(keep).astype(np.int64)
+                if self.deleted.size:
+                    ids = ids[~np.isin(ids, self.deleted, assume_unique=True)]
+            else:
+                tagged_weights, pmode, groups, negs = _fielded_query_parts(
+                    self.index.fields, query, fmode, None, expand=self._expand_memo,
+                    expand_fuzzy=self._expand_fuzzy_memo, expand_range=self._expand_range_memo,
+                )
+                if not tagged_weights:
+                    ids = np.zeros(0, np.int64)
+                else:
+                    if groups is None:
+                        # plain and/or → boolean-group form (match_ids's
+                        # construction): AND = one group per term, OR = a
+                        # single OR-group
+                        if pmode == "and":
+                            groups = [[(t, [])] for t in sorted(tagged_weights)]
+                        else:
+                            groups = [[(t, []) for t in sorted(tagged_weights)]]
+                        negs = []
+                        bmode = "and"
+                    else:
+                        bmode = "or" if pmode == "boolean_or" else "and"
+                    self._rows_for(sorted({t for g in groups + negs for t, _ in g}))
+                    groups_tl, negs_tl, dead = [], [], False
+                    for g in groups:
+                        is_phrase = any(offs for _, offs in g)
+                        ent = wand.regroup(g, [(L, offs) for t, offs in g
+                                               if (L := self._merged_list(t)) is not None])
+                        if (is_phrase and len(ent) < len(g)) or not ent:
+                            if bmode == "or":
+                                continue
+                            dead = True
+                            break
+                        groups_tl.append(ent)
+                    if dead or not groups_tl:
+                        ids = np.zeros(0, np.int64)
+                    else:
+                        for g in negs:
+                            ent = wand.regroup(g, [(L, offs) for t, offs in g
+                                                   if (L := self._merged_list(t)) is not None])
+                            if ent and not (any(offs for _, offs in g) and len(ent) < len(g)):
+                                negs_tl.append(ent)
+                        ids = wand.match_docs_boolean(
+                            groups_tl, negs_tl, 0, n - 1,
+                            deleted=self.deleted if self.deleted.size else None, mode=bmode,
+                        )
+                if keep is not None:
+                    ids = ids[keep[ids]]
+            out = ids if out is None else np.intersect1d(out, ids, assume_unique=True)
+            if out.size == 0:
+                break
+        return out
+
+    def search(self, query, k: int = 10, mode: str = "or", boosts: dict[str, float] | None = None,
+               fq: str | list[str] | None = None) -> list[tuple[int, float]]:
         from dataclasses import replace
 
         self._ensure_fresh()
+        fq_mask = None
+        if fq is not None:
+            # fq filters MEMBERSHIP, never scores: the member set's
+            # complement merges into the kernels' deleted filter below
+            # (pruning stays exact — the dv-mask argument), rank-identical
+            # to the distributed semi-join
+            n_all = max(a.size for a in self.doclens.values())
+            members = self._fq_members(fq)
+            fq_mask = np.zeros(n_all, dtype=bool)
+            fq_mask[members[members < n_all]] = True
         # doc-values range routing (round 5): same _split_dv policy as the
         # distributed engine — registered docvalues_fields or an
         # expansion-overflow fallback route to the cached stored columns;
@@ -4227,6 +4386,8 @@ class LocalFieldedSearcher:
         # kernels' deleted filter, so scoring/pruning stays exact
         query, mode, dv_pos, dv_neg = self.index._split_dv(query, mode)
         extra_del = None
+        if fq_mask is not None:
+            extra_del = np.flatnonzero(~fq_mask).astype(np.int64)
         if dv_pos or dv_neg:
             if mode == "or" and dv_pos and any(not c.neg for c in query):
                 # an OR-mode range disjunct ADDS zero-score members beyond
@@ -4260,7 +4421,11 @@ class LocalFieldedSearcher:
                     )
                 if self.deleted.size:
                     keep[self.deleted[self.deleted < n]] = False
+                if fq_mask is not None:
+                    keep &= fq_mask[:n]
                 return [(int(d), 0.0) for d in np.flatnonzero(keep)[:k]]
+            if fq_mask is not None:
+                keep &= fq_mask[:n]  # compose fq with the dv exclusions
             extra_del = np.flatnonzero(~keep).astype(np.int64)
         tagged_weights, mode, groups, negs = _fielded_query_parts(
             self.index.fields, query, mode, boosts, expand=self._expand_memo,

@@ -307,3 +307,17 @@ def test_dv_membership_excludes_tombstoned_docs(spark, docs, tmp_path):
     # the OR union path drops it too: score-0 disjunct members are live-only
     or_ids = sorted(r["doc_id"] for r in h2.match_ids("text:table OR nch:[150 TO 400]").collect())
     assert victim not in or_ids
+
+
+def test_local_fq_dv_routed_range(docs, dvidx):
+    """Local-searcher fq with a doc-values-routed range filter (round 5b):
+    the member set comes from the cached stored columns, parity with the
+    distributed semi-join."""
+    floc = dvidx.open_local()
+    for q, fq in [
+        ("text:value", "nch:[120 TO 4000]"),
+        ("text:value", "text:table AND nch:[120 TO 4000]"),
+    ]:
+        d_res = [tuple(r) for r in dvidx.search(q, k=10, fq=fq).collect()]
+        assert floc.search(q, k=10, fq=fq) == d_res, fq
+        assert len(d_res) > 0

@@ -332,3 +332,36 @@ def test_pf_sort_guard(idx, fidx):
         idx.search(Q, k=5, mode="or", pf=2.0, sort="source asc")
     with pytest.raises(ValueError, match="bq=/pf="):
         fidx.search("text:spark AND text:table", k=5, pf="text", sort="source asc")
+
+
+# ---- local-searcher fq (round 5b — closes the documented gap) -------------
+
+
+def test_local_flat_fq_parity(idx):
+    loc = idx.open_local()
+    for q, mode, fq in [
+        (Q, "or", "table -join"),
+        (Q, "or", ["table", "scan"]),              # plain term list = AND filter
+        (["table", "join"], "and", "(spark value) -window"),
+        (Q, "or", ["table -join", "scan"]),        # filter list intersects
+    ]:
+        d_res = [tuple(r) for r in idx.search(q, k=10, mode=mode, fq=fq).collect()]
+        assert loc.search(q, k=10, mode=mode, fq=fq) == d_res, fq
+        assert len(d_res) > 0
+    with pytest.raises(ValueError, match="phrase"):
+        loc.search(["table", "join"], k=5, mode="phrase", fq="scan")
+
+
+def test_local_fielded_fq_parity(fidx):
+    floc = fidx.open_local()
+    for q, fq in [
+        ("text:value", "lang:en"),
+        ("text:value", 'text:"table spark"~3'),     # sloppy phrase filter
+        ("text:value", ["lang:en", "text:table"]),
+        ("text:table AND text:join", "text:spark OR text:window"),
+        ("text:value", "lang:en AND -text:join"),
+        ("text:value", "text:s*"),
+    ]:
+        d_res = [tuple(r) for r in fidx.search(q, k=10, fq=fq).collect()]
+        assert floc.search(q, k=10, fq=fq) == d_res, fq
+        assert len(d_res) > 0
