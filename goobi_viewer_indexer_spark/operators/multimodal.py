@@ -16,9 +16,12 @@ Decode modes:
   raster decode);
 * ``decode="fake"`` — deterministic seeded decode (the test twin for
   pipelines whose assets are synthetic noise);
-* ``decode="real"`` — full raster/audio decode: raises
-  NotImplementedError at the exact point a PIL/ffmpeg call would slot in
-  (those libs aren't in this container).
+* ``decode="real"`` (round 5b) — REAL stdlib decode where the codec
+  allows: PNG rasters (zlib inflate + all five scanline filters), 24-bit
+  BMP rasters, WAV PCM audio (:func:`decode_png`/:func:`decode_bmp`/
+  :func:`decode_wav`).  Codecs that genuinely need external libraries
+  (JPEG/GIF rasters, compressed audio, video frames) are FLAGGED
+  (``ok=False`` / NotImplementedError at the exact slot) — never faked.
 
 Scale notes: assets stay in executor-side Arrow batches end to end (never
 collected); feature extraction is a narrow map, so the only shuffle in a
@@ -47,10 +50,16 @@ FRAMES_SCHEMA = "asset_id long, frame_idx int, frame_ms int, frame_data binary"
 
 __all__ = [
     "ASSET_SCHEMA",
+    "AUDIO_SCHEMA",
     "synth_assets",
     "synth_image_bytes",
+    "synth_wav_bytes",
     "probe_image_size",
+    "decode_png",
+    "decode_bmp",
+    "decode_wav",
     "decode_assets",
+    "decode_audio",
     "extract_features",
     "sample_frames",
 ]
@@ -134,6 +143,150 @@ def synth_image_bytes(w: int, h: int, fmt: str = "png") -> bytes:
     raise ValueError(f"unknown format {fmt!r}")
 
 
+def synth_wav_bytes(n_samples: int = 8000, rate: int = 8000, n_channels: int = 1,
+                    seed: int = 0) -> bytes:
+    """A REAL, spec-valid 16-bit PCM WAV (stdlib ``wave``) — seeded noise
+    samples; test twin for :func:`decode_wav`."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32767, n_samples * n_channels, dtype=np.int64).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL WAV PCM decode, stdlib ``wave`` + numpy: (sample_rate,
+    n_channels, float32 samples in [-1, 1], shape (n_frames, n_channels)).
+    None = not a parseable PCM WAV.  8/16/32-bit integer PCM supported
+    (the WAV container's compressed codecs would need external libs)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            nch, sw, rate, nframes = w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+            raw = w.readframes(nframes)
+    except (wave.Error, EOFError):
+        return None
+    if sw == 1:  # unsigned 8-bit
+        arr = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 2:
+        arr = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        arr = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        return None
+    n = arr.size // max(nch, 1)
+    return rate, nch, arr[: n * nch].reshape(n, nch)
+
+
+def decode_png(data: bytes) -> np.ndarray | None:
+    """REAL PNG raster decode, stdlib zlib + numpy unfiltering — returns a
+    (h, w, channels) uint8 array.  Supports 8-bit depth, color types
+    gray/RGB/palette/gray+alpha/RGBA, all five scanline filters (None,
+    Sub, Up, Average, Paeth), multi-IDAT streams.  None = not a PNG;
+    raises NotImplementedError for interlaced or non-8-bit images (rare
+    shapes a production decoder would delegate to libpng).  Filters 0-2
+    vectorize whole-row; Average/Paeth recurse along x (per-pixel numpy
+    over channels) — fine for the asset sizes this pipeline batches."""
+    import struct
+    import zlib
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, meta, plte = 8, [], None, None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[pos: pos + 8])
+        payload = data[pos + 8: pos + 8 + ln]
+        if typ == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", payload)
+        elif typ == b"IDAT":
+            idat.append(payload)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None or not idat:
+        return None
+    w, h, depth, ctype, _comp, _filt, interlace = meta
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError("PNG bit depth != 8 / Adam7 interlace — delegate to libpng")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None or (ctype == 3 and plte is None):
+        return None
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), np.uint16)
+    prev = np.zeros(stride, np.uint16)
+    i = 0
+    for y in range(h):
+        f = raw[i]
+        row = np.frombuffer(raw, np.uint8, stride, i + 1).astype(np.uint16)
+        i += 1 + stride
+        if f == 0:
+            cur = row
+        elif f == 1:  # Sub: out[x] = raw[x] + out[x-bpp] → cumsum per channel
+            cur = (np.cumsum(row.reshape(w, nch), axis=0, dtype=np.uint64) % 256).reshape(stride).astype(np.uint16)
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: sequential in x, vector over channels
+            cur = np.zeros(stride, np.uint16)
+            for x in range(w):
+                s = slice(x * nch, (x + 1) * nch)
+                a = cur[(x - 1) * nch: x * nch] if x else np.zeros(nch, np.uint16)
+                b = prev[s]
+                if f == 3:
+                    cur[s] = (row[s] + (a + b) // 2) % 256
+                else:
+                    c = prev[(x - 1) * nch: x * nch] if x else np.zeros(nch, np.uint16)
+                    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                    cur[s] = (row[s] + pred) % 256
+        else:
+            return None
+        out[y] = cur
+        prev = cur
+    img = out.astype(np.uint8).reshape(h, w, nch)
+    if ctype == 3:
+        idx = img[:, :, 0]
+        safe = np.minimum(idx, len(plte) - 1)
+        img = plte[safe]
+    return img
+
+
+def decode_bmp(data: bytes) -> np.ndarray | None:
+    """REAL uncompressed 24-bit BMP raster decode (numpy): (h, w, 3) uint8
+    RGB.  Bottom-up and top-down DIBs, 4-byte row padding; None for other
+    BMP variants (RLE/16-bit need more of the spec than this pipeline's
+    assets use)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    rows, stride = abs(h), (w * 3 + 3) & ~3
+    if len(data) < off + rows * stride:
+        return None
+    arr = np.frombuffer(data, np.uint8, rows * stride, off).reshape(rows, stride)
+    img = arr[:, : w * 3].reshape(rows, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if h > 0 else img  # bottom-up → top-down
+
+
 def synth_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic fake binary assets (for tests/bench — no external data)."""
 
@@ -171,19 +324,35 @@ def _fake_decode(data: bytes) -> tuple[int, int, int]:
 
 def decode_assets(assets: DataFrame, decode: str = "fake") -> DataFrame:
     """Decode step (mapInPandas).  ``decode='headers'`` parses real image
-    headers (see :func:`probe_image_size`); ``decode='real'`` is the marked
-    full-raster stub."""
+    headers (see :func:`probe_image_size`); ``decode='real'`` (round 5b)
+    runs the REAL stdlib raster decoders — :func:`decode_png` (zlib +
+    full unfiltering) and :func:`decode_bmp` — and flags assets whose
+    codec needs an external library (JPEG/GIF rasters) with ``ok=False``
+    rather than faking them."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if decode == "real":
-                raise NotImplementedError(
-                    "full raster decode requires PIL/ffmpeg (not in this container); "
-                    "plug the decoder in here — the Spark plumbing is complete"
-                )
             out = {"asset_id": pdf["asset_id"], "kind": pdf["kind"], "width": [], "height": [], "n_channels": [], "ok": []}
             for d in pdf["data"]:
-                if decode == "headers":
+                if decode == "real":
+                    # REAL raster decode for the codecs stdlib can carry
+                    # (PNG via zlib+unfilter, uncompressed 24-bit BMP);
+                    # JPEG/GIF rasters need libjpeg/giflib — those assets
+                    # come back ok=False (flagged, never faked)
+                    img = decode_png(bytes(d))
+                    if img is None:
+                        img = decode_bmp(bytes(d))
+                    if img is None:
+                        out["width"].append(0)
+                        out["height"].append(0)
+                        out["n_channels"].append(0)
+                        out["ok"].append(False)
+                    else:
+                        out["width"].append(int(img.shape[1]))
+                        out["height"].append(int(img.shape[0]))
+                        out["n_channels"].append(int(img.shape[2]))
+                        out["ok"].append(True)
+                elif decode == "headers":
                     probed = probe_image_size(bytes(d))
                     if probed is None:
                         out["width"].append(0)
@@ -215,16 +384,91 @@ def extract_features(assets: DataFrame, dim: int = FEATURE_DIM, decode: str = "f
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if decode == "real":
-                raise NotImplementedError("plug the real encoder here")
             feats = []
             for d in pdf["data"]:
+                if decode == "real":
+                    feats.append(_real_features(bytes(d), dim))
+                    continue
                 seed = int.from_bytes(hashlib.sha256(bytes(d)).digest()[:8], "big") % (2**32)
                 v = np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
                 feats.append((v / np.linalg.norm(v)).tolist())
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "kind": pdf["kind"], "features": feats})
 
     return assets.mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def _real_features(data: bytes, dim: int) -> list[float]:
+    """REAL content features (round 5b) for stdlib-decodable assets: a
+    block-mean downsampled grid of the PNG/BMP raster (or the WAV
+    waveform), unit-normalized and padded/truncated to ``dim``.  Assets
+    whose codec needs an external library get the all-zero vector —
+    flagged, never faked (a learned encoder would slot in here)."""
+    img = decode_png(data)
+    if img is None:
+        img = decode_bmp(data)
+    if img is not None:
+        h, w, c = img.shape
+        g = max(1, int(np.sqrt(max(dim // max(c, 1), 1))))
+        ys = np.linspace(0, h, g + 1, dtype=int)
+        xs = np.linspace(0, w, g + 1, dtype=int)
+        cells = [
+            img[ys[i]: max(ys[i + 1], ys[i] + 1), xs[j]: max(xs[j + 1], xs[j] + 1)].mean(axis=(0, 1))
+            for i in range(g)
+            for j in range(g)
+        ]
+        v = (np.concatenate(cells).astype(np.float64) / 255.0) - 0.5
+    else:
+        wav = decode_wav(data)
+        if wav is None:
+            return [0.0] * dim
+        _rate, _nch, samples = wav
+        mono = samples.mean(axis=1)
+        edges = np.linspace(0, mono.size, dim + 1, dtype=int)
+        v = np.array([
+            float(np.sqrt(np.mean(np.square(mono[a:b])))) if b > a else 0.0
+            for a, b in zip(edges[:-1], edges[1:])
+        ])
+    out = np.zeros(dim, dtype=np.float64)
+    out[: min(dim, v.size)] = v[:dim]
+    n = np.linalg.norm(out)
+    return (out / n if n > 0 else out).astype(np.float32).tolist()
+
+
+AUDIO_SCHEMA = "asset_id long, sample_rate int, n_channels int, n_samples long, duration_ms int, rms double, ok boolean"
+
+
+def decode_audio(assets: DataFrame) -> DataFrame:
+    """REAL audio decode step (round 5b, mapInPandas): WAV PCM via stdlib
+    ``wave`` + numpy — per asset the stream parameters plus the RMS level
+    computed from the decoded samples.  Non-WAV audio (or non-audio kinds)
+    comes back ``ok=False`` — compressed codecs would need ffmpeg and are
+    flagged, never faked."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "sample_rate": [], "n_channels": [], "n_samples": [],
+                   "duration_ms": [], "rms": [], "ok": []}
+            for aid, d in zip(pdf["asset_id"], pdf["data"]):
+                wav = decode_wav(bytes(d))
+                out["asset_id"].append(int(aid))
+                if wav is None:
+                    out["sample_rate"].append(0)
+                    out["n_channels"].append(0)
+                    out["n_samples"].append(0)
+                    out["duration_ms"].append(0)
+                    out["rms"].append(0.0)
+                    out["ok"].append(False)
+                else:
+                    rate, nch, samples = wav
+                    out["sample_rate"].append(int(rate))
+                    out["n_channels"].append(int(nch))
+                    out["n_samples"].append(int(samples.shape[0]))
+                    out["duration_ms"].append(int(samples.shape[0] * 1000 / max(rate, 1)))
+                    out["rms"].append(float(np.sqrt(np.mean(np.square(samples)))) if samples.size else 0.0)
+                    out["ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(fn, AUDIO_SCHEMA)
 
 
 def sample_frames(assets: DataFrame, every_ms: int = 10000, max_frames: int = 8, decode: str = "fake") -> DataFrame:

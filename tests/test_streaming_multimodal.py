@@ -92,8 +92,10 @@ def test_multimodal_pipeline(spark):
     frames = sample_frames(assets).collect()
     assert all(r["asset_id"] % 3 == 2 for r in frames)  # only 'video' kind
 
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        decode_assets(assets, decode="real").collect()
+    # decode='real' (round 5b): synthetic noise has no decodable codec —
+    # every asset comes back FLAGGED (ok=False), never faked or raised
+    real = decode_assets(assets, decode="real").collect()
+    assert len(real) == 30 and all(not r["ok"] and r["width"] == 0 for r in real)
 
 
 def test_debounced_stable_files_stateful(spark, tmp_path):
@@ -222,3 +224,98 @@ def test_probe_image_size_real_headers(spark):
     idat_len = struct.unpack(">I", png[33:37])[0]
     raw = zlib.decompress(png[41:41 + idat_len])
     assert len(raw) == 4 * (1 + 8 * 3)
+
+
+# ---- real stdlib decoders (round 5b: PNG/BMP rasters, WAV PCM) -----------
+
+
+def test_decode_png_all_filters_roundtrip():
+    """Hand-encoded PNG exercising every scanline filter (None/Sub/Up/
+    Average/Paeth) decodes back to the exact raster."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from goobi_viewer_indexer_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(7)
+    h, w, nch = 6, 5, 3
+    raster = rng.integers(0, 256, (h, w, nch), dtype=np.uint8)
+    rows, prev = [], np.zeros(w * nch, np.int32)
+    for y in range(h):
+        cur = raster[y].reshape(-1).astype(np.int32)
+        f = [0, 1, 2, 3, 4, 2][y]
+        a = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            enc = (cur - a) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            enc = (cur - (a + prev) // 2) % 256
+        else:
+            c = np.concatenate([np.zeros(nch, np.int32), prev[:-nch]])
+            p = a + prev - c
+            pa, pb, pc = abs(p - a), abs(p - prev), abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c))
+            enc = (cur - pred) % 256
+        rows.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+
+    def chunk(t, p):
+        return struct.pack(">I", len(p)) + t + p + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), raster)
+
+
+def test_real_decode_pipeline_on_spark(spark):
+    """decode='real' (round 5b): PNG/BMP assets decode to true dimensions,
+    WAV audio decodes to true stream params + RMS, undecodable codecs are
+    flagged ok=False — all through the mapInPandas plumbing."""
+    import numpy as np
+
+    from goobi_viewer_indexer_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        decode_assets,
+        decode_audio,
+        decode_wav,
+        extract_features,
+        synth_image_bytes,
+        synth_wav_bytes,
+    )
+
+    rows = [
+        (1, "image", bytearray(synth_image_bytes(11, 7, "png")), ("image/png", 11, 7, 0)),
+        (2, "image", bytearray(b"\xffnotanimage"), ("application/octet-stream", 0, 0, 0)),
+        (3, "audio", bytearray(synth_wav_bytes(2000, 8000, 2, seed=5)), ("audio/wav", 0, 0, 250)),
+        (4, "audio", bytearray(b"junkjunk"), ("audio/flac", 0, 0, 99)),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+
+    dec = {r["asset_id"]: r for r in decode_assets(assets, decode="real").collect()}
+    assert (dec[1]["width"], dec[1]["height"], dec[1]["n_channels"], dec[1]["ok"]) == (11, 7, 3, True)
+    assert dec[2]["ok"] is False and dec[2]["width"] == 0
+
+    aud = {r["asset_id"]: r for r in decode_audio(assets.filter("kind = 'audio'")).collect()}
+    assert aud[3]["ok"] and (aud[3]["sample_rate"], aud[3]["n_channels"], aud[3]["n_samples"]) == (8000, 2, 2000)
+    assert aud[3]["duration_ms"] == 250
+    _r, _n, samples = decode_wav(bytes(rows[2][2]))
+    assert abs(aud[3]["rms"] - float(np.sqrt(np.mean(np.square(samples))))) < 1e-9
+    assert aud[4]["ok"] is False
+
+    feats = {r["asset_id"]: r["features"] for r in extract_features(assets, decode="real").collect()}
+    v1 = np.array(feats[1])
+    assert abs(np.linalg.norm(v1) - 1.0) < 1e-5          # decodable → unit vector
+    assert np.allclose(feats[2], 0.0)                     # flagged → zero vector
+    assert abs(np.linalg.norm(np.array(feats[3])) - 1.0) < 1e-5  # audio real features
+    # deterministic: same asset bytes → same features
+    feats2 = {r["asset_id"]: r["features"] for r in extract_features(assets, decode="real").collect()}
+    assert feats == feats2
