@@ -1047,9 +1047,10 @@ class InvertedIndex:
         ordered = list(query) if isinstance(query, list) else tokenize_py(query)
         if len(ordered) < 2:
             return scored
-        pids = (
-            self.search_phrase(ordered, k=self.n_live, slop=ps)
-            .select("doc_id", F.lit(True).alias("_pf"))
+        # membership scan, NOT search_phrase(k=n_live): the top-k reduce
+        # would allocate a corpus-capacity heap on the driver
+        pids = self.match_ids_phrase(ordered, slop=ps).select(
+            "doc_id", F.lit(True).alias("_pf")
         )
         return scored.join(pids, "doc_id", "left").select(
             "doc_id",
@@ -1865,19 +1866,45 @@ class InvertedIndex:
         out-of-order matches never qualify (wand._sloppy_keep documents
         the deviation from Lucene's transposition-tolerant scorer)."""
         k = min(k, self.n_live)  # see search(): unclamped limit(k) OOMs
+        local_topk = self._phrase_scored(query, k, slop)
+        if local_topk is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return (
+            local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", F.round("score", 6).alias("score"))
+        )
+
+    def match_ids_phrase(self, query: str | list[str], slop: int = 0) -> DataFrame:
+        """ALL doc_ids whose text contains the (sloppy) phrase — the
+        membership scan behind pf/ps phrase boosts.  Each doc range emits
+        EVERY match (per-range k = range size, the ``return_all``
+        pattern), and there is NO global top-k reduce — unlike
+        :meth:`search_phrase` whose TakeOrderedAndProject would allocate a
+        match-count-capacity heap if asked for everything."""
+        rows = self._phrase_scored(query, None, slop)
+        if rows is None:
+            return self.spark.createDataFrame([], "doc_id long")
+        return rows.select("doc_id")
+
+    def _phrase_scored(self, query, k: int | None, slop: int) -> DataFrame | None:
+        """Shared phrase plumbing: per-range (doc_id, score) rows from the
+        positional kernel.  ``k=None`` = emit every match in each range
+        (membership mode); otherwise per-range local top-k.  None = a
+        query term is unindexed (the phrase provably matches nothing)."""
         ordered = list(query) if isinstance(query, list) else tokenize_py(query)
         meta = self.meta
         n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not ordered:
-            return empty
+            return None
         distinct = list(dict.fromkeys(ordered))
         stats = self.term_stats_for(distinct)
         if any(t not in stats for t in distinct):
-            return empty  # a missing term can never form the phrase
+            return None  # a missing term can never form the phrase
         idfs = {t: wand.idf(n_docs, stats[t][0]) for t in distinct}
         offsets = {t: [i for i, x in enumerate(ordered) if x == t] for t in distinct}
         n_distinct = len(distinct)
+        return_all = k is None
 
         rows = self.postings_for(distinct, with_positions=True).withColumn(
             "rng",
@@ -1904,8 +1931,9 @@ class InvertedIndex:
             if len(by_term) < n_distinct:
                 return emptypdf  # phrase needs every term in this range
             term_offsets = [(by_term[t], offsets[t]) for t in distinct]
+            kk = (hi - lo + 1) if return_all else k
             docs, scores = wand.score_phrase(
-                term_offsets, wand.DenseDoclens(base, lens), avgdl, k1, b, k, lo, hi,
+                term_offsets, wand.DenseDoclens(base, lens), avgdl, k1, b, kk, lo, hi,
                 deleted=deleted, slop=slop,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
@@ -1913,12 +1941,7 @@ class InvertedIndex:
         joined = rows.join(self._doclens, "rng")
         if self._tomb_packed is not None:
             joined = joined.join(self._tomb_packed, "rng", "left")
-        local_topk = joined.groupBy("rng").applyInPandas(score_range, "doc_id long, score double")
-        return (
-            local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .select("doc_id", F.round("score", 6).alias("score"))
-        )
+        return joined.groupBy("rng").applyInPandas(score_range, "doc_id long, score double")
 
     def search_many(self, queries: dict[str, tuple[list[str] | str, str, int]]) -> dict[str, list[tuple[int, float]]]:
         """Batch execution: one distributed job answers every query.
