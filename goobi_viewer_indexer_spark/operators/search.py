@@ -245,7 +245,8 @@ def _facet_range_over(ids, dims, col: str, start: int, end: int, gap: int,
     return out.orderBy("bucket")
 
 
-def _stats_over(ids, dims, stats_col: str, facet_col: str | None = None):
+def _stats_over(ids, dims, stats_col: str, facet_col: str | None = None,
+                percentiles: list[float] | None = None):
     """Shared stats body (Solr stats.field): count / missing / min / max /
     sum / mean / stddev in one long-typed agg row — or one row per value
     of ``facet_col`` (Solr ``stats.facet``: the same stats broken down by
@@ -271,6 +272,17 @@ def _stats_over(ids, dims, stats_col: str, facet_col: str | None = None):
         F.round(F.avg(c), 6).alias("mean"),
         F.round(F.when(nn > 1, F.sqrt(var)), 6).alias("stddev"),
     ]
+    if percentiles:
+        # Solr stats.percentiles — EXACT (Spark `percentile`), not Solr's
+        # t-digest approximation: exactness keeps the DuckDB quantile_cont
+        # oracle bit-identical (linear interpolation matches on integer
+        # doc-values).  percentile_approx is the knob to flip at 100 TB.
+        arr = ", ".join(f"{float(q)!r}D" for q in percentiles)
+        aggs.append(
+            F.expr(
+                f"transform(percentile({stats_col}, array({arr})), x -> round(x, 6))"
+            ).alias("percentiles")
+        )
     if facet_col:
         return j.groupBy(
             F.coalesce(F.col(facet_col).cast("string"), F.lit("")).alias("facet")
@@ -1783,6 +1795,7 @@ class InvertedIndex:
         mode: str = "and",
         facet_col: str | None = None,
         fq: str | list | None = None,
+        percentiles: list[float] | None = None,
     ) -> DataFrame:
         """Solr StatsComponent (``stats=true&stats.field=F``): count /
         missing / min / max / sum / mean / stddev of a numeric column over
@@ -1792,7 +1805,8 @@ class InvertedIndex:
         :meth:`facet_counts`; the match set never leaves the cluster
         (match scan → equi-join → single agg); ``fq`` composes like
         :meth:`facet_counts`."""
-        return _stats_over(self._mids_fq(query, mode, fq), dims, stats_col, facet_col)
+        return _stats_over(self._mids_fq(query, mode, fq), dims, stats_col, facet_col,
+                           percentiles=percentiles)
 
     def facet_range(
         self,
@@ -3136,11 +3150,13 @@ class FieldedIndex:
         mode: str = "and",
         facet_col: str | None = None,
         fq: str | list[str] | None = None,
+        percentiles: list[float] | None = None,
     ) -> DataFrame:
         """Solr stats.field (+ ``stats.facet`` via ``facet_col``) over a
         FIELDED query — same contract as
         :meth:`InvertedIndex.field_stats` (``fq`` included)."""
-        return _stats_over(self._mids_fq(query, mode, fq), dims, stats_col, facet_col)
+        return _stats_over(self._mids_fq(query, mode, fq), dims, stats_col, facet_col,
+                           percentiles=percentiles)
 
     def facet_range(
         self,

@@ -667,7 +667,8 @@ round(avg(v), 6) AS mean,
 round(CASE WHEN count(v) > 1 THEN
   sqrt((sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))
         - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(v))
-       / (count(v) - 1)) END, 6) AS stddev
+       / (count(v) - 1)) END, 6) AS stddev,
+list_transform(quantile_cont(v, [0.25, 0.5, 0.9]), x -> round(x, 6)) AS percentiles
 """.strip()
 
 _FSTATS_MATCH = f"""
@@ -697,9 +698,13 @@ def q_field_stats(spark, sf_dir):
     dims = _load(spark, sf_dir, "documents").select(
         "doc_id", F.size(tokenize_expr("text")).alias("doclen"), "lang"
     )
-    g = idx.field_stats(["table", "join"], dims, "doclen", mode="and")
+    # percentiles (round 5b): Solr stats.percentiles — EXACT (not t-digest)
+    # so the DuckDB quantile_cont oracle is bit-identical on integer dims
+    pct = [0.25, 0.5, 0.9]
+    g = idx.field_stats(["table", "join"], dims, "doclen", mode="and", percentiles=pct)
     return _union_tagged([
-        ("by_lang", idx.field_stats(["table", "join"], dims, "doclen", mode="and", facet_col="lang")),
+        ("by_lang", idx.field_stats(["table", "join"], dims, "doclen", mode="and",
+                                    facet_col="lang", percentiles=pct)),
         ("global", g.select(F.lit("").alias("facet"), "*")),
     ]).orderBy("qtag", "facet")
 

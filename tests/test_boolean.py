@@ -612,3 +612,31 @@ def test_field_stats_single_value_stddev_null(spark, tmp_path):
     r = engine.field_stats(["the"], dims, "v", mode="or").collect()[0]
     assert r["stddev"] is None
     assert r["missing"] == r["n"] - (1 if r["sum"] is not None else 0)
+
+
+def test_field_stats_percentiles_exact(spark, tmp_path):
+    """stats.percentiles (round 5b): EXACT linear-interpolated quantiles
+    against numpy's definition (matching Spark `percentile` and DuckDB
+    quantile_cont), global and per facet value."""
+    import numpy as np
+
+    d = str(tmp_path / "stats_pct_idx")
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_index(docs, d, CFG)
+    engine = InvertedIndex(spark, d)
+    dims = docs.select("doc_id", F.size(tokenize_expr("text")).alias("doclen"), "lang")
+    pct = [0.25, 0.5, 0.9]
+    row = engine.field_stats(["table"], dims, "doclen", mode="and", percentiles=pct).collect()[0]
+    ids = {r["doc_id"] for r in engine.match_ids(["table"], mode="and").collect()}
+    vals = [r["doclen"] for r in dims.collect() if r["doc_id"] in ids]
+    want = [round(float(np.percentile(vals, q * 100)), 6) for q in pct]
+    assert list(row["percentiles"]) == want and len(vals) > 2
+    # facet breakdown carries per-bucket percentiles
+    rows = {r["facet"]: r["percentiles"] for r in engine.field_stats(
+        ["table"], dims, "doclen", mode="and", facet_col="lang", percentiles=pct).collect()}
+    by = {}
+    for r in dims.collect():
+        if r["doc_id"] in ids:
+            by.setdefault(r["lang"] or "", []).append(r["doclen"])
+    for f, v in by.items():
+        assert list(rows[f]) == [round(float(np.percentile(v, q * 100)), 6) for q in pct], f
