@@ -18,10 +18,12 @@ Decode modes:
   pipelines whose assets are synthetic noise);
 * ``decode="real"`` (round 5b) — REAL stdlib decode where the codec
   allows: PNG rasters (zlib inflate + all five scanline filters), 24-bit
-  BMP rasters, WAV PCM audio (:func:`decode_png`/:func:`decode_bmp`/
+  BMP rasters, GIF rasters (pure-python LZW incl. interlacing), WAV PCM
+  audio (:func:`decode_png`/:func:`decode_bmp`/:func:`decode_gif`/
   :func:`decode_wav`).  Codecs that genuinely need external libraries
-  (JPEG/GIF rasters, compressed audio, video frames) are FLAGGED
-  (``ok=False`` / NotImplementedError at the exact slot) — never faked.
+  (JPEG's DCT entropy decode, compressed audio, video frames) are
+  FLAGGED (``ok=False`` / NotImplementedError at the exact slot) —
+  never faked.
 
 Scale notes: assets stay in executor-side Arrow batches end to end (never
 collected); feature extraction is a narrow map, so the only shuffle in a
@@ -57,6 +59,7 @@ __all__ = [
     "probe_image_size",
     "decode_png",
     "decode_bmp",
+    "decode_gif",
     "decode_wav",
     "decode_assets",
     "decode_audio",
@@ -265,6 +268,132 @@ def decode_png(data: bytes) -> np.ndarray | None:
     return img
 
 
+def _gif_lzw(data: bytes, mcs: int, n_expected: int) -> list[int] | None:
+    """GIF-variant LZW decompression (LSB-first bit packing, variable code
+    width mcs+1..12, CLEAR/END codes, 4096-entry table cap) — pure
+    python; cost is linear in output pixels."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    base = [(i,) for i in range(clear)] + [None, None]
+    table = list(base)
+    width = mcs + 1
+    out: list[int] = []
+    prev: tuple | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width and pos < len(data):
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                return None
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) >= n_expected:
+            break
+    return out[:n_expected] if len(out) >= n_expected else None
+
+
+def decode_gif(data: bytes) -> np.ndarray | None:
+    """REAL GIF raster decode (round 5b), pure python/numpy: LZW
+    decompression + palette mapping of the FIRST image frame, Adam-less
+    4-pass interlacing and local color tables included — (h, w, 3) uint8
+    RGB on the logical screen canvas.  None = not a decodable GIF.
+    Animation composition (later frames, disposal methods) is out of
+    scope — the first frame is what a thumbnailer reads."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w = int.from_bytes(data[6:8], "little")
+    h = int.from_bytes(data[8:10], "little")
+    packed = data[10]
+    pos, gct = 13, None
+    if packed >> 7:
+        n = 2 << (packed & 7)
+        if pos + n * 3 > len(data):
+            return None
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                return None
+            ix = int.from_bytes(data[pos + 1: pos + 3], "little")
+            iy = int.from_bytes(data[pos + 3: pos + 5], "little")
+            iw = int.from_bytes(data[pos + 5: pos + 7], "little")
+            ih = int.from_bytes(data[pos + 7: pos + 9], "little")
+            ip = data[pos + 9]
+            pos += 10
+            lct = None
+            if ip >> 7:
+                n = 2 << (ip & 7)
+                if pos + n * 3 > len(data):
+                    return None
+                lct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            if pos >= len(data):
+                return None
+            mcs = data[pos]
+            pos += 1
+            blocks = []
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                blocks.append(data[pos + 1: pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if iw <= 0 or ih <= 0:
+                return None
+            idxs = _gif_lzw(b"".join(blocks), mcs, iw * ih)
+            pal = lct if lct is not None else gct
+            if idxs is None or pal is None:
+                return None
+            img = pal[np.minimum(np.array(idxs, np.int64), len(pal) - 1)].reshape(ih, iw, 3)
+            if ip & 0x40:  # interlaced: stream rows are in 4-pass order
+                rows = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                        + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+                out = np.zeros_like(img)
+                out[rows] = img
+                img = out
+            if (ix, iy, iw, ih) != (0, 0, w, h):
+                canvas = np.zeros((h, w, 3), np.uint8)
+                canvas[iy: iy + ih, ix: ix + iw] = img[: max(h - iy, 0), : max(w - ix, 0)]
+                img = canvas
+            return img
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            return None
+    return None
+
+
 def decode_bmp(data: bytes) -> np.ndarray | None:
     """REAL uncompressed 24-bit BMP raster decode (numpy): (h, w, 3) uint8
     RGB.  Bottom-up and top-down DIBs, 4-byte row padding; None for other
@@ -336,12 +465,14 @@ def decode_assets(assets: DataFrame, decode: str = "fake") -> DataFrame:
             for d in pdf["data"]:
                 if decode == "real":
                     # REAL raster decode for the codecs stdlib can carry
-                    # (PNG via zlib+unfilter, uncompressed 24-bit BMP);
-                    # JPEG/GIF rasters need libjpeg/giflib — those assets
+                    # (PNG via zlib+unfilter, 24-bit BMP, GIF via pure-python
+                    # LZW); JPEG rasters need libjpeg — those assets
                     # come back ok=False (flagged, never faked)
                     img = decode_png(bytes(d))
                     if img is None:
                         img = decode_bmp(bytes(d))
+                    if img is None:
+                        img = decode_gif(bytes(d))
                     if img is None:
                         out["width"].append(0)
                         out["height"].append(0)
@@ -406,6 +537,8 @@ def _real_features(data: bytes, dim: int) -> list[float]:
     img = decode_png(data)
     if img is None:
         img = decode_bmp(data)
+    if img is None:
+        img = decode_gif(data)
     if img is not None:
         h, w, c = img.shape
         g = max(1, int(np.sqrt(max(dim // max(c, 1), 1))))

@@ -319,3 +319,71 @@ def test_real_decode_pipeline_on_spark(spark):
     # deterministic: same asset bytes → same features
     feats2 = {r["asset_id"]: r["features"] for r in extract_features(assets, decode="real").collect()}
     assert feats == feats2
+
+
+def test_decode_gif_lzw_roundtrip():
+    """GIF decode (round 5b): canonical-rule LZW encoder (width bump when
+    just-added code == 2^width, one later than the decoder's rule — the
+    spec's compensating offset) round-trips plain, interlaced, KwKwK and
+    12-bit-table-growth streams."""
+    import struct
+
+    import numpy as np
+
+    from goobi_viewer_indexer_spark.operators.multimodal import _gif_lzw, decode_gif
+
+    def lzw_encode(idxs, mcs):
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        d = {(i,): i for i in range(clear)}
+        table_size, width = end + 1, mcs + 1
+        out, buf = [(clear, width)], ()
+        for p in idxs:
+            nb = buf + (int(p),)
+            if nb in d:
+                buf = nb
+                continue
+            out.append((d[buf], width))
+            if table_size < 4096:
+                d[nb] = table_size
+                table_size += 1
+                if table_size == (1 << width) + 1 and width < 12:
+                    width += 1
+            buf = (int(p),)
+        if buf:
+            out.append((d[buf], width))
+        out.append((end, width))
+        acc = nbits = 0
+        by = bytearray()
+        for code, w_ in out:
+            acc |= code << nbits
+            nbits += w_
+            while nbits >= 8:
+                by.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            by.append(acc & 0xFF)
+        return bytes(by)
+
+    rng = np.random.default_rng(9)
+    for n, mcs in [(50, 2), (20000, 3), (60000, 7)]:  # 60k@7 grows to the 4096 cap
+        idxs = rng.integers(0, 1 << mcs, n).tolist()
+        assert _gif_lzw(lzw_encode(idxs, mcs), mcs, n) == idxs, (n, mcs)
+    rep = [1, 1, 1, 1, 2, 2, 2, 2] * 500  # KwKwK case
+    assert _gif_lzw(lzw_encode(rep, 2), 2, len(rep)) == rep
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    h, w = 40, 33
+    pidx = rng.integers(0, 4, (h, w))
+    for interlaced in (False, True):
+        rows = (list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))) if interlaced else list(range(h))
+        body = lzw_encode(pidx[rows].reshape(-1).tolist(), 2)
+        blocks = b"".join(bytes([min(255, len(body) - i)]) + body[i: i + 255]
+                          for i in range(0, len(body), 255))
+        gif = (b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x81, 0, 0]) + pal.tobytes()
+               + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+               + bytes([0x40 if interlaced else 0]) + bytes([2]) + blocks + b"\x00\x3b")
+        out = decode_gif(gif)
+        assert out is not None and np.array_equal(out, pal[pidx]), f"interlaced={interlaced}"
+    assert decode_gif(b"nope") is None
