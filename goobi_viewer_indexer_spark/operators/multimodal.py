@@ -21,9 +21,12 @@ Decode modes:
   BMP rasters, GIF rasters (pure-python LZW incl. interlacing), WAV PCM
   audio (:func:`decode_png`/:func:`decode_bmp`/:func:`decode_gif`/
   :func:`decode_wav`).  Codecs that genuinely need external libraries
-  (JPEG's DCT entropy decode, compressed audio, video frames) are
+  (JPEG's DCT entropy decode, compressed audio, video frame PIXELS) are
   FLAGGED (``ok=False`` / NotImplementedError at the exact slot) —
-  never faked.
+  never faked.  Video containers still parse for REAL:
+  ``sample_frames(decode='container')`` walks the MP4 box tree
+  (:func:`extract_mp4_keyframes`) and emits byte-exact encoded keyframe
+  access units from the stbl sample tables.
 
 Scale notes: assets stay in executor-side Arrow batches end to end (never
 collected); feature extraction is a narrow map, so the only shuffle in a
@@ -60,6 +63,7 @@ __all__ = [
     "decode_png",
     "decode_bmp",
     "decode_gif",
+    "extract_mp4_keyframes",
     "decode_wav",
     "decode_assets",
     "decode_audio",
@@ -604,14 +608,187 @@ def decode_audio(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(fn, AUDIO_SCHEMA)
 
 
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Iterate (type, body_start, body_end) over the ISO-BMFF boxes in
+    data[start:end] — 32-bit and 64-bit (size==1) lengths."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos: pos + 4], "big")
+        typ = data[pos + 4: pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8: pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos  # box extends to the end
+        if size < 8 or pos + size > end:
+            return
+        yield typ, body, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, path: list[bytes]):
+    """First box at the given path (e.g. [b'moov', b'trak']) — returns
+    (body_start, body_end) or None."""
+    if not path:
+        return (start, end)
+    for typ, b, e in _mp4_boxes(data, start, end):
+        if typ == path[0]:
+            r = _mp4_find(data, b, e, path[1:])
+            if r is not None:
+                return r
+    return None
+
+
+def extract_mp4_keyframes(data: bytes) -> list[tuple[int, int, bytes]] | None:
+    """REAL MP4 container parse (round 5b): the sync-sample (keyframe)
+    table of the FIRST video track — (sample_index, timestamp_ms,
+    ENCODED sample bytes) per keyframe, straight from the stbl sample
+    tables (stts decode times, stss sync samples, stsz sizes, stsc
+    sample→chunk, stco/co64 chunk offsets).  This is the real first
+    stage of any frame pipeline — byte-exact access units; only the
+    codec DECODE of those units needs ffmpeg and stays out.  None = not
+    a parseable MP4 with a video track."""
+    if len(data) < 12:
+        return None
+    # find the video trak: iterate traks, check hdlr == 'vide'
+    moov = _mp4_find(data, 0, len(data), [b"moov"])
+    if moov is None:
+        return None
+    for typ, tb, te in _mp4_boxes(data, *moov):
+        if typ != b"trak":
+            continue
+        hdlr = _mp4_find(data, tb, te, [b"mdia", b"hdlr"])
+        if hdlr is None or data[hdlr[0] + 8: hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _mp4_find(data, tb, te, [b"mdia", b"mdhd"])
+        stbl = _mp4_find(data, tb, te, [b"mdia", b"minf", b"stbl"])
+        if mdhd is None or stbl is None:
+            return None
+        ver = data[mdhd[0]]
+        timescale = int.from_bytes(
+            data[mdhd[0] + (20 if ver == 1 else 12): mdhd[0] + (24 if ver == 1 else 16)], "big"
+        )
+        tables: dict[bytes, tuple[int, int]] = {}
+        for btyp, bb, be in _mp4_boxes(data, *stbl):
+            tables[btyp] = (bb, be)
+
+        def u32s(box, skip, n):
+            b0 = tables[box][0] + skip
+            return [int.from_bytes(data[b0 + 4 * i: b0 + 4 * i + 4], "big") for i in range(n)]
+
+        if b"stsz" not in tables or (b"stco" not in tables and b"co64" not in tables) \
+                or b"stsc" not in tables or b"stts" not in tables:
+            return None
+        # stsz: fixed size or per-sample table
+        szb = tables[b"stsz"][0]
+        fixed = int.from_bytes(data[szb + 4: szb + 8], "big")
+        n_samples = int.from_bytes(data[szb + 8: szb + 12], "big")
+        sizes = [fixed] * n_samples if fixed else u32s(b"stsz", 12, n_samples)
+        # stco/co64 chunk offsets
+        if b"stco" in tables:
+            cb = tables[b"stco"][0]
+            n_chunks = int.from_bytes(data[cb + 4: cb + 8], "big")
+            offsets = u32s(b"stco", 8, n_chunks)
+        else:
+            cb = tables[b"co64"][0]
+            n_chunks = int.from_bytes(data[cb + 4: cb + 8], "big")
+            offsets = [int.from_bytes(data[cb + 8 + 8 * i: cb + 16 + 8 * i], "big") for i in range(n_chunks)]
+        # stsc: sample→chunk runs → per-sample (chunk, index-in-chunk)
+        scb = tables[b"stsc"][0]
+        n_runs = int.from_bytes(data[scb + 4: scb + 8], "big")
+        runs = [
+            (
+                int.from_bytes(data[scb + 8 + 12 * i: scb + 12 + 12 * i], "big"),
+                int.from_bytes(data[scb + 12 + 12 * i: scb + 16 + 12 * i], "big"),
+            )
+            for i in range(n_runs)
+        ]
+        sample_chunk: list[tuple[int, int]] = []  # (chunk_idx 0-based, idx in chunk)
+        for ri, (first_chunk, per_chunk) in enumerate(runs):
+            last_chunk = runs[ri + 1][0] - 1 if ri + 1 < n_runs else n_chunks
+            for ch in range(first_chunk - 1, last_chunk):
+                for j in range(per_chunk):
+                    if len(sample_chunk) < n_samples:
+                        sample_chunk.append((ch, j))
+        # stts: cumulative decode timestamps
+        ttb = tables[b"stts"][0]
+        n_tt = int.from_bytes(data[ttb + 4: ttb + 8], "big")
+        ts, t = [], 0
+        for i in range(n_tt):
+            cnt = int.from_bytes(data[ttb + 8 + 8 * i: ttb + 12 + 8 * i], "big")
+            delta = int.from_bytes(data[ttb + 12 + 8 * i: ttb + 16 + 8 * i], "big")
+            for _ in range(cnt):
+                if len(ts) < n_samples:
+                    ts.append(t)
+                    t += delta
+        # stss: sync samples (1-based); absent = every sample is sync
+        if b"stss" in tables:
+            ssb = tables[b"stss"][0]
+            n_ss = int.from_bytes(data[ssb + 4: ssb + 8], "big")
+            sync = [s - 1 for s in u32s(b"stss", 8, n_ss)]
+        else:
+            sync = list(range(n_samples))
+        out = []
+        for s in sync:
+            if s >= len(sample_chunk) or s >= len(sizes):
+                continue
+            ch, j = sample_chunk[s]
+            if ch >= len(offsets):
+                continue
+            # sample offset = chunk offset + sizes of preceding samples in chunk
+            off = offsets[ch]
+            for prev_s in range(s - j, s):
+                off += sizes[prev_s]
+            if off + sizes[s] > len(data):
+                continue
+            ms = int(ts[s] * 1000 / timescale) if timescale and s < len(ts) else 0
+            out.append((s, ms, data[off: off + sizes[s]]))
+        return out
+    return None
+
+
 def sample_frames(assets: DataFrame, every_ms: int = 10000, max_frames: int = 8, decode: str = "fake") -> DataFrame:
     """Frame sampling for video assets: one output row per sampled frame
-    (explode inside the Arrow batch — the shuffle-free shape)."""
+    (explode inside the Arrow batch — the shuffle-free shape).
+
+    ``decode='container'`` (round 5b): REAL ISO-BMFF (MP4) parsing —
+    emits the ENCODED keyframe access units from the container's sample
+    tables (:func:`extract_mp4_keyframes`), at most one per ``every_ms``
+    and capped at ``max_frames``.  Un-parseable videos emit nothing.
+    ``decode='real'`` (frame PIXELS) still needs ffmpeg and raises at
+    the slot."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if decode == "real":
-                raise NotImplementedError("plug ffmpeg frame extraction here")
+                raise NotImplementedError(
+                    "decoding frame PIXELS needs ffmpeg; decode='container' extracts the "
+                    "encoded keyframes via the real MP4 box parser"
+                )
+            if decode == "container":
+                out = {"asset_id": [], "frame_idx": [], "frame_ms": [], "frame_data": []}
+                for aid, kind, d in zip(pdf["asset_id"], pdf["kind"], pdf["data"]):
+                    if kind != "video":
+                        continue
+                    keyframes = extract_mp4_keyframes(bytes(d)) or []
+                    last_ms = None
+                    taken = 0
+                    for s, ms, blob in keyframes:
+                        if taken >= max_frames:
+                            break
+                        if last_ms is not None and ms - last_ms < every_ms:
+                            continue
+                        out["asset_id"].append(int(aid))
+                        out["frame_idx"].append(int(s))
+                        out["frame_ms"].append(int(ms))
+                        out["frame_data"].append(blob)
+                        last_ms = ms
+                        taken += 1
+                yield pd.DataFrame(out)
+                continue
             out = {"asset_id": [], "frame_idx": [], "frame_ms": [], "frame_data": []}
             for aid, kind, d, meta in zip(pdf["asset_id"], pdf["kind"], pdf["data"], pdf["meta"]):
                 if kind != "video":

@@ -387,3 +387,83 @@ def test_decode_gif_lzw_roundtrip():
         out = decode_gif(gif)
         assert out is not None and np.array_equal(out, pal[pidx]), f"interlaced={interlaced}"
     assert decode_gif(b"nope") is None
+
+
+def _synth_mp4(samples, sizes_per_chunk=3, timescale=1000, delta=100, sync=(1, 4)):
+    """Minimal valid ISO-BMFF: ftyp + moov(trak video w/ full stbl) + mdat,
+    chunked sample layout with absolute stco offsets."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def full(typ, payload, version=0, flags=0):
+        return box(typ, struct.pack(">I", (version << 24) | flags) + payload)
+
+    n = len(samples)
+    sizes = [len(b) for b in samples]
+    n_chunks = (n + sizes_per_chunk - 1) // sizes_per_chunk
+
+    def build(chunk_offsets):
+        stsd = full(b"stsd", struct.pack(">I", 1) + box(b"mp4v", b"\x00" * 16))
+        stts = full(b"stts", struct.pack(">III", 1, n, delta))
+        stss = full(b"stss", struct.pack(">I", len(sync)) + b"".join(struct.pack(">I", x) for x in sync))
+        stsz = full(b"stsz", struct.pack(">II", 0, n) + b"".join(struct.pack(">I", x) for x in sizes))
+        stsc = full(b"stsc", struct.pack(">IIII", 1, 1, sizes_per_chunk, 1))
+        stco = full(b"stco", struct.pack(">I", n_chunks) + b"".join(struct.pack(">I", o) for o in chunk_offsets))
+        stbl = box(b"stbl", stsd + stts + stss + stsz + stsc + stco)
+        minf = box(b"minf", stbl)
+        hdlr = full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12)
+        mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, timescale, n * delta) + b"\x00" * 4)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", mdia)
+        moov = box(b"moov", trak)
+        ftyp = box(b"ftyp", b"isom" + b"\x00\x00\x00\x01" + b"isom")
+        return ftyp, moov
+
+    ftyp, moov = build([0] * n_chunks)
+    mdat_body = len(ftyp) + len(moov) + 8
+    offs, cur = [], mdat_body
+    for c in range(n_chunks):
+        offs.append(cur)
+        cur += sum(sizes[c * sizes_per_chunk: (c + 1) * sizes_per_chunk])
+    ftyp, moov = build(offs)
+    import struct as _s
+    mdat = _s.pack(">I", 8 + sum(sizes)) + b"mdat" + b"".join(samples)
+    return ftyp + moov + mdat
+
+
+def test_mp4_keyframe_extraction(spark):
+    """Container-level frame extraction (round 5b): the MP4 box parser
+    returns byte-exact encoded keyframe samples with correct timestamps,
+    through sample_frames(decode='container') on Spark."""
+    import numpy as np
+
+    from goobi_viewer_indexer_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        extract_mp4_keyframes,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(11)
+    samples = [bytes(rng.integers(0, 256, 10 + i, dtype=np.uint8)) for i in range(6)]
+    mp4 = _synth_mp4(samples, sync=(1, 4))
+
+    kf = extract_mp4_keyframes(mp4)
+    assert kf is not None and [(s, ms) for s, ms, _ in kf] == [(0, 0), (3, 300)]
+    assert kf[0][2] == samples[0] and kf[1][2] == samples[3]  # byte-exact units
+
+    # stss absent → every sample is a keyframe
+    nosync = _synth_mp4(samples, sync=tuple(range(1, 7)))
+    assert len(extract_mp4_keyframes(nosync)) == 6
+
+    rows = [
+        (1, "video", bytearray(mp4), ("video/mp4", 0, 0, 600)),
+        (2, "video", bytearray(b"garbage"), ("video/mp4", 0, 0, 100)),
+        (3, "image", bytearray(b"x"), ("image/png", 1, 1, 0)),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = sample_frames(assets, every_ms=100, max_frames=8, decode="container").collect()
+    assert {(r["asset_id"], r["frame_idx"], r["frame_ms"]) for r in got} == {(1, 0, 0), (1, 3, 300)}
+    by_idx = {r["frame_idx"]: bytes(r["frame_data"]) for r in got}
+    assert by_idx[0] == samples[0] and by_idx[3] == samples[3]
