@@ -197,6 +197,16 @@ def run_suite(spark, corpus_src: str) -> tuple[dict[str, float], dict[str, objec
         idx_st.search_boolean("table [sa TO sz]", k=10).collect()
 
     timed("search_docvalues_range_2q", run_round5)
+
+    # round-5b surface: sloppy proximity phrase ("a b"~3 ordered-window
+    # greedy-chain verify) and the edismax composition fq+pf (membership
+    # semi-join + whole-query phrase boost, one TakeOrderedAndProject)
+    def run_round5b():
+        idx.search_phrase(["table", "spark"], k=10, slop=3).collect()
+        idx.search(["table", "spark"], k=10, mode="or", pf=2.0, ps=3, fq="scan").collect()
+        fidx_dv.search('lang:en AND text:"table spark"~3', k=10).collect()
+
+    timed("search_proximity_pf_3q", run_round5b)
     shutil.rmtree(fidx_dir, ignore_errors=True)
 
     # ---- 3. local searcher latency p50/p95 ----
