@@ -32,7 +32,7 @@ from goobi_viewer_indexer_spark.plans.build import load_meta
 __all__ = [
     "InvertedIndex", "LocalSearcher", "FieldedIndex", "LocalFieldedSearcher",
     "parse_fielded_query", "parse_fielded_clauses", "parse_boolean_query",
-    "expand_boolean_wildcards",
+    "expand_boolean_wildcards", "parse_mm",
 ]
 
 
@@ -105,29 +105,125 @@ def _lev_le(a: str, b: str, k: int) -> bool:
     return prev[lb] <= k
 
 
+def parse_mm(spec: int | str, n_optional: int) -> int:
+    """Solr DisMax ``mm`` (minimum-should-match) spec → required clause
+    count for a query with ``n_optional`` optional clauses.  Full Solr
+    grammar (DisMaxQParser / SolrPluginUtils.calculateMinShouldMatch):
+
+    * ``"3"`` — absolute count;
+    * ``"-2"`` — all but 2 (``n - 2``);
+    * ``"75%"`` — ``floor(n · 75 / 100)`` (Solr rounds DOWN);
+    * ``"-25%"`` — all but that floor;
+    * ``"2<-25% 9<-3"`` — conditional: with ``n`` ≤ the smallest
+      threshold ALL clauses are required; otherwise the spec of the
+      LARGEST threshold < n applies.
+
+    String specs clamp to ``[1, n]`` (Solr's contract: a computed value
+    below 1 means "match at least one scoring clause", above n means
+    all).  A plain ``int`` passes through UNCLAMPED, preserving the
+    engine's documented ``min_match > n_terms → empty`` behavior for
+    explicit integers."""
+    if isinstance(spec, int):
+        return spec
+    s = str(spec).strip()
+    if not s:
+        raise ValueError("empty mm spec")
+
+    def one(tok: str) -> int:
+        neg = tok.startswith("-")
+        body = tok[1:] if neg else tok
+        if body.endswith("%"):
+            v = (int(body[:-1]) * n_optional) // 100
+        else:
+            v = int(body)
+        return n_optional - v if neg else v
+
+    if "<" not in s:
+        mm = one(s)
+    else:
+        mm = n_optional  # n ≤ every threshold → all required
+        conds = []
+        for part in s.split():
+            th, sep, sub = part.partition("<")
+            if not sep:
+                raise ValueError(f"bad conditional mm clause {part!r} in {spec!r}")
+            conds.append((int(th), sub))
+        for th, sub in sorted(conds):
+            if n_optional > th:
+                mm = one(sub)
+    return max(1, min(n_optional, mm))
+
+
+def _mm_int(query, min_match) -> int:
+    """Resolve a string mm SPEC against the query's distinct-term count
+    (its optional-clause count in Solr terms); plain ints pass through
+    unclamped (see :func:`parse_mm`)."""
+    if isinstance(min_match, int):
+        return min_match
+    n = len(set(query if isinstance(query, list) else tokenize_py(query)))
+    return parse_mm(min_match, n)
+
+
 def _facet_over(ids, dims, facet_col: str, min_count: int, limit, prefix,
-                contains=None, contains_ignore_case=False):
+                contains=None, contains_ignore_case=False,
+                sort: str = "count", missing: bool = False,
+                group_field: str | None = None):
     """Shared facet body: match-id set → dims equi-join → count-ordered
     value counts (Solr facet.field; see the engine methods for contract).
     ``contains``/``contains_ignore_case`` = Solr facet.contains — a
     substring filter on facet VALUES, applied (like prefix) BEFORE the
-    join so filtered rows never shuffle."""
-    dim = dims.select(F.col("doc_id"), F.col(facet_col))
+    join so filtered rows never shuffle.
+
+    ``sort`` (Solr ``facet.sort``, round 5b): ``"count"`` (default —
+    count desc, value asc) or ``"index"`` (lexicographic by value;
+    ``limit`` truncates AFTER ordering, Solr's contract either way).
+
+    ``missing`` (Solr ``facet.missing``): append ONE row with a NULL
+    facet value counting matched docs whose field is null — always
+    emitted (n ≥ 0), exempt from mincount/prefix/contains/limit and
+    ordered last.  It is a second aggregate over the SAME join (Catalyst
+    compiles the re-reference to a ReusedExchange), never a second match
+    scan.  Without ``missing``, null facet values are dropped (Solr
+    returns no null bucket unless facet.missing=true).
+
+    ``group_field`` (Solr ``group.facet=true``): count DISTINCT values
+    of this column instead of docs — each group contributes once per
+    facet value it touches (the viewer's collapsed-result facets).  Same
+    single join + groupBy; the distinct adds a partial-aggregation pass
+    inside the same shuffle, no extra exchange."""
+    if sort not in ("count", "index"):
+        raise ValueError(f"facet.sort must be 'count' or 'index', got {sort!r}")
+    fcol = F.col(facet_col)
+    cols = [F.col("doc_id"), fcol] + ([F.col(group_field)] if group_field else [])
+    dim = dims.select(*cols)
+    keep = fcol.isNotNull()
     if prefix is not None:
-        dim = dim.filter(F.col(facet_col).startswith(prefix))
+        keep = keep & fcol.startswith(prefix)
     if contains is not None:
         if contains_ignore_case:
-            dim = dim.filter(F.lower(F.col(facet_col)).contains(contains.lower()))
+            keep = keep & F.lower(fcol).contains(contains.lower())
         else:
-            dim = dim.filter(F.col(facet_col).contains(contains))
+            keep = keep & fcol.contains(contains)
+    if not missing:
+        # value filters push into the scan when no null bucket is needed
+        dim = dim.filter(keep)
+    joined = ids.join(dim, "doc_id")
+    cnt = (F.countDistinct(F.col(group_field)) if group_field else F.count("*"))
     out = (
-        ids.join(dim, "doc_id")
+        (joined.filter(keep) if missing else joined)
         .groupBy(facet_col)
-        .agg(F.count("*").alias("n"))
+        .agg(cnt.alias("n"))
         .filter(F.col("n") >= min_count)
-        .orderBy(F.desc("n"), F.asc(facet_col))
+        .orderBy(*([F.asc(facet_col)] if sort == "index" else [F.desc("n"), F.asc(facet_col)]))
     )
-    return out.limit(limit) if limit is not None else out
+    if limit is not None:
+        out = out.limit(limit)
+    if missing:
+        miss = joined.filter(fcol.isNull()).agg(
+            F.coalesce(cnt, F.lit(0)).alias("n")
+        ).select(F.lit(None).cast(dims.schema[facet_col].dataType).alias(facet_col), "n")
+        out = out.unionByName(miss)
+    return out
 
 
 def _facet_query_assemble(spark, subs, base_ids, names: list[str]):
@@ -246,7 +342,8 @@ def _facet_range_over(ids, dims, col: str, start: int, end: int, gap: int,
 
 
 def _stats_over(ids, dims, stats_col: str, facet_col: str | None = None,
-                percentiles: list[float] | None = None):
+                percentiles: list[float] | None = None,
+                cardinality: bool = False):
     """Shared stats body (Solr stats.field): count / missing / min / max /
     sum / mean / stddev in one long-typed agg row — or one row per value
     of ``facet_col`` (Solr ``stats.facet``: the same stats broken down by
@@ -283,6 +380,12 @@ def _stats_over(ids, dims, stats_col: str, facet_col: str | None = None,
                 f"transform(percentile({stats_col}, array({arr})), x -> round(x, 6))"
             ).alias("percentiles")
         )
+    if cardinality:
+        # Solr stats.countDistinct / cardinality — EXACT countDistinct
+        # (partial-aggregated inside the same shuffle).  Solr's
+        # cardinality=true is HLL; approx_count_distinct is the
+        # drop-in 100 TB knob, kept exact here for the oracle gate.
+        aggs.append(F.countDistinct(c).cast("long").alias("cardinality"))
     if facet_col:
         return j.groupBy(
             F.coalesce(F.col(facet_col).cast("string"), F.lit("")).alias("facet")
@@ -797,7 +900,7 @@ class InvertedIndex:
         fl: list[str] | None = None,
         sort: str | None = None,
         after: tuple[float, int] | None = None,
-        min_match: int = 1,
+        min_match: int | str = 1,
         bf: str | None = None,
         boost: str | None = None,
         fq: str | list | None = None,
@@ -846,7 +949,10 @@ class InvertedIndex:
         queries — a doc qualifies only with at least that many distinct
         query terms present; counting is exact inside the kernels (see
         wand._score_or).  ``min_match`` greater than the number of indexed
-        query terms returns empty.
+        query terms returns empty.  A STRING spec is the full Solr mm
+        grammar — ``"75%"``, ``"-2"``, ``"2<-25% 9<-3"`` — resolved
+        against the query's distinct-term count and clamped to [1, n]
+        (:func:`parse_mm`).
 
         ``after``: cursorMark-style deep paging — pass the LAST
         (score, doc_id) row of the previous page; only docs ranked
@@ -873,6 +979,7 @@ class InvertedIndex:
         # call OOMs the JVM before a single row flows (found by the 300k
         # sweep).  min(k, n_live) returns the same rows.
         k = min(k, self.n_live)
+        min_match = _mm_int(query, min_match)
         if fq is not None and mode == "phrase":
             raise ValueError("fq= with mode='phrase' is not supported on the flat engine — use FieldedIndex")
         if bq is not None and (sort is not None or after is not None or mode == "phrase"):
@@ -1481,13 +1588,15 @@ class InvertedIndex:
 
     # -- result grouping (Solr group=true&group.field=F) ---------------------
     def score_matches(self, query: str | list[str], mode: str = "and",
-                      min_match: int = 1) -> DataFrame:
+                      min_match: int | str = 1) -> DataFrame:
         """EVERY matching doc with its bag BM25 score (no k) — the
         total-recall scorer behind result grouping (Lucene's two-pass
         grouping collector also scores all matches first).  Same kernels
         and tie-order as :meth:`search`; per-range ``k`` = the range width,
         so block-max pruning never truncates.  ``min_match``: OR-mode
-        minimum-should-match, same contract as :meth:`search`."""
+        minimum-should-match, same contract as :meth:`search` (string
+        specs = full Solr mm grammar, :func:`parse_mm`)."""
+        min_match = _mm_int(query, min_match)
         terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
         meta = self.meta
         n_docs, avgdl, k1, b, span = self.n_live, self.avgdl_live, meta["k1"], meta["b"], self.span
@@ -1770,6 +1879,9 @@ class InvertedIndex:
         fq: str | list | None = None,
         contains: str | None = None,
         contains_ignore_case: bool = False,
+        sort: str = "count",
+        missing: bool = False,
+        group_field: str | None = None,
     ) -> DataFrame:
         """Solr ``facet.field`` analog (the viewer's collection/drill-down
         sidebar queries): value counts of ``facet_col`` over the docs
@@ -1783,9 +1895,13 @@ class InvertedIndex:
         filter queries intersected into the match set (Solr facets apply
         to q ∧ fq).  ``contains``/``contains_ignore_case`` = Solr
         facet.contains — substring filter on facet values, applied before
-        the join like prefix."""
+        the join like prefix.  ``sort``/``missing``/``group_field`` (round
+        5b) = Solr ``facet.sort=index``, ``facet.missing`` (trailing
+        NULL-value row) and ``group.facet=true`` (count distinct values of
+        ``group_field`` instead of docs) — see :func:`_facet_over`."""
         return _facet_over(self._mids_fq(query, mode, fq), dims, facet_col, min_count, limit, prefix,
-                           contains=contains, contains_ignore_case=contains_ignore_case)
+                           contains=contains, contains_ignore_case=contains_ignore_case,
+                           sort=sort, missing=missing, group_field=group_field)
 
     def field_stats(
         self,
@@ -1796,17 +1912,20 @@ class InvertedIndex:
         facet_col: str | None = None,
         fq: str | list | None = None,
         percentiles: list[float] | None = None,
+        cardinality: bool = False,
     ) -> DataFrame:
         """Solr StatsComponent (``stats=true&stats.field=F``): count /
         missing / min / max / sum / mean / stddev of a numeric column over
         the docs matching the query.  ``facet_col`` = Solr ``stats.facet``
         — the same stats per value of a facet field (one grouped agg).
+        ``cardinality`` = Solr stats countDistinct (exact here; Solr's
+        cardinality=true HLL ↔ approx_count_distinct at extreme scale).
         ``dims`` is any (doc_id, …) side table, same contract as
         :meth:`facet_counts`; the match set never leaves the cluster
         (match scan → equi-join → single agg); ``fq`` composes like
         :meth:`facet_counts`."""
         return _stats_over(self._mids_fq(query, mode, fq), dims, stats_col, facet_col,
-                           percentiles=percentiles)
+                           percentiles=percentiles, cardinality=cardinality)
 
     def facet_range(
         self,
@@ -2306,8 +2425,9 @@ class LocalSearcher:
 
     def search(self, query: str | list[str], k: int = 10, mode: str = "or",
                after: tuple[float, int] | None = None,
-               min_match: int = 1, fq: str | list | None = None) -> list[tuple[int, float]]:
+               min_match: int | str = 1, fq: str | list | None = None) -> list[tuple[int, float]]:
         self._ensure_fresh()
+        min_match = _mm_int(query, min_match)
         if fq is not None and mode == "phrase":
             raise ValueError("fq= with mode='phrase' is not supported on the flat engine — use FieldedIndex")
         if mode == "phrase":
@@ -3134,13 +3254,18 @@ class FieldedIndex:
         fq: str | list[str] | None = None,
         contains: str | None = None,
         contains_ignore_case: bool = False,
+        sort: str = "count",
+        missing: bool = False,
+        group_field: str | None = None,
     ) -> DataFrame:
         """Solr facet.field over a FIELDED query — same contract as
-        :meth:`InvertedIndex.facet_counts` (``fq`` included), driven by
-        the fielded :meth:`match_ids` (every query shape:
+        :meth:`InvertedIndex.facet_counts` (``fq``, ``sort``, ``missing``
+        and ``group_field`` included), driven by the fielded
+        :meth:`match_ids` (every query shape:
         phrase/group/NOT/wildcard/fuzzy/ranges)."""
         return _facet_over(self._mids_fq(query, mode, fq), dims, facet_col, min_count, limit, prefix,
-                           contains=contains, contains_ignore_case=contains_ignore_case)
+                           contains=contains, contains_ignore_case=contains_ignore_case,
+                           sort=sort, missing=missing, group_field=group_field)
 
     def field_stats(
         self,
@@ -3151,12 +3276,14 @@ class FieldedIndex:
         facet_col: str | None = None,
         fq: str | list[str] | None = None,
         percentiles: list[float] | None = None,
+        cardinality: bool = False,
     ) -> DataFrame:
         """Solr stats.field (+ ``stats.facet`` via ``facet_col``) over a
         FIELDED query — same contract as
-        :meth:`InvertedIndex.field_stats` (``fq`` included)."""
+        :meth:`InvertedIndex.field_stats` (``fq`` and ``cardinality``
+        included)."""
         return _stats_over(self._mids_fq(query, mode, fq), dims, stats_col, facet_col,
-                           percentiles=percentiles)
+                           percentiles=percentiles, cardinality=cardinality)
 
     def facet_range(
         self,

@@ -305,6 +305,38 @@ ORDER BY n DESC, source ASC
 LIMIT 5
 """.strip(),
         ),
+        # grouped (round 5b): Solr group.facet=true — each GROUP (here:
+        # source) counts once per facet value it touches, not each doc
+        (
+            "grouped",
+            f"""
+SELECT lang AS source, count(DISTINCT source) AS n
+FROM documents
+WHERE list_contains({duckdb_tokenize_sql('text')}, 'table')
+  AND list_contains({duckdb_tokenize_sql('text')}, 'join')
+  AND lang IS NOT NULL
+GROUP BY lang
+""".strip(),
+        ),
+        # index_missing (round 5b): facet.sort=index (lexicographic
+        # truncation — the 3 SMALLEST values survive, not the 3 biggest
+        # counts) + facet.missing (trailing null-value row, '~missing'
+        # sentinel on both sides; n may be 0 — the row must still exist)
+        (
+            "index_missing",
+            f"""
+SELECT source, n FROM (
+  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n
+  FROM documents
+  WHERE list_contains({duckdb_tokenize_sql('text')}, 'table') AND lang IS NOT NULL
+  GROUP BY lang ORDER BY lang ASC LIMIT 3
+)
+UNION ALL
+SELECT '~missing', CAST(count(*) AS BIGINT)
+FROM documents
+WHERE list_contains({duckdb_tokenize_sql('text')}, 'table') AND lang IS NULL
+""".strip(),
+        ),
     ],
     order="qtag ASC, n DESC, source ASC",
 )
@@ -318,11 +350,21 @@ def q_facet_matrix(spark, sf_dir):
     idx = _index_for(spark, sf_dir)
     fidx = _fielded_index_for(spark, sf_dir)
     dims = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    dimsl = _load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return _union_tagged([
         ("contains", idx.facet_counts(["table"], dims, "source", mode="and",
                                       contains="RC2", contains_ignore_case=True, limit=5)),
         ("counts", idx.facet_counts(["table", "join"], dims, "source", mode="and", min_count=2)),
         ("fielded_not", fidx.facet_counts("text:table AND -lang:de", dims, "source", min_count=2)),
+        # group.facet (round 5b): count distinct SOURCE groups per lang value
+        ("grouped", idx.facet_counts(["table", "join"], dimsl, "lang", mode="and",
+                                     group_field="source")
+                    .select(F.col("lang").alias("source"), "n")),
+        # facet.sort=index + facet.missing (round 5b): lexicographic
+        # truncation + trailing null bucket ('~missing' sentinel both sides)
+        ("index_missing", idx.facet_counts(["table"], dimsl, "lang", mode="and",
+                                           sort="index", limit=3, missing=True)
+                          .select(F.coalesce(F.col("lang"), F.lit("~missing")).alias("source"), "n")),
         ("prefix_limit", idx.facet_counts(["table"], dims, "source", mode="and", prefix="src1", limit=5)),
     ]).orderBy("qtag", F.desc("n"), "source")
 
@@ -668,7 +710,8 @@ round(CASE WHEN count(v) > 1 THEN
   sqrt((sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))
         - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(v))
        / (count(v) - 1)) END, 6) AS stddev,
-list_transform(quantile_cont(v, [0.25, 0.5, 0.9]), x -> round(x, 6)) AS percentiles
+list_transform(quantile_cont(v, [0.25, 0.5, 0.9]), x -> round(x, 6)) AS percentiles,
+CAST(count(DISTINCT v) AS BIGINT) AS cardinality
 """.strip()
 
 _FSTATS_MATCH = f"""
@@ -700,11 +743,14 @@ def q_field_stats(spark, sf_dir):
     )
     # percentiles (round 5b): Solr stats.percentiles — EXACT (not t-digest)
     # so the DuckDB quantile_cont oracle is bit-identical on integer dims
+    # cardinality (round 5b): Solr stats countDistinct — EXACT here
+    # (approx_count_distinct = the HLL knob at extreme scale)
     pct = [0.25, 0.5, 0.9]
-    g = idx.field_stats(["table", "join"], dims, "doclen", mode="and", percentiles=pct)
+    g = idx.field_stats(["table", "join"], dims, "doclen", mode="and", percentiles=pct,
+                        cardinality=True)
     return _union_tagged([
         ("by_lang", idx.field_stats(["table", "join"], dims, "doclen", mode="and",
-                                    facet_col="lang", percentiles=pct)),
+                                    facet_col="lang", percentiles=pct, cardinality=True)),
         ("global", g.select(F.lit("").alias("facet"), "*")),
     ]).orderBy("qtag", "facet")
 

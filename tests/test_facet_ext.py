@@ -125,3 +125,97 @@ def test_facet_contains_matches_twin(docs, idx):
     got_cs = idx.facet_counts(
         ["table"], docs.select("doc_id", "source"), "source", contains="RC2").collect()
     assert got_cs == []
+
+
+# --------------------------------------------------------------------------
+# round 5b: facet.sort=index / facet.missing / group.facet + Solr mm specs
+# --------------------------------------------------------------------------
+
+def _null_lang(docs):
+    # synthetic nulls: the sf corpus has none, facet.missing needs some
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(F.col("lang")).alias("lang"),
+    )
+
+
+def test_facet_sort_index_truncates_lexicographically(docs, idx):
+    dims = docs.select("doc_id", "source")
+    got = [tuple(r) for r in idx.facet_counts(["table"], dims, "source", mode="and",
+                                              sort="index", limit=5).collect()]
+    want = [
+        tuple(r)
+        for r in docs.filter(_has("text", "table"))
+        .groupBy("source").agg(F.count("*").alias("n"))
+        .orderBy("source").limit(5).collect()
+    ]
+    assert got == want and len(got) == 5
+
+
+def test_facet_missing_appends_null_bucket(docs, idx):
+    dims = _null_lang(docs)
+    out = idx.facet_counts(["table"], dims, "lang", mode="and", missing=True).collect()
+    base = docs.filter(_has("text", "table")).select(
+        "doc_id", F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(F.col("lang")).alias("lang"))
+    want_missing = base.filter(F.col("lang").isNull()).count()
+    assert want_missing > 0
+    # the null bucket is the LAST row, exempt from ordering/mincount
+    assert out[-1]["lang"] is None and out[-1]["n"] == want_missing
+    vals = {r["lang"]: r["n"] for r in out[:-1]}
+    want = {r["lang"]: r["n"] for r in base.filter(F.col("lang").isNotNull())
+            .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert vals == want
+    # without missing= the null bucket is dropped (Solr's default)
+    plain = idx.facet_counts(["table"], dims, "lang", mode="and").collect()
+    assert all(r["lang"] is not None for r in plain)
+
+
+def test_group_facet_counts_distinct_groups(docs, idx):
+    dims = docs.select("doc_id", "lang", "source")
+    got = {r["lang"]: r["n"] for r in idx.facet_counts(
+        ["table"], dims, "lang", mode="and", group_field="source").collect()}
+    want = {r["lang"]: r["n"] for r in docs.filter(_has("text", "table"))
+            .groupBy("lang").agg(F.countDistinct("source").alias("n")).collect()}
+    assert got == want and len(got) > 0
+    docs_per = {r["lang"]: r["n"] for r in idx.facet_counts(
+        ["table"], dims, "lang", mode="and").collect()}
+    # group counts never exceed doc counts
+    assert all(got[k] <= docs_per[k] for k in got)
+
+
+def test_stats_cardinality_exact(docs, idx):
+    dims = docs.select("doc_id", "n_chars")
+    row = idx.field_stats(["table"], dims, "n_chars", mode="and", cardinality=True).collect()[0]
+    want = (docs.filter(_has("text", "table"))
+            .agg(F.countDistinct("n_chars").alias("c")).collect()[0]["c"])
+    assert row["cardinality"] == want and want > 1
+
+
+def test_parse_mm_full_grammar():
+    from goobi_viewer_indexer_spark.operators.search import parse_mm
+    assert parse_mm(7, 3) == 7                 # ints pass through unclamped
+    assert parse_mm("3", 5) == 3
+    assert parse_mm("-2", 5) == 3
+    assert parse_mm("75%", 5) == 3             # Solr rounds DOWN
+    assert parse_mm("-25%", 4) == 3
+    assert parse_mm("2<-25% 9<-3", 2) == 2     # n <= smallest threshold: all
+    assert parse_mm("2<-25% 9<-3", 8) == 6
+    assert parse_mm("2<-25% 9<-3", 12) == 9
+    assert parse_mm("0", 4) == 1               # clamp to [1, n]
+    assert parse_mm("99", 4) == 4
+    with pytest.raises(ValueError):
+        parse_mm("2<", 4)
+
+
+def test_mm_spec_equals_resolved_int(docs, idx):
+    from goobi_viewer_indexer_spark.operators.search import LocalSearcher
+    q = ["table", "join", "window"]
+    spec = idx.search(q, k=10, mode="or", min_match="67%").collect()     # floor(2.01) = 2
+    want = idx.search(q, k=10, mode="or", min_match=2).collect()
+    assert [tuple(r) for r in spec] == [tuple(r) for r in want] and len(want) > 0
+    ls = LocalSearcher(idx)
+    assert ls.search(q, k=10, mode="or", min_match="67%") == ls.search(q, k=10, mode="or", min_match=2)
+    # clamp low: "-99%" -> at least one term
+    low = idx.search(q, k=10, mode="or", min_match="-99%").collect()
+    one = idx.search(q, k=10, mode="or", min_match=1).collect()
+    assert [tuple(r) for r in low] == [tuple(r) for r in one]
