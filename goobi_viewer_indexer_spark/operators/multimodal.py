@@ -18,10 +18,12 @@ Decode modes:
   pipelines whose assets are synthetic noise);
 * ``decode="real"`` (round 5b) — REAL stdlib decode where the codec
   allows: PNG rasters (zlib inflate + all five scanline filters), 24-bit
-  BMP rasters, GIF rasters (pure-python LZW incl. interlacing), WAV PCM
-  audio (:func:`decode_png`/:func:`decode_bmp`/:func:`decode_gif`/
+  BMP rasters, GIF rasters (pure-python LZW incl. interlacing), baseline
+  JPEG rasters (canonical Huffman entropy decode + dequant + float IDCT +
+  chroma upsampling, :func:`decode_jpeg`), WAV PCM audio
+  (:func:`decode_png`/:func:`decode_bmp`/:func:`decode_gif`/
   :func:`decode_wav`).  Codecs that genuinely need external libraries
-  (JPEG's DCT entropy decode, compressed audio, video frame PIXELS) are
+  (progressive JPEG, compressed audio, video frame PIXELS) are
   FLAGGED (``ok=False`` / NotImplementedError at the exact slot) —
   never faked.  Video containers still parse for REAL:
   ``sample_frames(decode='container')`` walks the MP4 box tree
@@ -63,6 +65,8 @@ __all__ = [
     "decode_png",
     "decode_bmp",
     "decode_gif",
+    "decode_jpeg",
+    "jpeg_build_huffman",
     "extract_mp4_keyframes",
     "decode_wav",
     "decode_assets",
@@ -420,6 +424,260 @@ def decode_bmp(data: bytes) -> np.ndarray | None:
     return img[::-1] if h > 0 else img  # bottom-up → top-down
 
 
+# -- baseline JPEG (ITU-T T.81 §F, SOF0) — pure numpy/stdlib ---------------
+# Stream-order index k ↦ raster index _JZZ[k] of the k-th zigzag element.
+_JZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+_JDCT = None
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II matrix M: forward = M·s·Mᵀ (T.81 A.3.3 with
+    the ¼·C(u)C(v) normalization folded in), inverse = Mᵀ·S·M."""
+    global _JDCT
+    if _JDCT is None:
+        x = np.arange(8)
+        m = np.cos((2 * x[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16) / 2.0
+        m[0, :] *= 1.0 / np.sqrt(2.0)
+        _JDCT = m
+    return _JDCT
+
+
+def jpeg_build_huffman(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman (T.81 Annex C): {(code_length, code) → symbol}.
+    ``counts[i]`` = number of codes of length i+1 (the DHT BITS list)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JBits:
+    """MSB-first bit reader over one (unstuffed) entropy-coded segment."""
+    __slots__ = ("d", "i", "b")
+
+    def __init__(self, d: bytes):
+        self.d, self.i, self.b = d, 0, 0
+
+    def bit(self) -> int:
+        v = (self.d[self.i] >> (7 - self.b)) & 1  # IndexError on truncation → None upstream
+        self.b += 1
+        if self.b == 8:
+            self.b, self.i = 0, self.i + 1
+        return v
+
+    def take(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jhuff(br: _JBits, table: dict) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        s = table.get((length, code))
+        if s is not None:
+            return s
+    return None
+
+
+def _jextend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
+    return v - ((1 << t) - 1) if v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> np.ndarray | None:
+    """REAL baseline JPEG decode — pure python/numpy, no libjpeg: marker
+    walk (DQT 8/16-bit, SOF0/SOF1, DHT, DRI, SOS), canonical Huffman
+    entropy decode with byte-unstuffing and restart markers, DC
+    prediction + AC run-length (ZRL/EOB), dequantize, float IDCT
+    (orthonormal matrix product), sampling-factor chroma upsampling and
+    JFIF YCbCr→RGB.  Returns (h, w, 3) uint8 RGB (grayscale replicated),
+    or None for anything outside baseline (progressive SOF2, arithmetic
+    coding) or malformed — flagged, never faked.
+
+    This closes the JPEG slot in the reference's media cascade
+    (helper/ImageSizeReader.java reads only headers; this goes to
+    pixels).  Per-bit python decode is test-scale; at 100 TB the slot is
+    where libjpeg-turbo plugs into the same mapInPandas stage."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError, ValueError, ZeroDivisionError):
+        return None
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray | None:
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] | None = None
+    scomp: dict[int, tuple[int, int]] = {}
+    W = H = 0
+    dri = 0
+    scan = None
+    i = 2
+    while i + 2 <= len(data):
+        if data[i] != 0xFF:
+            return None
+        m = data[i + 1]
+        if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > len(data):
+            return None
+        seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+        seg = data[i + 4:i + 2 + seg_len]
+        if m == 0xDB:  # DQT — possibly several tables per segment
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq == 0:
+                    raw = np.frombuffer(seg, np.uint8, 64, j).astype(np.int32)
+                    j += 64
+                else:
+                    raw = np.frombuffer(seg, ">u2", 64, j).astype(np.int32)
+                    j += 128
+                z = np.zeros(64, np.int32)
+                z[_JZZ] = raw
+                qt[tq] = z.reshape(8, 8)
+        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+            H = int.from_bytes(seg[1:3], "big")
+            W = int.from_bytes(seg[3:5], "big")
+            comps = [
+                {"id": seg[6 + 3 * c], "h": seg[7 + 3 * c] >> 4,
+                 "v": seg[7 + 3 * c] & 15, "tq": seg[8 + 3 * c]}
+                for c in range(seg[5])
+            ]
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / hierarchical / arithmetic — out of baseline scope
+        elif m == 0xC4:  # DHT — possibly several tables per segment
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = list(seg[j + 1:j + 17])
+                j += 17
+                nsym = sum(counts)
+                huff[(tc, th)] = jpeg_build_huffman(counts, list(seg[j:j + nsym]))
+                j += nsym
+        elif m == 0xDD:  # DRI
+            dri = int.from_bytes(seg[0:2], "big")
+        elif m == 0xDA:  # SOS
+            for c in range(seg[0]):
+                scomp[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+            scan = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if comps is None or scan is None or W == 0 or H == 0 or not scomp:
+        return None
+
+    # entropy-coded segments: unstuff FF00 → FF, split on RSTn
+    segs: list[bytes] = []
+    cur = bytearray()
+    j = scan
+    while j < len(data):
+        b = data[j]
+        if b == 0xFF:
+            nb = data[j + 1] if j + 1 < len(data) else 0xD9
+            if nb == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nb <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break  # EOI or next marker ends the scan
+        cur.append(b)
+        j += 1
+    segs.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or any(hmax % c["h"] or vmax % c["v"] for c in comps):
+        return None
+    mx = -(-W // (8 * hmax))
+    my = -(-H // (8 * vmax))
+    planes = [np.zeros((my * c["v"] * 8, mx * c["h"] * 8)) for c in comps]
+    M = _jpeg_dct_matrix()
+    preds = [0] * len(comps)
+    seg_idx, br = 0, _JBits(segs[0])
+    for n in range(mx * my):
+        if dri and n and n % dri == 0:  # restart: new segment, reset DC preds
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                return None
+            br = _JBits(segs[seg_idx])
+            preds = [0] * len(comps)
+        mcu_y, mcu_x = divmod(n, mx)
+        for ci, c in enumerate(comps):
+            dc_t = huff[(0, scomp[c["id"]][0])]
+            ac_t = huff[(1, scomp[c["id"]][1])]
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    stream = np.zeros(64)
+                    s = _jhuff(br, dc_t)
+                    if s is None:
+                        return None
+                    preds[ci] += _jextend(br.take(s), s) if s else 0
+                    stream[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _jhuff(br, ac_t)
+                        if rs is None:
+                            return None
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            return None
+                        stream[k] = _jextend(br.take(sz), sz)
+                        k += 1
+                    coef = np.zeros(64)
+                    coef[_JZZ] = stream
+                    spatial = M.T @ (coef.reshape(8, 8) * q) @ M + 128.0
+                    py = (mcu_y * c["v"] + by) * 8
+                    px = (mcu_x * c["h"] + bx) * 8
+                    planes[ci][py:py + 8, px:px + 8] = spatial
+
+    out = []
+    for ci, c in enumerate(comps):
+        p = np.repeat(np.repeat(planes[ci], vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out.append(p[:H, :W])
+    if len(out) == 1:
+        y = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    if len(out) == 3:  # JFIF YCbCr (BT.601)
+        y, cb, cr = out
+        rgb = np.stack([
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ], axis=-1)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return None
+
+
 def synth_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic fake binary assets (for tests/bench — no external data)."""
 
@@ -458,25 +716,28 @@ def _fake_decode(data: bytes) -> tuple[int, int, int]:
 def decode_assets(assets: DataFrame, decode: str = "fake") -> DataFrame:
     """Decode step (mapInPandas).  ``decode='headers'`` parses real image
     headers (see :func:`probe_image_size`); ``decode='real'`` (round 5b)
-    runs the REAL stdlib raster decoders — :func:`decode_png` (zlib +
-    full unfiltering) and :func:`decode_bmp` — and flags assets whose
-    codec needs an external library (JPEG/GIF rasters) with ``ok=False``
-    rather than faking them."""
+    runs the REAL raster decoders — :func:`decode_png` (zlib + full
+    unfiltering), :func:`decode_bmp`, :func:`decode_gif` (pure-python
+    LZW) and :func:`decode_jpeg` (baseline Huffman+IDCT) — and flags
+    assets whose codec needs an external library (progressive JPEG)
+    with ``ok=False`` rather than faking them."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"asset_id": pdf["asset_id"], "kind": pdf["kind"], "width": [], "height": [], "n_channels": [], "ok": []}
             for d in pdf["data"]:
                 if decode == "real":
-                    # REAL raster decode for the codecs stdlib can carry
-                    # (PNG via zlib+unfilter, 24-bit BMP, GIF via pure-python
-                    # LZW); JPEG rasters need libjpeg — those assets
-                    # come back ok=False (flagged, never faked)
+                    # REAL raster decode (PNG via zlib+unfilter, 24-bit BMP,
+                    # GIF via pure-python LZW, baseline JPEG via canonical
+                    # Huffman + float IDCT); progressive JPEG still comes
+                    # back ok=False (flagged, never faked)
                     img = decode_png(bytes(d))
                     if img is None:
                         img = decode_bmp(bytes(d))
                     if img is None:
                         img = decode_gif(bytes(d))
+                    if img is None:
+                        img = decode_jpeg(bytes(d))
                     if img is None:
                         out["width"].append(0)
                         out["height"].append(0)
@@ -543,6 +804,8 @@ def _real_features(data: bytes, dim: int) -> list[float]:
         img = decode_bmp(data)
     if img is None:
         img = decode_gif(data)
+    if img is None:
+        img = decode_jpeg(data)
     if img is not None:
         h, w, c = img.shape
         g = max(1, int(np.sqrt(max(dim // max(c, 1), 1))))
