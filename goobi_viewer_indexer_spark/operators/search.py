@@ -181,10 +181,16 @@ def _facet_over(ids, dims, facet_col: str, min_count: int, limit, prefix,
     ``missing`` (Solr ``facet.missing``): append ONE row with a NULL
     facet value counting matched docs whose field is null — always
     emitted (n ≥ 0), exempt from mincount/prefix/contains/limit and
-    ordered last.  It is a second aggregate over the SAME join (Catalyst
-    compiles the re-reference to a ReusedExchange), never a second match
-    scan.  Without ``missing``, null facet values are dropped (Solr
-    returns no null bucket unless facet.missing=true).
+    ordered last.  Both output branches split the SAME aggregated
+    counts frame, which is ``.cache()``-ed (≤ facet-cardinality rows —
+    the same small-reused-frame idiom as the packed tombstones): exchange
+    reuse alone does NOT deduplicate here, because Catalyst pushes the
+    branch filters (``isNull``/``isNotNull`` on the grouping key) below
+    the aggregate, making the two subtrees non-identical — measured as a
+    doubled match scan before the cache was added.  With the cache the
+    match scan runs once (plan-asserted InMemoryTableScan in pytest).
+    Without ``missing``, null facet values are dropped (Solr returns no
+    null bucket unless facet.missing=true).
 
     ``group_field`` (Solr ``group.facet=true``): count DISTINCT values
     of this column instead of docs — each group contributes once per
@@ -207,20 +213,20 @@ def _facet_over(ids, dims, facet_col: str, min_count: int, limit, prefix,
     if not missing:
         # value filters push into the scan when no null bucket is needed
         dim = dim.filter(keep)
-    joined = ids.join(dim, "doc_id")
     cnt = (F.countDistinct(F.col(group_field)) if group_field else F.count("*"))
+    counts = ids.join(dim, "doc_id").groupBy(facet_col).agg(cnt.alias("n"))
+    if missing:
+        counts = counts.cache()  # two consumers below — see docstring
     out = (
-        (joined.filter(keep) if missing else joined)
-        .groupBy(facet_col)
-        .agg(cnt.alias("n"))
+        (counts.filter(keep) if missing else counts)
         .filter(F.col("n") >= min_count)
         .orderBy(*([F.asc(facet_col)] if sort == "index" else [F.desc("n"), F.asc(facet_col)]))
     )
     if limit is not None:
         out = out.limit(limit)
     if missing:
-        miss = joined.filter(fcol.isNull()).agg(
-            F.coalesce(cnt, F.lit(0)).alias("n")
+        miss = counts.filter(fcol.isNull()).agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n")
         ).select(F.lit(None).cast(dims.schema[facet_col].dataType).alias(facet_col), "n")
         out = out.unionByName(miss)
     return out
@@ -279,9 +285,12 @@ def _facet_range_over(ids, dims, col: str, start: int, end: int, gap: int,
     ``"between"``/``"all"`` switch to a STRING ``bucket`` column and add
     the out-of-range rows (values < start / ≥ the effective upper bound /
     the in-range total).  Single pass either way: one labeling groupBy
-    over the joined match set (Catalyst reuses the exchange for the
-    between/other references), then a broadcast spine restores empty
-    buckets.
+    over the joined match set, then a broadcast spine restores empty
+    buckets.  The labeled counts (≤ buckets+2 rows) are ``.cache()``-ed
+    when ``other`` branches re-reference them — Catalyst pushes the
+    branch filters below the aggregate, so exchange reuse alone would
+    re-run the match scan per branch (measured); the cache keeps it to
+    one scan.
 
     Execution: match scan → dims equi-join → floor-bucket → groupBy count
     (map-side partial agg) → broadcast join onto a generated bucket spine
@@ -316,7 +325,7 @@ def _facet_range_over(ids, dims, col: str, start: int, end: int, gap: int,
         .when(c >= upper, F.lit("after"))
         .otherwise((F.floor((c - start) / gap) * gap + start).cast("long").cast("string"))
     )
-    counts = joined.groupBy(lab.alias("bucket")).agg(F.count("*").alias("n"))
+    counts = joined.groupBy(lab.alias("bucket")).agg(F.count("*").alias("n")).cache()
     want_before = other in ("before", "all")
     want_after = other in ("after", "all")
     want_between = other in ("between", "all")

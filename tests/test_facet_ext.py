@@ -219,3 +219,16 @@ def test_mm_spec_equals_resolved_int(docs, idx):
     low = idx.search(q, k=10, mode="or", min_match="-99%").collect()
     one = idx.search(q, k=10, mode="or", min_match=1).collect()
     assert [tuple(r) for r in low] == [tuple(r) for r in one]
+
+
+def test_facet_missing_and_range_other_single_scan_cached(docs, idx):
+    # the two-consumer branches must read ONE materialization of the
+    # aggregated counts (cache), not re-run the match scan per branch
+    dims = _null_lang(docs)
+    df = idx.facet_counts(["table"], dims, "lang", mode="and", missing=True)
+    df.collect()
+    assert "InMemoryTableScan" in df._jdf.queryExecution().executedPlan().toString()
+    dr = idx.facet_range(["table"], docs.select("doc_id", "n_chars"), "n_chars",
+                         100, 400, 100, mode="and", other="all")
+    dr.collect()
+    assert "InMemoryTableScan" in dr._jdf.queryExecution().executedPlan().toString()
