@@ -154,6 +154,22 @@ def parse_mm(spec: int | str, n_optional: int) -> int:
     return max(1, min(n_optional, mm))
 
 
+def _tf_in_list(L, doc_id: int) -> int:
+    """Term frequency of ``doc_id`` in one (merged) posting list — a
+    block-index binary search + one lazily-decoded block (the same
+    point-lookup :meth:`wand.TermList.positions_for_doc` does for
+    positions).  0 when absent."""
+    bl = L.block_last_doc
+    i = int(np.searchsorted(bl, doc_id, side="left"))
+    if i >= len(bl):
+        return 0
+    docs, tfs = L.decode_block(i)
+    j = int(np.searchsorted(docs, doc_id))
+    if j < docs.size and docs[j] == doc_id:
+        return int(tfs[j])
+    return 0
+
+
 def _mm_int(query, min_match) -> int:
     """Resolve a string mm SPEC against the query's distinct-term count
     (its optional-clause count in Solr terms); plain ints pass through
@@ -2286,6 +2302,18 @@ class InvertedIndex:
     def open_local(self) -> "LocalSearcher":
         return LocalSearcher(self)
 
+    def explain(self, query: str | list[str], doc_id: int, mode: str = "or") -> dict:
+        """Solr ``debugQuery`` analog — per-term BM25 breakdown of one
+        doc's score (see :meth:`LocalSearcher.explain` for the schema and
+        the bit-identity contract with :meth:`search` scores).  A one-doc
+        breakdown is a driver-side point lookup by design (Solr's explain
+        also runs against the single shard holding the doc); the memoized
+        LocalSearcher refreshes itself when maintenance commits."""
+        local = getattr(self, "_explain_local", None)
+        if local is None:
+            local = self._explain_local = LocalSearcher(self)
+        return local.explain(query, doc_id, mode)
+
 
 class LocalSearcher:
     """Driver-side searcher: loads packed doclens once, caches per-term
@@ -2498,6 +2526,67 @@ class LocalSearcher:
             deleted=self.deleted if self.deleted.size else None, slop=slop,
         )
         return [(int(d), wand.round6f(s)) for d, s in zip(docs, scores)]
+
+    def explain(self, query: str | list[str], doc_id: int, mode: str = "or") -> dict:
+        """Solr ``debugQuery=true`` analog: the per-term BM25 breakdown of
+        ONE document's score for a term query.  Returns::
+
+            {"doc_id", "mode", "matched", "doclen", "avgdl", "score",
+             "terms": [{"term", "df", "tf", "idf", "weight",
+                        "contribution"}, ...]}
+
+        ``weight`` is the doc-dependent saturation factor
+        ``tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` (codec.bm25_weight),
+        ``contribution = idf·weight``, and ``score`` is
+        ``round6(Σ contributions)`` accumulated in sorted-term order —
+        the SAME float operation order as the OR kernel, so the explain
+        total is bit-identical to the score :meth:`search` ranks by
+        (pinned in pytest).  A deleted doc, an out-of-range id, or (in
+        AND mode) any absent term reports ``matched=False`` with
+        ``score=0.0`` and the per-term rows it does have — what Solr's
+        explainOther shows for non-matching docs.  Terms stay listed
+        with ``tf=0`` when absent so the breakdown names every clause."""
+        self._ensure_fresh()
+        if mode not in ("and", "or"):
+            raise ValueError("explain supports mode='and'|'or'")
+        terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
+        self._rows_for(terms)
+        k1, b = self.meta["k1"], self.meta["b"]
+        avgdl = self.index.avgdl_live
+        in_range = 0 <= doc_id < self.doclens.size
+        dl = int(self.doclens[doc_id]) if in_range else 0
+        alive = in_range and not (
+            self.deleted.size and np.searchsorted(self.deleted, doc_id) < self.deleted.size
+            and self.deleted[np.searchsorted(self.deleted, doc_id)] == doc_id
+        )
+        rows = []
+        total = 0.0
+        n_present = 0
+        for t in terms:
+            L = self._merged_list(t)
+            tf = _tf_in_list(L, doc_id) if (L is not None and alive) else 0
+            idf = float(L.idf) if L is not None else 0.0
+            if tf:
+                from goobi_viewer_indexer_spark.functions import codec as _codec
+
+                w = float(_codec.bm25_weight(
+                    np.array([tf], np.int64), np.array([dl], np.int64), avgdl, k1, b)[0])
+                n_present += 1
+            else:
+                w = 0.0
+            contribution = idf * w
+            total += contribution
+            rows.append({
+                "term": t, "df": int(L.df) if L is not None else 0, "tf": tf,
+                "idf": idf, "weight": w, "contribution": contribution,
+            })
+        matched = alive and (n_present == len(terms) if mode == "and" else n_present > 0)
+        return {
+            "doc_id": int(doc_id), "mode": mode, "matched": matched,
+            "doclen": dl, "avgdl": float(avgdl),
+            "score": wand.round6f(total) if matched else 0.0,
+            "terms": rows,
+        }
 
     def search_boolean(self, query: str | tuple, k: int = 10) -> list[tuple[int, float]]:
         """Driver-side twin of :meth:`InvertedIndex.search_boolean`."""
@@ -4254,6 +4343,17 @@ class FieldedIndex:
     def open_local(self) -> "LocalFieldedSearcher":
         return LocalFieldedSearcher(self)
 
+    def explain(self, query, doc_id: int, mode: str = "or",
+                boosts: dict[str, float] | None = None) -> dict:
+        """Solr ``debugQuery`` analog for BM25F: per-(field, term) score
+        breakdown of one doc (see :meth:`LocalFieldedSearcher.explain`).
+        Driver-side point lookup by design; the memoized local searcher
+        refreshes itself when maintenance commits."""
+        local = getattr(self, "_explain_local", None)
+        if local is None:
+            local = self._explain_local = LocalFieldedSearcher(self)
+        return local.explain(query, doc_id, mode, boosts)
+
     def search_phrase(self, field: str, phrase: str | list[str], k: int = 10) -> DataFrame:
         """Field-scoped exact phrase (positions are field-internal)."""
         from goobi_viewer_indexer_spark.operators.spimi import tag_term
@@ -4672,3 +4772,83 @@ class LocalFieldedSearcher:
                 list(lists.values()), None, 0.0, k1, b, k, mode, 0, hi, deleted=deleted
             )
         return [(int(d), wand.round6f(s)) for d, s in zip(docs, scores)]
+
+    def explain(self, query, doc_id: int, mode: str = "or",
+                boosts: dict[str, float] | None = None) -> dict:
+        """Solr ``debugQuery`` analog for BM25F — the per-(field, term)
+        breakdown of one doc's score.  Returns::
+
+            {"doc_id", "mode", "matched", "score",
+             "terms": [{"field", "term", "boost", "df", "tf", "doclen",
+                        "idf", "weight", "contribution"}, ...]}
+
+        ``weight`` saturates with the FIELD's doclen and avgdl (the
+        BM25F-lite contract of the scoring kernels), ``contribution =
+        boost·idf·weight``, ``score = round6(Σ contributions)`` over the
+        present terms — the grid :meth:`search` ranks by (pinned in
+        pytest).  Accepts every positive TERM query shape the engine
+        scores (fielded strings with AND/OR groups, wildcard / fuzzy /
+        range expansions — expanded clause members are listed
+        individually, range members with boost 0 exactly as they score);
+        phrases and prohibited clauses raise (their match semantics are
+        not a per-term sum).  ``matched`` follows the query shape: every
+        group satisfied for AND/boolean, any for OR."""
+        self._ensure_fresh()
+        if mode not in ("and", "or"):
+            raise ValueError("explain supports mode='and'|'or'")
+        tagged_weights, pmode, groups, negs = _fielded_query_parts(
+            self.index.fields, query, mode, boosts, expand=self._expand_memo,
+            expand_fuzzy=self._expand_fuzzy_memo, expand_range=self._expand_range_memo,
+        )
+        if negs:
+            raise ValueError("explain supports positive clauses only (prohibited clauses filter, they don't score)")
+        if pmode == "phrase" or (groups and any(offs for g in groups for _, offs in g)):
+            raise ValueError("explain supports term queries, not phrases")
+        from goobi_viewer_indexer_spark.functions import codec as _codec
+        from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP
+
+        self._rows_for(sorted(tagged_weights))
+        k1, b = self.meta["k1"], self.meta["b"]
+        n = max(a.size for a in self.doclens.values())
+        in_range = 0 <= doc_id < n
+        alive = in_range and not (
+            self.deleted.size and np.searchsorted(self.deleted, doc_id) < self.deleted.size
+            and self.deleted[np.searchsorted(self.deleted, doc_id)] == doc_id
+        )
+        rows = []
+        total = 0.0
+        present: set[str] = set()
+        for t, wq in tagged_weights.items():
+            L = self._merged_list(t)
+            field, term = t.split(FIELD_SEP, 1)
+            fdl = self.doclens[field]
+            dl = int(fdl[doc_id]) if in_range and doc_id < fdl.size else 0
+            tf = _tf_in_list(L, doc_id) if (L is not None and alive) else 0
+            idf = float(L.idf) if L is not None else 0.0
+            if tf:
+                w = float(_codec.bm25_weight(
+                    np.array([tf], np.int64), np.array([dl], np.int64),
+                    float(L.avgdl_f), k1, b)[0])
+                present.add(t)
+            else:
+                w = 0.0
+            contribution = float(wq) * idf * w
+            total += contribution
+            rows.append({
+                "field": field, "term": term, "boost": float(wq),
+                "df": int(L.df) if L is not None else 0, "tf": tf, "doclen": dl,
+                "idf": idf, "weight": w, "contribution": contribution,
+            })
+        if groups:
+            ok = [any(t in present for t, _ in g) for g in groups]
+            matched = all(ok) if pmode == "boolean" else any(ok)
+        elif pmode == "and":
+            matched = len(present) == len(tagged_weights)
+        else:
+            matched = bool(present)
+        matched = alive and matched
+        return {
+            "doc_id": int(doc_id), "mode": pmode, "matched": matched,
+            "score": wand.round6f(total) if matched else 0.0,
+            "terms": rows,
+        }
