@@ -167,10 +167,13 @@ def bm25f_topk_sql(
     phrase_filters: list[tuple[str, list[str]]] | None = None,
     neg_filters: list[tuple[str, str]] | None = None,
     where_docs: str | None = None,
+    min_match: int = 1,
 ) -> str:
     """DuckDB oracle for field-scoped BM25F-lite (operators/search.
     FieldedIndex.search): per-pair BM25 with FIELD-local df/doclen/avgdl,
-    N = global doc count, boost multiplying idf; AND = every pair matches.
+    N = global doc count, boost multiplying idf; AND = every pair matches;
+    ``min_match`` (OR mode) = Solr mm over the pairs — the doc must match
+    at least that many distinct (field, term) clauses.
     ``phrase_filters``: quoted clauses — each (field, tokens) additionally
     restricts results to docs whose FIELD token stream contains the tokens
     consecutively (the mixed ``pi:x AND text:"a b"`` shape); a 3-tuple
@@ -199,7 +202,12 @@ def bm25f_topk_sql(
                      (SELECT avg(len({tok})) FROM {table}) AS avgdl) st"""
         )
     union = " UNION ALL ".join(pair_ctes)
-    having = f"HAVING count(*) = {len(pairs)}" if mode == "and" else ""
+    if mode == "and":
+        having = f"HAVING count(*) = {len(pairs)}"
+    elif min_match > 1:
+        having = f"HAVING count(*) >= {min_match}"
+    else:
+        having = ""
     phrase_joins = ""
     for pf in phrase_filters or []:
         fname, toks = pf[0], pf[1]

@@ -268,18 +268,20 @@ def _facet_query_assemble(spark, subs, base_ids, names: list[str]):
     )
 
 
-def _facet_pivot_over(ids, dims, col_a: str, col_b: str, min_count: int, limit):
-    """Shared facet.pivot body (Solr ``facet.pivot=A,B`` — the viewer's
-    hierarchical collection drill-down): nested (A, B) value counts over
-    the match set, ordered Solr-style (count desc, value asc) within the
-    outer level.  Same single equi-join + groupBy shape as facet.field —
-    the pivot adds a grouping column, not a pass."""
+def _facet_pivot_over(ids, dims, cols: list[str], min_count: int, limit):
+    """Shared facet.pivot body (Solr ``facet.pivot=A,B[,C…]`` — the
+    viewer's hierarchical collection drill-down): nested value counts
+    over the match set at ANY depth, ordered Solr-style (count desc,
+    values asc).  Same single equi-join + groupBy shape as facet.field —
+    each pivot level adds a grouping column, never a pass."""
+    if len(cols) < 2:
+        raise ValueError("facet.pivot needs at least two columns")
     out = (
-        ids.join(dims.select("doc_id", col_a, col_b), "doc_id")
-        .groupBy(col_a, col_b)
+        ids.join(dims.select("doc_id", *cols), "doc_id")
+        .groupBy(*cols)
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
-        .orderBy(F.desc("n"), F.asc(col_a), F.asc(col_b))
+        .orderBy(F.desc("n"), *[F.asc(c) for c in cols])
     )
     return out.limit(limit) if limit is not None else out
 
@@ -1977,17 +1979,21 @@ class InvertedIndex:
         self,
         query: str | list[str],
         dims: DataFrame,
-        col_a: str,
-        col_b: str,
+        col_a: str | list[str],
+        col_b: str | None = None,
         mode: str = "and",
         min_count: int = 1,
         limit: int | None = None,
         fq: str | list | None = None,
     ) -> DataFrame:
-        """Solr ``facet.pivot=A,B`` over the match set — see
-        :func:`_facet_pivot_over`; ``fq`` composes like
+        """Solr ``facet.pivot=A,B[,C…]`` over the match set at any depth —
+        pass a column list as ``col_a`` (or the legacy two positional
+        columns); see :func:`_facet_pivot_over`.  ``fq`` composes like
         :meth:`facet_counts`."""
-        return _facet_pivot_over(self._mids_fq(query, mode, fq), dims, col_a, col_b, min_count, limit)
+        cols = list(col_a) if isinstance(col_a, list) else [col_a]
+        if col_b is not None:
+            cols.append(col_b)
+        return _facet_pivot_over(self._mids_fq(query, mode, fq), dims, cols, min_count, limit)
 
     def facet_query(
         self,
@@ -3407,17 +3413,19 @@ class FieldedIndex:
         self,
         query: str | list[tuple[str, str]],
         dims: DataFrame,
-        col_a: str,
-        col_b: str,
+        col_a: str | list[str],
+        col_b: str | None = None,
         mode: str = "and",
         min_count: int = 1,
         limit: int | None = None,
         fq: str | list[str] | None = None,
     ) -> DataFrame:
-        """Solr ``facet.pivot=A,B`` over a FIELDED query — see
-        :func:`_facet_pivot_over`; ``fq`` composes like
-        :meth:`facet_counts`."""
-        return _facet_pivot_over(self._mids_fq(query, mode, fq), dims, col_a, col_b, min_count, limit)
+        """Solr ``facet.pivot`` over a FIELDED query, any depth — same
+        contract as :meth:`InvertedIndex.facet_pivot`."""
+        cols = list(col_a) if isinstance(col_a, list) else [col_a]
+        if col_b is not None:
+            cols.append(col_b)
+        return _facet_pivot_over(self._mids_fq(query, mode, fq), dims, cols, min_count, limit)
 
     def facet_query(
         self,
@@ -3754,7 +3762,7 @@ class FieldedIndex:
                     n_required: int, with_positions: bool = False,
                     phrase_groups: list[list[tuple[str, list[int]]]] | None = None,
                     neg_groups: list[list[tuple[str, list[int]]]] | None = None,
-                    return_all: bool = False) -> DataFrame:
+                    return_all: bool = False, min_match: int = 1) -> DataFrame:
         """Shared range-parallel scoring plan for fielded and/or/phrase/
         boolean.  ``mode`` 'boolean'/'boolean_or': ``phrase_groups`` holds
         the POSITIVE clause groups (OR-within; offsets mark phrase groups)
@@ -3859,6 +3867,7 @@ class FieldedIndex:
                 docs, scores = wand.score_boolean(
                     groups_tl, negs_tl, None, 0.0, k1, b, kk, lo, hi,
                     deleted=deleted, mode="or" if bool_or else "and",
+                    min_match=min_match,
                 )
             elif mode == "phrase":
                 if len(by_term) < n_terms:
@@ -3874,7 +3883,7 @@ class FieldedIndex:
                 kk = (hi - lo + 1) if return_all else k
                 docs, scores = wand.score_topk(
                     [by_term[t] for t in by_term if t in present], None, 0.0, k1, b, kk, mode, lo, hi,
-                    deleted=deleted,
+                    deleted=deleted, min_match=min_match,
                 )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -3909,8 +3918,18 @@ class FieldedIndex:
         bq: str | list[str] | None = None,
         pf: str | dict[str, float] | None = None,
         ps: int = 0,
+        min_match: int | str = 1,
     ) -> DataFrame:
-        """``pf``/``ps``: edismax phrase-boost fields — the query's
+        """``min_match`` (Solr DisMax ``mm`` on the fielded engine, round
+        5b): for OR-combined queries a doc qualifies only when it matches
+        at least that many distinct top-level CLAUSES (groups) — counted
+        exactly inside the boolean kernel.  Takes an int or the full Solr
+        mm string grammar (resolved against the clause count, clamped
+        [1, n] — :func:`parse_mm`).  Ignored for AND/phrase (Solr ignores
+        mm when every clause is mandatory); plain top-k path only — raises
+        when combined with sort/after/offset/fl/fq/bq/pf/bf/boost.
+
+        ``pf``/``ps``: edismax phrase-boost fields — the query's
         positive plain tokens (in query order) form an implicit
         ordered-window phrase (slop ``ps``) over each pf field, whose
         BM25F score is ADDED to matching docs, boosted per field.
@@ -3953,6 +3972,11 @@ class FieldedIndex:
         keyset paging for sorted results — the last row's (sort values…,
         doc_id); deep pages cost the same as page 1."""
         k = min(k, self.n_docs)  # see InvertedIndex.search: unclamped limit(k) OOMs
+        if (isinstance(min_match, str) or min_match != 1) and (
+            bf is not None or boost is not None or sort is not None or after is not None
+            or offset or fl is not None or fq is not None or bq is not None or pf is not None
+        ):
+            raise ValueError("fielded min_match= supports the plain top-k path only")
         if pf is not None:
             bq = self._fold_pf(query, pf, ps, bq)
             pf = None
@@ -4042,6 +4066,8 @@ class FieldedIndex:
             )
         query, mode, dv_pos, dv_neg = self._split_dv(query, mode)
         if dv_pos or dv_neg:
+            if isinstance(min_match, str) or min_match != 1:
+                raise ValueError("fielded min_match= does not compose with doc-values-routed ranges")
             # doc-values-routed range: total-recall residual scoring ⋈
             # pushed stored filter, then ONE orderBy+limit
             # (TakeOrderedAndProject) — same plan family as compound sort
@@ -4058,13 +4084,23 @@ class FieldedIndex:
         if not tagged_weights:
             return self.spark.createDataFrame([], "doc_id long, score double")
         if groups is not None:
+            # mm counts distinct matched GROUPS (the query's top-level
+            # optional clauses); AND combine ignores it, like Solr
+            mm = 1
+            if mode == "boolean_or":
+                mm = parse_mm(min_match, len(groups)) if isinstance(min_match, str) else min_match
             with_pos = any(offs for g in groups + negs for _, offs in g)
             return self._score_plan(
                 tagged_weights, k, mode if mode.startswith("boolean") else "phrase",
                 n_required=len(tagged_weights),
                 with_positions=with_pos, phrase_groups=groups, neg_groups=negs,
+                min_match=mm,
             )
-        return self._score_plan(tagged_weights, k, mode, n_required=len(tagged_weights))
+        mm = 1
+        if mode == "or":
+            mm = parse_mm(min_match, len(tagged_weights)) if isinstance(min_match, str) else min_match
+        return self._score_plan(tagged_weights, k, mode, n_required=len(tagged_weights),
+                                min_match=mm)
 
     def score_matches(
         self,
@@ -4640,7 +4676,8 @@ class LocalFieldedSearcher:
         return out
 
     def search(self, query, k: int = 10, mode: str = "or", boosts: dict[str, float] | None = None,
-               fq: str | list[str] | None = None) -> list[tuple[int, float]]:
+               fq: str | list[str] | None = None,
+               min_match: int | str = 1) -> list[tuple[int, float]]:
         from dataclasses import replace
 
         self._ensure_fresh()
@@ -4715,6 +4752,9 @@ class LocalFieldedSearcher:
         self._rows_for(sorted(tagged_weights) + neg_terms)
         if mode.startswith("boolean"):
             bool_or = mode == "boolean_or"
+            mm = 1
+            if bool_or:
+                mm = parse_mm(min_match, len(groups)) if isinstance(min_match, str) else min_match
             deleted = base_del if base_del.size else None
             hi = max(a.size for a in self.doclens.values()) - 1
             k1, b = self.meta["k1"], self.meta["b"]
@@ -4748,7 +4788,7 @@ class LocalFieldedSearcher:
                     negs_tl.append(ent)
             docs, scores = wand.score_boolean(
                 groups_tl, negs_tl, None, 0.0, k1, b, k, 0, hi,
-                deleted=deleted, mode="or" if bool_or else "and",
+                deleted=deleted, mode="or" if bool_or else "and", min_match=mm,
             )
             return [(int(d), wand.round6f(s)) for d, s in zip(docs, scores)]
         lists: dict[str, wand.TermList] = {}
@@ -4768,8 +4808,12 @@ class LocalFieldedSearcher:
             gs = [wand.regroup(g, [(lists[t], offs) for t, offs in g]) for g in groups]
             docs, scores = wand.score_mixed(gs, None, 0.0, k1, b, k, 0, hi, deleted=deleted)
         else:
+            mm = 1
+            if mode == "or":
+                mm = parse_mm(min_match, len(tagged_weights)) if isinstance(min_match, str) else min_match
             docs, scores = wand.score_topk(
-                list(lists.values()), None, 0.0, k1, b, k, mode, 0, hi, deleted=deleted
+                list(lists.values()), None, 0.0, k1, b, k, mode, 0, hi, deleted=deleted,
+                min_match=mm,
             )
         return [(int(d), wand.round6f(s)) for d, s in zip(docs, scores)]
 

@@ -506,6 +506,7 @@ def _boolean_members(
     hi: int,
     deleted: np.ndarray | None = None,
     mode: str = "and",
+    min_match: int = 1,
 ) -> np.ndarray:
     """Sorted doc_ids in [lo, hi] matching the boolean query.
 
@@ -514,6 +515,12 @@ def _boolean_members(
     group matches docs containing ANY of its terms (OR-within,
     Solr ``F:(a b c)``).  ``mode``: how the positive groups combine
     ('and' = all must match, the Lucene '+' default; 'or' = any).
+    ``min_match`` (OR combine only — Solr DisMax ``mm`` over the query's
+    optional clauses): a doc qualifies only when it matches at least that
+    many distinct GROUPS.  Exact: each group's member set lists a doc at
+    most once, so occurrence counts over the concatenated member sets ARE
+    distinct-group counts.  A group with no postings in [lo, hi] matches
+    no doc here, so dropping it upstream never changes a doc's count.
     ``negs``: docs matching any negative group are excluded — the
     reference's ``-PI_TOPSTRUCT:"x"`` shape (helper/SolrSearchIndex.java:
     918-921).  Pure-negative queries are rejected upstream (Solr needs a
@@ -548,7 +555,13 @@ def _boolean_members(
     cand: np.ndarray | None = None
     if mode == "or":
         parts = [members(g, None) for g in groups]
-        cand = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+        if not parts:
+            cand = np.zeros(0, np.int64)
+        elif min_match > 1:
+            u, c = np.unique(np.concatenate(parts), return_counts=True)
+            cand = u[c >= min_match]
+        else:
+            cand = np.unique(np.concatenate(parts))
     else:
         # most-selective plain group first (its union is the only full
         # decode); every later group probes the shrinking candidate set;
@@ -590,12 +603,14 @@ def score_boolean(
     hi: int,
     deleted: np.ndarray | None = None,
     mode: str = "and",
+    min_match: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k BM25 over the boolean match set.  Scoring = bag BM25 over the
     distinct POSITIVE lists, counting only terms actually present in each
     matching doc (negative clauses filter membership, never score — Solr's
-    prohibited-clause semantics)."""
-    cand = _boolean_members(groups, negs, lo, hi, deleted, mode)
+    prohibited-clause semantics).  ``min_match``: distinct-GROUP
+    minimum-should-match for OR combine (see :func:`_boolean_members`)."""
+    cand = _boolean_members(groups, negs, lo, hi, deleted, mode, min_match)
     if cand.size == 0:
         return cand, np.zeros(0, np.float64)
     scores = np.zeros(cand.size, dtype=np.float64)

@@ -1011,6 +1011,16 @@ _BM25F_BOOL_MATRIX_SQL = _tagged_sql([
             phrase_filters=[("text", ["table", "spark"], 3)],
         ),
     ),
+    # mm (round 5b): fielded DisMax minimum-should-match — OR-combined
+    # clauses, doc must match >= 2 of the 3 (field, term) groups; counted
+    # exactly in the boolean kernel, HAVING count(*) >= 2 on the oracle
+    (
+        "mm",
+        naive_bm25.bm25f_topk_sql(
+            [("lang", "en"), ("text", "table"), ("text", "join")],
+            k=10, mode="or", min_match=2,
+        ),
+    ),
     ("prefix", naive_bm25.bm25f_prefix_and_term_sql("text", "s", "lang", "en", k=10)),
 ])
 
@@ -1024,6 +1034,7 @@ def q_bm25f_bool_matrix(spark, sf_dir):
     fidx = _fielded_index_for(spark, sf_dir)
     return _union_tagged([
         ("mixed_phrase", fidx.search('lang:en AND text:"spark window"', k=10)),
+        ("mm", fidx.search("lang:en OR text:table OR text:join", k=10, min_match=2)),
         ("not", fidx.search("text:table AND -lang:de", k=10)),
         ("prefix", fidx.search("lang:en AND text:s*", k=10)),
         ("sloppy", fidx.search('lang:en AND text:"table spark"~3', k=10)),

@@ -254,3 +254,48 @@ def test_fielded_facet_and_stats(spark, fidx):
         F.count("*"), F.min("doclen"), F.max("doclen"), F.sum("doclen"), F.round(F.avg("doclen"), 6)
     ).collect()[0]
     assert (st["n"], st["min"], st["max"], st["sum"], st["mean"]) == tuple(truth) and st["n"] > 0
+
+
+# -- fielded minimum-should-match (round 5b) -------------------------------
+
+def test_fielded_mm_group_counting(spark, fidx):
+    from pyspark.sql import functions as F
+
+    from goobi_viewer_indexer_spark.functions.tokenize import tokenize_expr
+
+    q = "lang:en OR text:table OR text:join"
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+
+    def _has(col, term):
+        return F.array_contains(F.array_distinct(tokenize_expr(col)), term)
+
+    ind = (F.when(_has("lang", "en"), 1).otherwise(0)
+           + F.when(_has("text", "table"), 1).otherwise(0)
+           + F.when(_has("text", "join"), 1).otherwise(0))
+    want2 = {r["doc_id"] for r in docs.select("doc_id").filter(ind >= 2).collect()}
+    got2 = {r["doc_id"] for r in fidx.search(q, k=10**6, min_match=2).collect()}
+    assert got2 == want2 and len(got2) > 0
+    # local twin rank-identical
+    ls = fidx.open_local()
+    assert ls.search(q, k=50, min_match=2) == \
+        [tuple(r) for r in fidx.search(q, k=50, min_match=2).collect()]
+    # mm == n equals AND; mm > n empty; mm string spec resolves
+    assert [tuple(r) for r in fidx.search(q, k=20, min_match=3).collect()] == \
+        [tuple(r) for r in fidx.search("lang:en AND text:table AND text:join", k=20).collect()]
+    assert fidx.search(q, k=10, min_match=4).count() == 0
+    assert ls.search(q, k=20, min_match="67%") == ls.search(q, k=20, min_match=2)
+    # list-of-pairs queries count distinct (field, term) clauses
+    pairs = [("lang", "en"), ("text", "table"), ("text", "join")]
+    assert {r["doc_id"] for r in fidx.search(pairs, k=10**6, mode="or", min_match=2).collect()} == want2
+    # AND mode ignores mm, like the flat engine and Solr
+    a = [tuple(r) for r in fidx.search(pairs, k=20, mode="and", min_match=99).collect()]
+    b = [tuple(r) for r in fidx.search(pairs, k=20, mode="and").collect()]
+    assert a == b and len(a) > 0
+
+
+def test_fielded_mm_composition_guards(fidx):
+    q = "lang:en OR text:table"
+    with pytest.raises(ValueError, match="min_match"):
+        fidx.search(q, k=5, min_match=2, fl=["source"])
+    with pytest.raises(ValueError, match="min_match"):
+        fidx.search(q, k=5, min_match=2, fq="lang:en")
