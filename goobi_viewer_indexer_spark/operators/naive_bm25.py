@@ -259,6 +259,55 @@ FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
 """.strip()
 
 
+def bm25f_dismax_topk_sql(
+    terms: list[str],
+    qf: dict[str, float],
+    k: int = 10,
+    tie: float = 0.0,
+    min_match: int = 1,
+    cfg: IndexConfig = IndexConfig(),
+    field_cols: dict[str, str] | None = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for Solr edismax main-query scoring
+    (FieldedIndex.search_dismax): every bare term searches every ``qf``
+    field; per (doc, term) the score is DisjunctionMax over the fields —
+    ``max + tie·(sum − max)`` of the per-field ``boost·BM25`` scores
+    (field-local df/doclen/avgdl, N = global doc count, exactly the
+    bm25f_topk_sql per-pair arithmetic) — and the doc's score sums the
+    per-term results.  ``min_match`` = distinct matched terms required.
+    Ordered (round6(score) desc, doc_id asc), the engine's grid."""
+    field_cols = field_cols or {f: f for f in qf}
+    k1, b = cfg.k1, cfg.b
+    ctes = []
+    for term in terms:
+        t = term.replace("'", "''")
+        for fname, w in qf.items():
+            col = field_cols[fname]
+            tok = duckdb_tokenize_sql(col)
+            ctes.append(
+                f"""
+  SELECT tf.doc_id, '{t}' AS term,
+         {w} * ln(1.0 + ((SELECT count(*) FROM {table}) - st.df + 0.5) / (st.df + 0.5))
+         * (tf.tf * ({k1} + 1.0)) / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / st.avgdl)) AS s
+  FROM (SELECT {id_col} AS doc_id, count(*) AS tf
+        FROM (SELECT {id_col}, unnest({tok}) AS tk FROM {table}) WHERE tk = '{t}' GROUP BY 1) tf
+  JOIN (SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}) dl USING (doc_id)
+  CROSS JOIN (SELECT (SELECT count(*) FROM {table} WHERE list_contains({tok}, '{t}')) AS df,
+                     (SELECT avg(len({tok})) FROM {table}) AS avgdl) st"""
+            )
+    union = " UNION ALL ".join(ctes)
+    return f"""
+WITH u AS ({union}),
+pt AS (SELECT doc_id, term, max(s) AS mx, sum(s) AS sm FROM u GROUP BY 1, 2),
+sc AS (SELECT doc_id, sum(mx + {tie} * (sm - mx)) AS raw, count(*) AS nt FROM pt GROUP BY 1)
+SELECT doc_id, round(raw, 6) AS score
+FROM sc WHERE nt >= {min_match}
+ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

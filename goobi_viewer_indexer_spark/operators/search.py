@@ -4102,6 +4102,113 @@ class FieldedIndex:
         return self._score_plan(tagged_weights, k, mode, n_required=len(tagged_weights),
                                 min_match=mm)
 
+    def search_dismax(
+        self,
+        query: str | list[str],
+        qf: dict[str, float],
+        k: int = 10,
+        tie: float = 0.0,
+        min_match: int | str = 1,
+    ) -> DataFrame:
+        """Solr edismax MAIN-QUERY scoring (``defType=edismax&qf=...&tie=``):
+        every bare query term searches every ``qf`` field, and per
+        (doc, term) the score is Lucene's DisjunctionMax over the fields —
+        ``max + tie·(sum − max)`` of the per-field ``boost·BM25`` scores
+        (field-local df/doclen/avgdl) — summed over terms.  ``tie=0`` is
+        pure dismax (best field wins), ``tie=1`` degenerates to the
+        engine's BM25F-lite weighted field SUM (= ``search(pairs,
+        mode='or', boosts=qf)``, tested); Solr's common 0<tie<1 blends.
+        ``min_match``: distinct matched TERMS required (full mm grammar).
+
+        Execution is Spark-first — no new kernel: postings for the
+        |terms|·|qf| tagged lists → range-parallel ``applyInPandas``
+        emitting per-list all-recall (doc_id, term, score) rows (one
+        decode + vectorized BM25 per list, no heap) → ONE
+        groupBy(doc_id, term) max/sum (map-side partial) → the dismax
+        combine as a Catalyst projection → ONE groupBy(doc_id) sum +
+        term count (mm) → orderBy+limit = TakeOrderedAndProject.  The
+        nonlinear per-term max is exactly what the additive WAND kernels
+        can't express, and exactly what two partial-aggregated shuffles
+        on the MATCHED rows (not the corpus) express natively."""
+        from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
+
+        if not qf:
+            raise ValueError("qf must name at least one field")
+        for f in qf:
+            if f not in self.fields:
+                raise ValueError(f"unknown field {f!r} (have {self.fields})")
+        if not 0.0 <= tie <= 1.0:
+            raise ValueError("tie must be in [0, 1]")
+        terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
+        mm = parse_mm(min_match, len(terms)) if isinstance(min_match, str) else min_match
+        k = min(k, self.n_docs)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not terms:
+            return empty
+        tagged = [tag_term(f, t) for t in terms for f in qf]
+        stats = self.term_stats_for(tagged)
+        present = [tt for tt in tagged if tt in stats]
+        if not present:
+            return empty
+        meta = self.meta
+        k1, b, span = meta["k1"], meta["b"], self.span
+        n_docs, avgdls, fields = self.n_docs, self.avgdls, self.fields
+        idfs = {tt: qf[tt.split(FIELD_SEP, 1)[0]] * wand.idf(n_docs, stats[tt][0])
+                for tt in present}
+        rows = self.postings_for(present).withColumn(
+            "rng",
+            F.explode(
+                F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
+            ),
+        )
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            eo = pd.DataFrame({"doc_id": [], "term": [], "s": []}).astype(
+                {"doc_id": np.int64, "term": str, "s": np.float64})
+            if len(pdf) == 0:
+                return eo
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * span, (rng + 1) * span - 1
+            base = int(pdf["base"].iloc[0])
+            dl_by_field = {
+                f: wand.DenseDoclens(base, np.frombuffer(pdf[f"doclens_{f}"].iloc[0], dtype=np.int32))
+                for f in fields
+            }
+            deleted = None
+            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
+                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            outs = []
+            for row in pdf.to_dict("records"):
+                tt = row["term"]
+                fname, bterm = tt.split(FIELD_SEP, 1)
+                L = _mk_termlist(row, idfs.get(tt, 0.0), stats[tt][0])
+                d, tfs = L.decode_range(lo, hi)
+                if d.size == 0:
+                    continue
+                keep = wand._drop_deleted(d, deleted)
+                d, tfs = d[keep], tfs[keep]
+                if d.size == 0:
+                    continue
+                s = wand._bm25(tfs, dl_by_field[fname](d), L.idf, avgdls[fname], k1, b)
+                outs.append(pd.DataFrame({"doc_id": d, "term": bterm, "s": s}))
+            return pd.concat(outs, ignore_index=True) if outs else eo
+
+        joined = rows.join(self._doclens, "rng")
+        if self._tomb_packed is not None:
+            joined = joined.join(self._tomb_packed, "rng", "left")
+        per_list = joined.groupBy("rng").applyInPandas(emit, "doc_id long, term string, s double")
+        pt = per_list.groupBy("doc_id", "term").agg(F.max("s").alias("mx"), F.sum("s").alias("sm"))
+        sc = pt.groupBy("doc_id").agg(
+            F.sum(F.col("mx") + F.lit(tie) * (F.col("sm") - F.col("mx"))).alias("raw"),
+            F.count("*").alias("nt"),
+        )
+        return (
+            sc.filter(F.col("nt") >= mm)
+            .select("doc_id", F.round("raw", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def score_matches(
         self,
         query: str | list[tuple[str, str]],

@@ -970,6 +970,11 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         where_docs=f"list_contains({duckdb_tokenize_sql('lang')}, 'en') AND n_chars BETWEEN 120 AND 400",
     )),
     ("or_boosted", naive_bm25.bm25f_topk_sql(F_OR_PAIRS, k=10, mode="or", boosts=F_OR_BOOSTS)),
+    # dismax (round 5b): edismax MAIN-query scoring — every bare term
+    # searches every qf field, per (doc, term) DisjunctionMax over fields
+    # (max + tie*(sum-max)), summed over terms
+    ("dismax", naive_bm25.bm25f_dismax_topk_sql(
+        ["spark", "table"], {"text": 1.0, "source": 2.0}, k=10, tie=0.3)),
     ("point", naive_bm25.bm25f_topk_sql([("source", "src42")], k=5)),
 ])
 
@@ -985,6 +990,7 @@ def q_bm25f_matrix(spark, sf_dir):
         ("fq", fidx.search("text:spark", k=10, fq=["lang:en", "nch:[120 TO 400]"])),
         ("pf", fidx.search("text:table AND text:spark", k=10, pf={"text": 2.0}, ps=3)),
         ("or_boosted", fidx.search(F_OR_PAIRS, k=10, mode="or", boosts=F_OR_BOOSTS)),
+        ("dismax", fidx.search_dismax("table spark", {"text": 1.0, "source": 2.0}, k=10, tie=0.3)),
         ("point", fidx.search([("source", "src42")], k=5)),
     ]).orderBy("qtag", F.desc("score"), "doc_id")
 

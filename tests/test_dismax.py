@@ -1,0 +1,99 @@
+"""Solr edismax MAIN-query scoring (``defType=edismax&qf=...&tie=``):
+FieldedIndex.search_dismax — every bare term searches every qf field,
+per (doc, term) DisjunctionMax over the fields (max + tie*(sum-max)),
+summed over terms.  Reference analog: the viewer's default search
+handler queries SUPERDEFAULT/DEFAULT/SUPERFULLTEXT/... with per-field
+boosts via edismax qf (the Solr config the indexer feeds).  Value-level
+oracle parity lives in test_suite_oracle.py (bm25f_matrix, dismax qtag);
+here: composition truth against per-pair engine scores, the tie=1
+degeneracy, mm semantics, and the argument guards."""
+
+from __future__ import annotations
+
+import pytest
+
+from goobi_viewer_indexer_spark.config import IndexConfig
+from goobi_viewer_indexer_spark.operators.search import FieldedIndex
+from goobi_viewer_indexer_spark.plans.build import build_index_fielded
+from tests.conftest import SF001
+
+CFG = IndexConfig(docs_per_segment=64, merge_fanin=2, block_size=32, postings_buckets=8, compact_below_bytes=512)
+FIELDS = {"text": "text", "source": "source", "lang": "lang"}
+QF = {"text": 1.0, "source": 2.0, "lang": 3.0}
+
+
+@pytest.fixture(scope="module")
+def fidx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dismax_idx"))
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    build_index_fielded(docs, d, FIELDS, CFG)
+    return FieldedIndex(spark, d)
+
+
+def _per_pair_scores(fidx, terms, qf):
+    """(doc, term) -> list of per-field boost*BM25 scores, via the tested
+    single-pair search path (field-local df/doclen/avgdl)."""
+    per = {}
+    for t in terms:
+        for f, w in qf.items():
+            for r in fidx.search([(f, t)], k=10**6, boosts={f: w}).collect():
+                per.setdefault((r["doc_id"], t), []).append(r["score"])
+    return per
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.4, 1.0])
+def test_dismax_composition_truth(spark, fidx, tie):
+    # dismax(terms) == sum over terms of [max_f + tie*(sum_f - max_f)] of
+    # the per-(field, term) scores the single-pair engine reports
+    terms = ["table", "spark"]
+    per = _per_pair_scores(fidx, terms, QF)
+    want = {}
+    for (d, _t), ss in per.items():
+        mx, sm = max(ss), sum(ss)
+        want[d] = want.get(d, 0.0) + mx + tie * (sm - mx)
+    top = sorted(want.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:12]
+    got = [(r["doc_id"], r["score"]) for r in fidx.search_dismax(terms, QF, k=12, tie=tie).collect()]
+    assert [d for d, _ in got] == [d for d, _ in top]
+    for (_gd, gs), (_wd, ws) in zip(got, top):
+        # per-pair scores are round6'd before recombination here; the
+        # engine rounds once at the end — compare with slack
+        assert abs(gs - ws) < 1e-4
+
+
+def test_tie_one_is_weighted_or(spark, fidx):
+    # tie=1 degenerates to the BM25F-lite weighted field SUM == OR over
+    # all (field, term) pairs with qf as boosts — exact round6 identity
+    terms = ["table", "spark"]
+    pairs = [(f, t) for t in terms for f in QF]
+    via_or = [(r["doc_id"], r["score"])
+              for r in fidx.search(pairs, k=15, mode="or", boosts=QF).collect()]
+    via_dm = [(r["doc_id"], r["score"])
+              for r in fidx.search_dismax(terms, QF, k=15, tie=1.0).collect()]
+    assert via_or == via_dm
+
+
+def test_min_match_counts_terms_not_pairs(spark, fidx):
+    # mm=2 keeps only docs matching BOTH terms (in any field); a doc
+    # matching one term in three fields still has term-count 1
+    terms = ["table", "spark"]
+    both = {r["doc_id"] for r in fidx.search_dismax(terms, QF, k=10**6, tie=0.5, min_match=2).collect()}
+    t_only = {r["doc_id"] for r in fidx.search([(f, "table") for f in QF], k=10**6, mode="or").collect()}
+    s_only = {r["doc_id"] for r in fidx.search([(f, "spark") for f in QF], k=10**6, mode="or").collect()}
+    assert both == (t_only & s_only) and both
+    # full mm string grammar resolves against the TERM count
+    pct = {r["doc_id"] for r in fidx.search_dismax(terms, QF, k=10**6, tie=0.5, min_match="100%").collect()}
+    assert pct == both
+    assert fidx.search_dismax(terms, QF, k=10, min_match=3).count() == 0
+
+
+def test_guards_and_empties(spark, fidx):
+    with pytest.raises(ValueError, match="unknown field"):
+        fidx.search_dismax("table", {"nosuch": 1.0}, k=5)
+    with pytest.raises(ValueError, match="tie"):
+        fidx.search_dismax("table", {"text": 1.0}, k=5, tie=1.5)
+    with pytest.raises(ValueError, match="qf"):
+        fidx.search_dismax("table", {}, k=5)
+    assert fidx.search_dismax("", {"text": 1.0}, k=5).count() == 0
+    assert fidx.search_dismax("zzzznotaterm", {"text": 1.0}, k=5).count() == 0
+    out = fidx.search_dismax("table", {"text": 1.0}, k=5)
+    assert out.columns == ["doc_id", "score"]

@@ -232,3 +232,26 @@ def test_facet_missing_and_range_other_single_scan_cached(docs, idx):
                          100, 400, 100, mode="and", other="all")
     dr.collect()
     assert "InMemoryTableScan" in dr._jdf.queryExecution().executedPlan().toString()
+
+
+def test_facet_pivot_three_levels(docs, idx):
+    # Solr facet.pivot=A,B,C — arbitrary depth (round 5b)
+    dims = docs.select("doc_id", "source", "lang",
+                       (F.floor(F.col("n_chars") / 200) * 200).alias("nb"))
+    got = [tuple(r) for r in idx.facet_pivot(["table"], dims, ["source", "lang", "nb"],
+                                             min_count=2).collect()]
+    want = [
+        tuple(r)
+        for r in docs.filter(_has("text", "table"))
+        .select("source", "lang", (F.floor(F.col("n_chars") / 200) * 200).alias("nb"))
+        .groupBy("source", "lang", "nb").agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .orderBy(F.desc("n"), "source", "lang", "nb")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+    # legacy two-positional-column call still works
+    two = idx.facet_pivot(["table", "join"], dims, "source", "lang", min_count=2)
+    assert two.columns == ["source", "lang", "n"]
+    with pytest.raises(ValueError):
+        idx.facet_pivot(["table"], dims, "source")
