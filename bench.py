@@ -207,6 +207,15 @@ def run_suite(spark, corpus_src: str) -> tuple[dict[str, float], dict[str, objec
         fidx_dv.search('lang:en AND text:"table spark"~3', k=10).collect()
 
     timed("search_proximity_pf_3q", run_round5b)
+
+    # round-5c surface: edismax qf/tie DisMax main-query scoring — the
+    # |terms|x|qf| fan-out + two partial-agg shuffles + one
+    # TakeOrderedAndProject, with and without an fq membership semi-join
+    def run_dismax():
+        fidx_dv.search_dismax("table spark", {"text": 1.0, "source": 2.0}, k=10, tie=0.3).collect()
+        fidx_dv.search_dismax("table spark", {"text": 1.0, "lang": 2.0}, k=10, tie=0.1, fq="lang:en").collect()
+
+    timed("search_dismax_2q", run_dismax)
     shutil.rmtree(fidx_dir, ignore_errors=True)
 
     # ---- 3. local searcher latency p50/p95 ----

@@ -4109,6 +4109,7 @@ class FieldedIndex:
         k: int = 10,
         tie: float = 0.0,
         min_match: int | str = 1,
+        fq: str | list | None = None,
     ) -> DataFrame:
         """Solr edismax MAIN-QUERY scoring (``defType=edismax&qf=...&tie=``):
         every bare query term searches every ``qf`` field, and per
@@ -4129,7 +4130,12 @@ class FieldedIndex:
         term count (mm) → orderBy+limit = TakeOrderedAndProject.  The
         nonlinear per-term max is exactly what the additive WAND kernels
         can't express, and exactly what two partial-aggregated shuffles
-        on the MATCHED rows (not the corpus) express natively."""
+        on the MATCHED rows (not the corpus) express natively.
+
+        ``fq``: Solr filter queries (full fielded fq surface, see
+        :meth:`fq_ids`) — membership only, never scores; the semi-join
+        lands on the per-list rows BEFORE the aggregations so filtered
+        docs never shuffle."""
         from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
 
         if not qf:
@@ -4197,6 +4203,8 @@ class FieldedIndex:
         if self._tomb_packed is not None:
             joined = joined.join(self._tomb_packed, "rng", "left")
         per_list = joined.groupBy("rng").applyInPandas(emit, "doc_id long, term string, s double")
+        if fq is not None:
+            per_list = per_list.join(self.fq_ids(fq), "doc_id", "left_semi")
         pt = per_list.groupBy("doc_id", "term").agg(F.max("s").alias("mx"), F.sum("s").alias("sm"))
         sc = pt.groupBy("doc_id").agg(
             F.sum(F.col("mx") + F.lit(tie) * (F.col("sm") - F.col("mx"))).alias("raw"),
@@ -4923,6 +4931,84 @@ class LocalFieldedSearcher:
                 min_match=mm,
             )
         return [(int(d), wand.round6f(s)) for d, s in zip(docs, scores)]
+
+    def search_dismax(
+        self,
+        query: str | list[str],
+        qf: dict[str, float],
+        k: int = 10,
+        tie: float = 0.0,
+        min_match: int | str = 1,
+        fq: str | list | None = None,
+    ) -> list[tuple[int, float]]:
+        """Driver-side twin of :meth:`FieldedIndex.search_dismax` (Solr
+        edismax qf/tie main-query scoring) — rank-identical (tested).
+        Same per-(field, term) arithmetic as the distributed kernel
+        ((qf-boost·idf)·saturation with FIELD-local doclen/avgdl), the
+        DisjunctionMax combine runs as dense ``np.maximum.at``/
+        ``np.add.at`` passes per term over the cached merged posting
+        lists; ``fq`` membership and the tombstone set filter each list
+        BEFORE the combine so mm term counts stay exact."""
+        from goobi_viewer_indexer_spark.operators.spimi import tag_term
+
+        self._ensure_fresh()
+        if not qf:
+            raise ValueError("qf must name at least one field")
+        for f in qf:
+            if f not in self.index.fields:
+                raise ValueError(f"unknown field {f!r} (have {self.index.fields})")
+        if not 0.0 <= tie <= 1.0:
+            raise ValueError("tie must be in [0, 1]")
+        terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
+        if not terms:
+            return []
+        mm = parse_mm(min_match, len(terms)) if isinstance(min_match, str) else min_match
+        k = min(k, self.index.n_docs)
+        n = max(a.size for a in self.doclens.values())
+        fq_mask = None
+        if fq is not None:
+            members = self._fq_members(fq)
+            fq_mask = np.zeros(n, dtype=bool)
+            fq_mask[members[members < n]] = True
+        self._rows_for([tag_term(f, t) for t in terms for f in qf])
+        k1, b = self.meta["k1"], self.meta["b"]
+        deleted = self.deleted if self.deleted.size else None
+        raw = np.zeros(n, np.float64)
+        cnt = np.zeros(n, np.int64)
+        for t in terms:
+            mx = np.full(n, -np.inf)
+            sm = np.zeros(n, np.float64)
+            seen = np.zeros(n, bool)
+            for f, w in qf.items():
+                L = self._merged_list(tag_term(f, t))
+                if L is None:
+                    continue
+                d, tfs = L.decode_range(0, n - 1)
+                if d.size == 0:
+                    continue
+                keep = wand._drop_deleted(d, deleted)
+                d, tfs = d[keep], tfs[keep]
+                if fq_mask is not None and d.size:
+                    m2 = fq_mask[d]
+                    d, tfs = d[m2], tfs[m2]
+                if d.size == 0:
+                    continue
+                s = wand._bm25(tfs, self.doclens[f][d], w * L.idf,
+                               self.index.avgdls[f], k1, b)
+                np.maximum.at(mx, d, s)
+                np.add.at(sm, d, s)
+                seen[d] = True
+            sd = np.flatnonzero(seen)
+            if sd.size == 0:
+                continue
+            raw[sd] += mx[sd] + tie * (sm[sd] - mx[sd])
+            cnt[sd] += 1
+        cand = np.flatnonzero(cnt >= max(mm, 1))
+        if cand.size == 0:
+            return []
+        scores = wand.round6(raw[cand])
+        order = np.lexsort((cand, -scores))[:k]
+        return [(int(cand[i]), float(scores[i])) for i in order]
 
     def explain(self, query, doc_id: int, mode: str = "or",
                 boosts: dict[str, float] | None = None) -> dict:

@@ -86,6 +86,36 @@ def test_min_match_counts_terms_not_pairs(spark, fidx):
     assert fidx.search_dismax(terms, QF, k=10, min_match=3).count() == 0
 
 
+def test_local_twin_rank_identity(spark, fidx):
+    # LocalFieldedSearcher.search_dismax == FieldedIndex.search_dismax
+    # across tie / mm / fq shapes (the ms-latency twin contract)
+    loc = fidx.open_local()
+    for q, tie, mm, fq in [
+        ("table spark", 0.0, 1, None),
+        ("table spark window", 0.5, 2, None),
+        ("table spark", 0.3, 1, "lang:en"),
+        ("table spark", 1.0, 1, ["lang:en", "source:src3 OR source:src4 OR source:src5"]),
+        ("en table", 0.25, "100%", None),
+    ]:
+        dist = [(r["doc_id"], r["score"])
+                for r in fidx.search_dismax(q, QF, k=12, tie=tie, min_match=mm, fq=fq).collect()]
+        local = loc.search_dismax(q, QF, k=12, tie=tie, min_match=mm, fq=fq)
+        assert local == dist, (q, tie, mm, fq, local[:3], dist[:3])
+
+
+def test_fq_filters_membership_never_scores(spark, fidx):
+    # fq'd results are exactly the unfiltered results restricted to the
+    # filter set, scores unchanged (Solr's filter-cache contract)
+    all_rows = {r["doc_id"]: r["score"]
+                for r in fidx.search_dismax("table spark", QF, k=10**6, tie=0.4).collect()}
+    members = {r["doc_id"] for r in fidx.fq_ids("lang:en").collect()}
+    got = [(r["doc_id"], r["score"])
+           for r in fidx.search_dismax("table spark", QF, k=10**6, tie=0.4, fq="lang:en").collect()]
+    want = sorted(((d, s) for d, s in all_rows.items() if d in members),
+                  key=lambda x: (-x[1], x[0]))
+    assert got == want and got
+
+
 def test_guards_and_empties(spark, fidx):
     with pytest.raises(ValueError, match="unknown field"):
         fidx.search_dismax("table", {"nosuch": 1.0}, k=5)
