@@ -4110,6 +4110,10 @@ class FieldedIndex:
         tie: float = 0.0,
         min_match: int | str = 1,
         fq: str | list | None = None,
+        bq: str | list | None = None,
+        bf: str | None = None,
+        boost: str | None = None,
+        fl: list[str] | None = None,
     ) -> DataFrame:
         """Solr edismax MAIN-QUERY scoring (``defType=edismax&qf=...&tie=``):
         every bare query term searches every ``qf`` field, and per
@@ -4135,7 +4139,16 @@ class FieldedIndex:
         ``fq``: Solr filter queries (full fielded fq surface, see
         :meth:`fq_ids`) — membership only, never scores; the semi-join
         lands on the per-list rows BEFORE the aggregations so filtered
-        docs never shuffle."""
+        docs never shuffle.
+
+        ``bq``/``bf``/``boost``/``fl``: the rest of the edismax contract
+        composes onto the total-recall dismax score frame through the
+        SAME shared plans as :meth:`search` — ``bq`` additive clause
+        scores via one left join each (:meth:`_apply_bq`), then
+        ``final = (score + bf) · boost`` as one Catalyst projection over
+        the stored doc-values columns (``_boosted_plan``), ``fl``
+        projecting stored fields onto the top-k; ONE
+        TakeOrderedAndProject reduce either way."""
         from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
 
         if not qf:
@@ -4210,12 +4223,25 @@ class FieldedIndex:
             F.sum(F.col("mx") + F.lit(tie) * (F.col("sm") - F.col("mx"))).alias("raw"),
             F.count("*").alias("nt"),
         )
-        return (
+        scored = (
             sc.filter(F.col("nt") >= mm)
             .select("doc_id", F.round("raw", 6).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
         )
+        if bq is not None:
+            scored = self._apply_bq(scored, bq)
+        if bf is not None or boost is not None:
+            return _boosted_plan(self.stored(), scored, k, bf, boost, fl)
+        if fl is not None:
+            st = self.stored()
+            if st is None:
+                raise ValueError("fl= needs stored fields (maintenance.set_stored_fields)")
+            return (
+                scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                .join(st.select("doc_id", *fl), "doc_id", "left")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .select("doc_id", "score", *fl)
+            )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def score_matches(
         self,

@@ -975,6 +975,18 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     # (max + tie*(sum-max)), summed over terms
     ("dismax", naive_bm25.bm25f_dismax_topk_sql(
         ["spark", "table"], {"text": 1.0, "source": 2.0}, k=10, tie=0.3)),
+    # dismax_bf (round 5c): the rest of the edismax contract composes on
+    # the dismax frame — final = (dismax + bf) * 1, same _boosted_plan /
+    # round6 arithmetic as the flat bf qtag
+    ("dismax_bf", f"""
+WITH base AS ({naive_bm25.bm25f_dismax_topk_sql(
+        ["spark", "table"], {"text": 1.0, "source": 2.0}, k=1000000, tie=0.3)}),
+     d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS nch FROM documents)
+SELECT b.doc_id,
+       floor(((b.score + {_BF_ADD}) * 1.0) * 1e6 + 0.5) / 1e6 AS score
+FROM base b JOIN d USING (doc_id)
+ORDER BY score DESC, b.doc_id ASC LIMIT 10
+""".strip()),
     ("point", naive_bm25.bm25f_topk_sql([("source", "src42")], k=5)),
 ])
 
@@ -991,6 +1003,9 @@ def q_bm25f_matrix(spark, sf_dir):
         ("pf", fidx.search("text:table AND text:spark", k=10, pf={"text": 2.0}, ps=3)),
         ("or_boosted", fidx.search(F_OR_PAIRS, k=10, mode="or", boosts=F_OR_BOOSTS)),
         ("dismax", fidx.search_dismax("table spark", {"text": 1.0, "source": 2.0}, k=10, tie=0.3)),
+        ("dismax_bf", _fielded_stored_index_for(spark, sf_dir).search_dismax(
+            "table spark", {"text": 1.0, "source": 2.0}, k=10, tie=0.3,
+            bf="linear(nch,0.001,0)")),
         ("point", fidx.search([("source", "src42")], k=5)),
     ]).orderBy("qtag", F.desc("score"), "doc_id")
 

@@ -116,6 +116,50 @@ def test_fq_filters_membership_never_scores(spark, fidx):
     assert got == want and got
 
 
+def test_bq_bf_fl_compose_on_dismax(spark, fidx, tmp_path):
+    # the rest of the edismax contract rides the shared plans: bq adds
+    # the clause's BM25F score on matching docs (no doc added), bf/boost
+    # recompute final = (score + bf) * boost over stored doc-values,
+    # fl projects stored columns onto the top-k
+    import pyspark.sql.functions as F
+
+    from goobi_viewer_indexer_spark.plans import maintenance
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    maintenance.set_stored_fields(
+        spark, fidx.dir,
+        docs.select("doc_id", "source", F.col("n_chars").cast("long").alias("nch")),
+        tag="dismax_stored")
+    st = FieldedIndex(spark, fidx.dir)
+
+    base = {r["doc_id"]: r["score"]
+            for r in st.search_dismax("table spark", QF, k=10**6, tie=0.4).collect()}
+    bqs = {r["doc_id"]: r["score"]
+           for r in st.score_matches("lang:en^2.0").collect()}
+    got = [(r["doc_id"], r["score"])
+           for r in st.search_dismax("table spark", QF, k=12, tie=0.4, bq="lang:en^2.0").collect()]
+    want = sorted(((d, round(s + bqs.get(d, 0.0), 6)) for d, s in base.items()),
+                  key=lambda x: (-x[1], x[0]))[:12]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_d, gs), (_w, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-5
+
+    nch = {r["doc_id"]: r["nch"] for r in st.stored().select("doc_id", "nch").collect()}
+    gotb = [(r["doc_id"], r["score"])
+            for r in st.search_dismax("table spark", QF, k=12, tie=0.4,
+                                      bf="linear(nch,0.001,0)").collect()]
+    import math
+    wantb = sorted(((d, math.floor((s + 0.001 * nch[d]) * 1e6 + 0.5) / 1e6)
+                    for d, s in base.items()), key=lambda x: (-x[1], x[0]))[:12]
+    assert gotb == wantb
+
+    out = st.search_dismax("table spark", QF, k=5, tie=0.4, fl=["source"])
+    assert out.columns == ["doc_id", "score", "source"]
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [d for d, _ in
+                                           sorted(base.items(), key=lambda x: (-x[1], x[0]))[:5]]
+
+
 def test_guards_and_empties(spark, fidx):
     with pytest.raises(ValueError, match="unknown field"):
         fidx.search_dismax("table", {"nosuch": 1.0}, k=5)
