@@ -4125,21 +4125,24 @@ class FieldedIndex:
         mode='or', boosts=qf)``, tested); Solr's common 0<tie<1 blends.
         ``min_match``: distinct matched TERMS required (full mm grammar).
 
-        Execution is Spark-first — no new kernel: postings for the
-        |terms|·|qf| tagged lists → range-parallel ``applyInPandas``
-        emitting per-list all-recall (doc_id, term, score) rows (one
-        decode + vectorized BM25 per list, no heap) → ONE
-        groupBy(doc_id, term) max/sum (map-side partial) → the dismax
-        combine as a Catalyst projection → ONE groupBy(doc_id) sum +
-        term count (mm) → orderBy+limit = TakeOrderedAndProject.  The
-        nonlinear per-term max is exactly what the additive WAND kernels
-        can't express, and exactly what two partial-aggregated shuffles
-        on the MATCHED rows (not the corpus) express natively.
+        Execution: postings for the |terms|·|qf| tagged lists fan out
+        range-parallel through ONE ``applyInPandas``; because dense doc
+        ids put every doc in exactly ONE range, the whole combine — per
+        (doc, term) max/sum over fields (``np.maximum.at``/``np.add.at``
+        on range-local dense arrays), the dismax blend, the per-doc sum
+        and the mm term count — runs INSIDE the kernel, so the stage
+        emits final (doc_id, raw, nt) rows and the plan has ZERO
+        aggregation shuffles: scan → explode ranges → broadcast doclens
+        join → kernel → filter(nt ≥ mm) → orderBy+limit =
+        TakeOrderedAndProject (plan-asserted in pytest).  The nonlinear
+        per-term max is exactly what the additive WAND kernels can't
+        express — and range-locality is what lets Spark never shuffle a
+        matched row for it.
 
         ``fq``: Solr filter queries (full fielded fq surface, see
-        :meth:`fq_ids`) — membership only, never scores; the semi-join
-        lands on the per-list rows BEFORE the aggregations so filtered
-        docs never shuffle.
+        :meth:`fq_ids`) — membership only, never scores; one semi-join
+        on the per-doc kernel output (fq drops docs whole, so nt term
+        counts are unaffected).
 
         ``bq``/``bf``/``boost``/``fl``: the rest of the edismax contract
         composes onto the total-recall dismax score frame through the
@@ -4182,8 +4185,8 @@ class FieldedIndex:
         )
 
         def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-            eo = pd.DataFrame({"doc_id": [], "term": [], "s": []}).astype(
-                {"doc_id": np.int64, "term": str, "s": np.float64})
+            eo = pd.DataFrame({"doc_id": [], "raw": [], "nt": []}).astype(
+                {"doc_id": np.int64, "raw": np.float64, "nt": np.int64})
             if len(pdf) == 0:
                 return eo
             rng = int(pdf["rng"].iloc[0])
@@ -4196,35 +4199,50 @@ class FieldedIndex:
             deleted = None
             if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
                 deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
-            outs = []
+            by_term: dict[str, list] = {}
             for row in pdf.to_dict("records"):
-                tt = row["term"]
-                fname, bterm = tt.split(FIELD_SEP, 1)
-                L = _mk_termlist(row, idfs.get(tt, 0.0), stats[tt][0])
-                d, tfs = L.decode_range(lo, hi)
-                if d.size == 0:
-                    continue
-                keep = wand._drop_deleted(d, deleted)
-                d, tfs = d[keep], tfs[keep]
-                if d.size == 0:
-                    continue
-                s = wand._bm25(tfs, dl_by_field[fname](d), L.idf, avgdls[fname], k1, b)
-                outs.append(pd.DataFrame({"doc_id": d, "term": bterm, "s": s}))
-            return pd.concat(outs, ignore_index=True) if outs else eo
+                by_term.setdefault(row["term"].split(FIELD_SEP, 1)[1], []).append(row)
+            raw = np.zeros(span, np.float64)
+            cnt = np.zeros(span, np.int64)
+            for bterm in sorted(by_term):
+                mx = np.full(span, -np.inf)
+                sm = np.zeros(span, np.float64)
+                seen = np.zeros(span, bool)
+                for row in by_term[bterm]:
+                    tt = row["term"]
+                    fname = tt.split(FIELD_SEP, 1)[0]
+                    L = _mk_termlist(row, idfs.get(tt, 0.0), stats[tt][0])
+                    d, tfs = L.decode_range(lo, hi)
+                    if d.size == 0:
+                        continue
+                    keep = wand._drop_deleted(d, deleted)
+                    d, tfs = d[keep], tfs[keep]
+                    if d.size == 0:
+                        continue
+                    s = wand._bm25(tfs, dl_by_field[fname](d), L.idf, avgdls[fname], k1, b)
+                    li = d - lo
+                    np.maximum.at(mx, li, s)
+                    np.add.at(sm, li, s)
+                    seen[li] = True
+                li = np.flatnonzero(seen)
+                if li.size:
+                    raw[li] += mx[li] + tie * (sm[li] - mx[li])
+                    cnt[li] += 1
+            li = np.flatnonzero(cnt)
+            if li.size == 0:
+                return eo
+            return pd.DataFrame({"doc_id": li + lo, "raw": raw[li], "nt": cnt[li]})
 
         joined = rows.join(self._doclens, "rng")
         if self._tomb_packed is not None:
             joined = joined.join(self._tomb_packed, "rng", "left")
-        per_list = joined.groupBy("rng").applyInPandas(emit, "doc_id long, term string, s double")
+        per_doc = joined.groupBy("rng").applyInPandas(emit, "doc_id long, raw double, nt long")
         if fq is not None:
-            per_list = per_list.join(self.fq_ids(fq), "doc_id", "left_semi")
-        pt = per_list.groupBy("doc_id", "term").agg(F.max("s").alias("mx"), F.sum("s").alias("sm"))
-        sc = pt.groupBy("doc_id").agg(
-            F.sum(F.col("mx") + F.lit(tie) * (F.col("sm") - F.col("mx"))).alias("raw"),
-            F.count("*").alias("nt"),
-        )
+            # fq filters docs whole, so joining the per-doc rows cannot
+            # skew nt term counts
+            per_doc = per_doc.join(self.fq_ids(fq), "doc_id", "left_semi")
         scored = (
-            sc.filter(F.col("nt") >= mm)
+            per_doc.filter(F.col("nt") >= mm)
             .select("doc_id", F.round("raw", 6).alias("score"))
         )
         if bq is not None:

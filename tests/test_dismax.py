@@ -160,6 +160,17 @@ def test_bq_bf_fl_compose_on_dismax(spark, fidx, tmp_path):
                                            sorted(base.items(), key=lambda x: (-x[1], x[0]))[:5]]
 
 
+def test_dismax_plan_no_aggregation_shuffle(spark, fidx):
+    # the whole dismax combine runs inside the range kernel (docs are
+    # range-local), so the executed plan has NO aggregate operator and
+    # reduces through TakeOrderedAndProject alone
+    df = fidx.search_dismax("table spark", QF, k=10, tie=0.3)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_guards_and_empties(spark, fidx):
     with pytest.raises(ValueError, match="unknown field"):
         fidx.search_dismax("table", {"nosuch": 1.0}, k=5)
