@@ -4114,6 +4114,8 @@ class FieldedIndex:
         bf: str | None = None,
         boost: str | None = None,
         fl: list[str] | None = None,
+        pf: dict[str, float] | str | None = None,
+        ps: int = 0,
     ) -> DataFrame:
         """Solr edismax MAIN-QUERY scoring (``defType=edismax&qf=...&tie=``):
         every bare query term searches every ``qf`` field, and per
@@ -4151,7 +4153,10 @@ class FieldedIndex:
         ``final = (score + bf) · boost`` as one Catalyst projection over
         the stored doc-values columns (``_boosted_plan``), ``fl``
         projecting stored fields onto the top-k; ONE
-        TakeOrderedAndProject reduce either way."""
+        TakeOrderedAndProject reduce either way.  ``pf``/``ps`` (phrase
+        boost fields) fold into implicit ``f:"query tokens"~ps^boost``
+        bq clauses exactly as in :meth:`search`; single-token queries
+        skip pf like Solr."""
         from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
 
         if not qf:
@@ -4161,7 +4166,15 @@ class FieldedIndex:
                 raise ValueError(f"unknown field {f!r} (have {self.fields})")
         if not 0.0 <= tie <= 1.0:
             raise ValueError("tie must be in [0, 1]")
-        terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
+        ordered = list(query) if isinstance(query, list) else tokenize_py(query)
+        if pf is not None and len(ordered) >= 2:
+            pfd = {pf: 1.0} if isinstance(pf, str) else dict(pf)
+            phrase = " ".join(ordered)
+            sl = f"~{int(ps)}" if ps else ""
+            extra = [f'{f}:"{phrase}"{sl}' + (f"^{w}" if w != 1.0 else "")
+                     for f, w in pfd.items()]
+            bq = extra if bq is None else ([bq] if isinstance(bq, str) else list(bq)) + extra
+        terms = sorted(set(ordered))
         mm = parse_mm(min_match, len(terms)) if isinstance(min_match, str) else min_match
         k = min(k, self.n_docs)
         empty = self.spark.createDataFrame([], "doc_id long, score double")

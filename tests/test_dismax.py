@@ -160,6 +160,20 @@ def test_bq_bf_fl_compose_on_dismax(spark, fidx, tmp_path):
                                            sorted(base.items(), key=lambda x: (-x[1], x[0]))[:5]]
 
 
+def test_pf_folds_into_bq(spark, fidx):
+    # pf/ps on dismax == the equivalent explicit bq phrase clause (the
+    # same fold as FieldedIndex.search); single-token queries skip pf
+    via_pf = [tuple(r) for r in fidx.search_dismax(
+        "table spark", QF, k=12, tie=0.4, pf={"text": 2.0}, ps=3).collect()]
+    via_bq = [tuple(r) for r in fidx.search_dismax(
+        "table spark", QF, k=12, tie=0.4, bq='text:"table spark"~3^2.0').collect()]
+    assert via_pf == via_bq and via_pf
+    plain = [tuple(r) for r in fidx.search_dismax("table", QF, k=12, tie=0.4).collect()]
+    single = [tuple(r) for r in fidx.search_dismax(
+        "table", QF, k=12, tie=0.4, pf={"text": 2.0}, ps=3).collect()]
+    assert single == plain
+
+
 def test_dismax_plan_no_aggregation_shuffle(spark, fidx):
     # the whole dismax combine runs inside the range kernel (docs are
     # range-local), so the executed plan has NO aggregate operator and
