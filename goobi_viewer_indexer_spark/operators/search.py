@@ -4562,6 +4562,17 @@ class FieldedIndex:
             local = self._explain_local = LocalFieldedSearcher(self)
         return local.explain(query, doc_id, mode, boosts)
 
+    def explain_dismax(self, query, qf: dict[str, float], doc_id: int,
+                       tie: float = 0.0, min_match: int | str = 1) -> dict:
+        """``debugQuery`` for :meth:`search_dismax` (see
+        :meth:`LocalFieldedSearcher.explain_dismax`) — driver-side point
+        lookup through the same memoized self-refreshing local searcher
+        as :meth:`explain`."""
+        local = getattr(self, "_explain_local", None)
+        if local is None:
+            local = self._explain_local = LocalFieldedSearcher(self)
+        return local.explain_dismax(query, qf, doc_id, tie, min_match)
+
     def search_phrase(self, field: str, phrase: str | list[str], k: int = 10) -> DataFrame:
         """Field-scoped exact phrase (positions are field-internal)."""
         from goobi_viewer_indexer_spark.operators.spimi import tag_term
@@ -5145,4 +5156,89 @@ class LocalFieldedSearcher:
             "doc_id": int(doc_id), "mode": pmode, "matched": matched,
             "score": wand.round6f(total) if matched else 0.0,
             "terms": rows,
+        }
+
+    def explain_dismax(self, query, qf: dict[str, float], doc_id: int,
+                       tie: float = 0.0, min_match: int | str = 1) -> dict:
+        """``debugQuery`` for the edismax main query (:meth:`search_dismax`):
+        per (term, field) BM25 rows plus the per-term DisjunctionMax
+        combine.  Returns::
+
+            {"doc_id", "matched", "score",
+             "terms": [{"term", "dismax",       # max + tie·(sum − max)
+                        "fields": [{"field", "qf_boost", "df", "tf",
+                                    "doclen", "idf", "weight",
+                                    "contribution", "winner"}, ...]}, ...]}
+
+        ``contribution = (qf_boost·idf)·weight`` per field (zero when the
+        field doesn't contain the term), ``winner`` marks the max field;
+        the total accumulates per-term dismax values in the SAME float
+        operation order as the scoring kernels (sorted terms; fields in
+        ``qf`` order for the sum; ``mx + tie·(sm − mx)`` association), so
+        ``round6(total)`` is bit-identical to the score
+        :meth:`search_dismax` ranks by (pinned in pytest)."""
+        from goobi_viewer_indexer_spark.functions import codec as _codec
+        from goobi_viewer_indexer_spark.operators.spimi import tag_term
+
+        self._ensure_fresh()
+        if not qf:
+            raise ValueError("qf must name at least one field")
+        for f in qf:
+            if f not in self.index.fields:
+                raise ValueError(f"unknown field {f!r} (have {self.index.fields})")
+        if not 0.0 <= tie <= 1.0:
+            raise ValueError("tie must be in [0, 1]")
+        terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
+        mm = parse_mm(min_match, len(terms)) if isinstance(min_match, str) else min_match
+        self._rows_for([tag_term(f, t) for t in terms for f in qf])
+        k1, b = self.meta["k1"], self.meta["b"]
+        n = max(a.size for a in self.doclens.values())
+        in_range = 0 <= doc_id < n
+        alive = in_range and not (
+            self.deleted.size and np.searchsorted(self.deleted, doc_id) < self.deleted.size
+            and self.deleted[np.searchsorted(self.deleted, doc_id)] == doc_id
+        )
+        out_terms = []
+        total = 0.0
+        nt = 0
+        for t in terms:
+            frows = []
+            mx, sm = -np.inf, 0.0
+            for f, wq in qf.items():
+                L = self._merged_list(tag_term(f, t))
+                fdl = self.doclens[f]
+                dl = int(fdl[doc_id]) if in_range and doc_id < fdl.size else 0
+                tf = _tf_in_list(L, doc_id) if (L is not None and alive) else 0
+                idf = float(L.idf) if L is not None else 0.0
+                if tf:
+                    w = float(_codec.bm25_weight(
+                        np.array([tf], np.int64), np.array([dl], np.int64),
+                        float(self.index.avgdls[f]), k1, b)[0])
+                    s = (float(wq) * idf) * w
+                    mx = max(mx, s)
+                    sm = sm + s
+                else:
+                    w, s = 0.0, 0.0
+                frows.append({
+                    "field": f, "qf_boost": float(wq),
+                    "df": int(L.df) if L is not None else 0, "tf": tf,
+                    "doclen": dl, "idf": idf, "weight": w,
+                    "contribution": s, "winner": False,
+                })
+            if mx == -np.inf:
+                out_terms.append({"term": t, "dismax": 0.0, "fields": frows})
+                continue
+            nt += 1
+            for fr in frows:
+                if fr["tf"] and fr["contribution"] == mx:
+                    fr["winner"] = True
+                    break
+            dm = mx + tie * (sm - mx)
+            total = total + dm
+            out_terms.append({"term": t, "dismax": dm, "fields": frows})
+        matched = alive and nt >= max(mm, 1)
+        return {
+            "doc_id": int(doc_id), "matched": matched,
+            "score": wand.round6f(total) if matched else 0.0,
+            "terms": out_terms,
         }

@@ -185,6 +185,47 @@ def test_dismax_plan_no_aggregation_shuffle(spark, fidx):
     assert "TakeOrderedAndProject" in plan
 
 
+@pytest.mark.parametrize("tie", [0.0, 0.4, 1.0])
+def test_explain_dismax_bit_identity(spark, fidx, tie):
+    # explain_dismax's round6(total) IS the score search_dismax ranks by
+    # (same float operation order as the kernels), and the structure is
+    # consistent: winner marks the max field, dismax == max + tie*(sum-max)
+    top = [(r["doc_id"], r["score"])
+           for r in fidx.search_dismax("table spark", QF, k=8, tie=tie).collect()]
+    assert top
+    for d, s in top[:4]:
+        ex = fidx.explain_dismax("table spark", QF, d, tie=tie)
+        assert ex["matched"] and ex["score"] == s, (d, ex["score"], s)
+        for trm in ex["terms"]:
+            fr = trm["fields"]
+            hits = [f for f in fr if f["tf"] > 0]
+            if not hits:
+                assert trm["dismax"] == 0.0 and not any(f["winner"] for f in fr)
+                continue
+            mx = max(f["contribution"] for f in hits)
+            sm = sum(f["contribution"] for f in hits)
+            assert abs(trm["dismax"] - (mx + tie * (sm - mx))) < 1e-12
+            winners = [f for f in fr if f["winner"]]
+            assert len(winners) == 1 and winners[0]["contribution"] == mx
+            for f in hits:
+                assert abs(f["contribution"] - f["qf_boost"] * f["idf"] * f["weight"]) < 1e-12
+
+
+def test_explain_dismax_non_match_and_mm(spark, fidx):
+    ex = fidx.explain_dismax("zzzznotaterm", QF, 0)
+    assert not ex["matched"] and ex["score"] == 0.0
+    # a doc matching only one term fails mm=2 but still reports its rows
+    one = {r["doc_id"] for r in fidx.search([(f, "table") for f in QF], k=10**6, mode="or").collect()}
+    two = {r["doc_id"] for r in fidx.search_dismax("table spark", QF, k=10**6, min_match=2).collect()}
+    only = sorted(one - two)
+    if only:
+        ex = fidx.explain_dismax("table spark", QF, only[0], min_match=2)
+        assert not ex["matched"] and ex["score"] == 0.0
+        assert any(f["tf"] > 0 for t in ex["terms"] for f in t["fields"])
+    ex = fidx.explain_dismax("table spark", QF, 10**9)  # out of range
+    assert not ex["matched"] and ex["score"] == 0.0
+
+
 def test_guards_and_empties(spark, fidx):
     with pytest.raises(ValueError, match="unknown field"):
         fidx.search_dismax("table", {"nosuch": 1.0}, k=5)
