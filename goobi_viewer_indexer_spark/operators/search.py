@@ -268,6 +268,66 @@ def _facet_query_assemble(spark, subs, base_ids, names: list[str]):
     )
 
 
+_INTERVAL_RE = _re.compile(r"^([\[\(])\s*([^,\s]+)\s*,\s*([^,\s\]\)]+)\s*([\]\)])$")
+
+
+def _parse_interval(spec: str) -> tuple[bool, str, str, bool]:
+    """Solr ``facet.interval.set`` bracket grammar: ``[lo,hi]`` inclusive,
+    ``(lo,hi)`` exclusive, mixed brackets allowed, ``*`` open ends.
+    Returns (lo_inclusive, lo, hi, hi_inclusive)."""
+    m = _INTERVAL_RE.match(spec.strip())
+    if not m:
+        raise ValueError(f"cannot parse interval {spec!r} — expected e.g. [0,100) or (5,*]")
+    lob, lo, hi, hib = m.groups()
+    return lob == "[", lo, hi, hib == "]"
+
+
+def _interval_lit(s: str):
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            return s
+
+
+def _facet_interval_over(ids, dims, col: str, intervals) -> DataFrame:
+    """Shared facet.interval body (Solr ``facet.interval`` — arbitrary,
+    possibly OVERLAPPING intervals over a doc-values column, counted over
+    the match set).  Unlike facet.range's fixed-gap spine these are
+    explicit specs in Solr's bracket grammar; because intervals may
+    overlap (a doc can count in several), each is an independent
+    conditional count inside ONE global aggregate — a CASE labeling
+    groupBy would undercount.  Plan: match scan ⋈ dims → one two-stage
+    (partial + final) agg to a single row → ``stack`` unpivot; zero-count
+    intervals always present.  ``intervals``: list of specs (the spec is
+    the label) or (label, spec) pairs."""
+    joined = ids.join(dims.select("doc_id", col), "doc_id")
+    aggs, names = [], []
+    for item in intervals:
+        label, spec = item if isinstance(item, tuple) else (item, item)
+        lo_in, lo, hi, hi_in = _parse_interval(spec)
+        c = F.col(col).isNotNull()
+        if lo != "*":
+            lov = F.lit(_interval_lit(lo))
+            c = c & (F.col(col) >= lov if lo_in else F.col(col) > lov)
+        if hi != "*":
+            hiv = F.lit(_interval_lit(hi))
+            c = c & (F.col(col) <= hiv if hi_in else F.col(col) < hiv)
+        if label in names:
+            raise ValueError(f"duplicate interval label {label!r}")
+        aggs.append(F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(label))
+        names.append(label)
+    if not aggs:
+        raise ValueError("facet.interval needs at least one interval")
+    row = joined.agg(*aggs)
+    esc = ", ".join("'{}', `{}`".format(n.replace("'", "\\'"), n) for n in names)
+    return row.selectExpr(f"stack({len(names)}, {esc}) as (facet_interval, n)").select(
+        "facet_interval", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+
+
 def _facet_pivot_over(ids, dims, cols: list[str], min_count: int, limit):
     """Shared facet.pivot body (Solr ``facet.pivot=A,B[,C…]`` — the
     viewer's hierarchical collection drill-down): nested value counts
@@ -2016,6 +2076,22 @@ class InvertedIndex:
             subs = s if subs is None else subs.unionByName(s)
         return _facet_query_assemble(self.spark, subs, self._mids_fq(base, mode, fq), sorted(named))
 
+    def facet_interval(
+        self,
+        query: str | list[str],
+        dims: DataFrame,
+        col: str,
+        intervals,
+        mode: str = "and",
+        fq: str | list | None = None,
+    ) -> DataFrame:
+        """Solr ``facet.interval``: arbitrary (possibly overlapping)
+        interval counts over a doc-values column — bracket grammar
+        ``[lo,hi]``/``(lo,hi)``, ``*`` open ends; see
+        :func:`_facet_interval_over`.  ``fq`` composes like
+        :meth:`facet_counts`."""
+        return _facet_interval_over(self._mids_fq(query, mode, fq), dims, col, intervals)
+
     def search_phrase(self, query: str | list[str], k: int = 10, slop: int = 0) -> DataFrame:
         """Exact-phrase top-k: the query tokens must occur CONSECUTIVELY in
         order (Solr quoted-phrase analog over the reference's positional
@@ -3442,6 +3518,19 @@ class FieldedIndex:
             s = self.match_ids(named[name]).select(F.lit(name).alias("facet_query"), "doc_id")
             subs = s if subs is None else subs.unionByName(s)
         return _facet_query_assemble(self.spark, subs, self._mids_fq(base, mode, fq), sorted(named))
+
+    def facet_interval(
+        self,
+        query: str | list[tuple[str, str]],
+        dims: DataFrame,
+        col: str,
+        intervals,
+        mode: str = "and",
+        fq: str | list[str] | None = None,
+    ) -> DataFrame:
+        """Solr ``facet.interval`` over a FIELDED base query (full string
+        syntax incl. ranges/NOT) — see :func:`_facet_interval_over`."""
+        return _facet_interval_over(self._mids_fq(query, mode, fq), dims, col, intervals)
 
     def expand_fuzzy(self, field: str, term: str, max_edits: int = 1,
                      max_expansions: int = 64) -> list[str]:

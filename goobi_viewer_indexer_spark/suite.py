@@ -337,6 +337,22 @@ FROM documents
 WHERE list_contains({duckdb_tokenize_sql('text')}, 'table') AND lang IS NULL
 """.strip(),
         ),
+        # interval (round 5c): Solr facet.interval — arbitrary OVERLAPPING
+        # intervals (bracket grammar, open ends) as independent
+        # conditional counts; 'none' pins the zero-count row
+        (
+            "interval",
+            f"""
+WITH m AS (
+  SELECT n_chars FROM documents
+  WHERE list_contains({duckdb_tokenize_sql('text')}, 'table')
+)
+SELECT 'low' AS source, CAST((SELECT count(*) FROM m WHERE n_chars >= 0 AND n_chars < 200) AS BIGINT) AS n
+UNION ALL SELECT 'midwide', CAST((SELECT count(*) FROM m WHERE n_chars > 100 AND n_chars <= 350) AS BIGINT)
+UNION ALL SELECT 'high', CAST((SELECT count(*) FROM m WHERE n_chars > 300) AS BIGINT)
+UNION ALL SELECT 'none', CAST((SELECT count(*) FROM m WHERE n_chars >= 900000) AS BIGINT)
+""".strip(),
+        ),
     ],
     order="qtag ASC, n DESC, source ASC",
 )
@@ -366,6 +382,16 @@ def q_facet_matrix(spark, sf_dir):
                                            sort="index", limit=3, missing=True)
                           .select(F.coalesce(F.col("lang"), F.lit("~missing")).alias("source"), "n")),
         ("prefix_limit", idx.facet_counts(["table"], dims, "source", mode="and", prefix="src1", limit=5)),
+        # facet.interval (round 5c): overlapping intervals over n_chars,
+        # bracket grammar incl. open ends and a provably-empty interval
+        ("interval", idx.facet_interval(
+            ["table"],
+            _load(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+            "n_chars",
+            [("low", "[0,200)"), ("midwide", "(100,350]"),
+             ("high", "(300,*]"), ("none", "[900000,*]")],
+            mode="and",
+        ).select(F.col("facet_interval").alias("source"), "n")),
     ]).orderBy("qtag", F.desc("n"), "source")
 
 

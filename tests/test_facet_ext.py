@@ -255,3 +255,52 @@ def test_facet_pivot_three_levels(docs, idx):
     assert two.columns == ["source", "lang", "n"]
     with pytest.raises(ValueError):
         idx.facet_pivot(["table"], dims, "source")
+
+
+def test_facet_interval_matches_twin(docs, idx):
+    # Solr facet.interval (round 5c): overlapping intervals, bracket
+    # grammar incl. exclusive bounds and open ends, zero-count rows kept
+    dims = docs.select("doc_id", "n_chars")
+    specs = [("low", "[0,200)"), ("midwide", "(100,350]"),
+             ("high", "(300,*]"), ("none", "[900000,*]")]
+    got = {r["facet_interval"]: r["n"]
+           for r in idx.facet_interval(["table"], dims, "n_chars", specs).collect()}
+    m = docs.filter(_has("text", "table"))
+    want = {
+        "low": m.filter((F.col("n_chars") >= 0) & (F.col("n_chars") < 200)).count(),
+        "midwide": m.filter((F.col("n_chars") > 100) & (F.col("n_chars") <= 350)).count(),
+        "high": m.filter(F.col("n_chars") > 300).count(),
+        "none": 0,
+    }
+    assert got == want and want["midwide"] > 0
+    # overlap really happened (a doc in both low and midwide) — the
+    # conditional-count shape, not a partition
+    both = m.filter((F.col("n_chars") > 100) & (F.col("n_chars") < 200)).count()
+    assert both > 0 and got["low"] + got["midwide"] > m.filter(F.col("n_chars") <= 350).count()
+    # bare specs label themselves; bad grammar raises
+    bare = {r["facet_interval"] for r in
+            idx.facet_interval(["table"], dims, "n_chars", ["[0,200)"]).collect()}
+    assert bare == {"[0,200)"}
+    with pytest.raises(ValueError, match="interval"):
+        idx.facet_interval(["table"], dims, "n_chars", ["0 to 200"])
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.facet_interval(["table"], dims, "n_chars", ["[0,1]", "[0,1]"])
+
+
+def test_facet_interval_fielded_and_fq(spark, docs, idx, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("facet_interval_fidx"))
+    build_index_fielded(docs, d, {"text": "text", "lang": "lang"}, CFG)
+    fidx = FieldedIndex(spark, d)
+    dims = docs.select("doc_id", "n_chars")
+    got = {r["facet_interval"]: r["n"]
+           for r in fidx.facet_interval("text:table AND -lang:de", dims, "n_chars",
+                                        [("lo", "[*,250]"), ("hi", "(250,*]")]).collect()}
+    m = docs.filter(_has("text", "table") & ~_has("lang", "de"))
+    assert got == {"lo": m.filter(F.col("n_chars") <= 250).count(),
+                   "hi": m.filter(F.col("n_chars") > 250).count()}
+    # fq composes (flat): interval counts over q AND fq
+    gotf = {r["facet_interval"]: r["n"]
+            for r in idx.facet_interval(["table"], dims, "n_chars",
+                                        [("all", "[*,*]")], fq="join").collect()}
+    mf = docs.filter(_has("text", "table") & _has("text", "join"))
+    assert gotf == {"all": mf.count()}
