@@ -548,3 +548,112 @@ JOIN sizes nb ON nb.doc_id = doc_b
 WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {threshold}
 ORDER BY doc_a, doc_b
 """.strip()
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(doc_id, component) for every doc appearing in a near-dup pair —
+    the TRANSITIVE CLOSURE of the pair relation, with ``component`` = the
+    MIN doc_id of the connected component.  This is the
+    keep-one-per-cluster step every training-data dedup pipeline runs
+    after pair generation (a~b and b~c must collapse to ONE kept doc even
+    though (a, c) was never emitted); the reference's analog is the
+    grouped-metadata equality dedup collapsing value-identical groups
+    (MetadataHelper.java:1339-1398), here generalized to near-dup graphs.
+
+    Algorithm: min-label CONTRACTION (the MapReduce connected-components
+    family — Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): each round every node computes ``l = min(self, neighbors)``;
+    because labels strictly decrease along l-chains, l is a FOREST, so
+    the round fully path-compresses it with the engine's existing
+    pointer-doubling :func:`~goobi_viewer_indexer_spark.operators.
+    hierarchy.resolve_roots` (O(log chain) self-joins) before contracting
+    the edge set to the label graph.  One outer round collapses every
+    node into its local-min basin (a 300-node path resolves in ONE outer
+    round — pinned in pytest with max_rounds=6); remaining edges connect
+    basin minima, so outer rounds are O(log n) with the edge set
+    strictly shrinking.  No driver-side graph; ``localCheckpoint`` cuts
+    the growing lineage (the resolve_roots idiom)."""
+    e = pairs.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    assign = (
+        edges.select(F.col("u").alias("doc_id")).distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+    )
+    cur = edges
+    for _ in range(max_rounds):
+        cur = cur.localCheckpoint()
+        if cur.limit(1).count() == 0:
+            break
+        l1 = (
+            cur.groupBy("u").agg(F.min("v").alias("mn"))
+            .select(F.col("u").alias("node"), F.least(F.col("u"), F.col("mn")).alias("new"))
+        )
+        # labels strictly decrease along l-chains → a forest: fully
+        # path-compress with the pointer-doubling ancestor resolver
+        from goobi_viewer_indexer_spark.operators.hierarchy import resolve_roots
+
+        forest = l1.select(
+            F.col("node").alias("id"),
+            F.when(F.col("new") != F.col("node"), F.col("new")).alias("parent"),
+        )
+        lab = (
+            resolve_roots(forest)
+            .select(F.col("id").alias("node"), F.col("root_id").alias("new"))
+            .localCheckpoint()
+        )
+        assign = (
+            assign.join(lab.withColumnRenamed("node", "label"), "label", "left")
+            .select("doc_id", F.coalesce("new", "label").alias("label"))
+            .localCheckpoint()
+        )
+        lu = lab.select(F.col("node").alias("u"), F.col("new").alias("lu"))
+        lv = lab.select(F.col("node").alias("v"), F.col("new").alias("lv"))
+        cur = (
+            cur.join(lu, "u").join(lv, "v")
+            .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+    else:
+        raise ValueError(f"duplicate_components did not converge in {max_rounds} rounds")
+    return assign.select("doc_id", F.col("label").alias("component")).orderBy("doc_id")
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Keep-one-per-cluster: remove every near-dup-cluster member except
+    the canonical (min-id) one; docs in no pair pass through.  One
+    broadcast-sized anti-join against the loser set (near-dup graphs are
+    tiny relative to the corpus)."""
+    comp = duplicate_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
+
+
+def components_sql(pairs_sql: str, a: str = "doc_a", b: str = "doc_b") -> str:
+    """DuckDB oracle for :func:`duplicate_components`: recursive-CTE
+    transitive closure over the pair SQL, min reachable id per node."""
+    return f"""
+WITH RECURSIVE p AS ({pairs_sql}),
+e AS (SELECT {a} AS u, {b} AS v FROM p UNION SELECT {b}, {a} FROM p),
+r(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT e.u, r.v FROM e JOIN r ON e.v = r.u
+)
+SELECT u AS doc_id, min(v) AS component FROM r GROUP BY u ORDER BY doc_id
+""".strip()

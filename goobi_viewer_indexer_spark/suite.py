@@ -1246,11 +1246,29 @@ def q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_near_duplicates(_load(spark, sf_dir, "documents"), threshold=0.35)
 
 
-@register("dedup_ngram_jaccard", dedup.ngram_jaccard_sql(threshold=0.35))
+@register(
+    "dedup_ngram_jaccard",
+    _tagged_sql([
+        ("pairs", f"SELECT doc_a AS x, doc_b AS y, jaccard AS j FROM ({dedup.ngram_jaccard_sql(threshold=0.35)})"),
+        # clusters (round 5c): transitive closure of the pair relation —
+        # keep-one-per-cluster needs components, not pairs (a~b, b~c must
+        # collapse even though (a,c) was never emitted); recursive-CTE
+        # closure oracle vs the engine's min-label contraction
+        ("clusters", f"SELECT doc_id AS x, component AS y, NULL::DOUBLE AS j FROM ({dedup.components_sql(dedup.ngram_jaccard_sql(threshold=0.35))})"),
+    ], order="qtag ASC, x ASC, y ASC"),
+)
 def q_dedup_ngram_jaccard(spark, sf_dir):
     # EXACT shared-shingle-join Jaccard (no minhash): the standalone n-gram
-    # near-dup operator; the banded-LSH path above is the 100 TB variant
-    return dedup.ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), threshold=0.35)
+    # near-dup operator; the banded-LSH path above is the 100 TB variant.
+    # clusters: min-label contraction connected components over the pairs
+    pairs = dedup.ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), threshold=0.35)
+    return _union_tagged([
+        ("pairs", pairs.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"),
+                               F.col("jaccard").alias("j"))),
+        ("clusters", dedup.duplicate_components(pairs).select(
+            F.col("doc_id").alias("x"), F.col("component").alias("y"),
+            F.lit(None).cast("double").alias("j"))),
+    ]).orderBy("qtag", "x", "y")
 
 
 @register("dedup_simhash", dedup.simhash_sql())

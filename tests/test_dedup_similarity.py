@@ -206,3 +206,53 @@ def test_ngram_jaccard_exact_agrees_with_minhash_verify(spark):
         for r in dedup.ngram_jaccard_pairs(docs, threshold=0.35, max_shingle_df=3).collect()
     }
     assert capped <= set(exact)
+
+
+# ---- near-dup cluster resolution (round 5c) -------------------------------
+
+def _uf_truth(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_duplicate_components_topologies(spark):
+    # chain (transitivity across pairs never emitted), clique, singleton
+    # pair, plus a reversed-order chain — vs a python union-find truth
+    pairs = [(10, 11), (11, 12), (12, 13),          # chain
+             (20, 21), (20, 22), (21, 22),          # clique
+             (30, 31),                              # pair
+             (43, 42), (42, 41), (41, 40)]          # descending chain
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"] for r in dedup.duplicate_components(pdf).collect()}
+    assert got == _uf_truth(pairs)
+    assert got[13] == 10 and got[43] == 40 and got[22] == 20
+
+
+def test_duplicate_components_log_rounds(spark):
+    # a 300-node path converges within 6 outer rounds ONLY if per-round
+    # path compression (resolve_roots pointer doubling over the l-forest)
+    # works — plain min-neighbor contraction needs ~n rounds on a path
+    n = 300
+    pdf = spark.createDataFrame([(i, i + 1) for i in range(n)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in dedup.duplicate_components(pdf, max_rounds=6).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_drop_near_duplicates(spark, planted):
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    kept = sorted(r["doc_id"] for r in dedup.drop_near_duplicates(planted, pairs).collect())
+    # cluster {0,1,2} keeps canonical 0; untouched docs pass through
+    assert kept == [0, 3, 4, 5]
