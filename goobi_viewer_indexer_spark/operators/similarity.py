@@ -19,6 +19,7 @@ Hyperplanes are deterministic (seeded numpy) so results are replayable.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -316,10 +317,22 @@ class IvfIndex:
         self.spark, self.path = spark, path
         with open(_os.path.join(path, "_centroids.json")) as f:
             self.centroids = np.asarray(_json.load(f), dtype=np.float64)
+        self.scales: np.ndarray | None = None
+        qf = _os.path.join(path, "_quant.json")
+        if _os.path.exists(qf):
+            with open(qf) as f:
+                self.scales = np.asarray(_json.load(f)["scales"], dtype=np.float64)
 
     @classmethod
     def build(cls, embeddings: DataFrame, path: str, n_cells: int = 16, seed: int = 7,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfIndex":
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              quantize: bool = False) -> "IvfIndex":
+        """``quantize=True`` additionally stores per-dimension symmetric
+        int8 codes (``code = round(x / scale)``, ``scale = max|x_dim| /
+        127`` over the corpus — one posexplode agg) as a BINARY column.
+        At 100 TB this is the IO lever: the probe scan column-prunes to
+        (vec_id, codes) — 8× less than float64 arrays — and only the
+        ``rerank`` survivors touch full-precision vectors."""
         import json as _json
         import os as _os
 
@@ -335,6 +348,24 @@ class IvfIndex:
         assigned = model.transform(feats).select(
             "vec_id", "embedding", F.col("prediction").alias("cell")
         )
+        scales = None
+        if quantize:
+            mx = (
+                assigned.select(F.posexplode(F.col("embedding").cast("array<double>"))
+                                .alias("pos", "x"))
+                .groupBy("pos").agg(F.max(F.abs(F.col("x"))).alias("m"))
+                .orderBy("pos").collect()
+            )
+            scales = np.asarray([max(r["m"], 1e-30) / 127.0 for r in mx], dtype=np.float64)
+            sc = scales
+
+            @F.pandas_udf("binary")
+            def _encode(col: pd.Series) -> pd.Series:
+                return col.map(lambda v: (
+                    np.clip(np.round(np.asarray(v, np.float64) / sc), -127, 127)
+                    .astype(np.int8).tobytes()))
+
+            assigned = assigned.withColumn("codes", _encode(F.col("embedding")))
         (
             assigned.repartition("cell")
             .write.mode("overwrite")
@@ -344,16 +375,66 @@ class IvfIndex:
         cents = [list(map(float, c)) for c in model.clusterCenters()]
         with open(_os.path.join(path, "_centroids.json"), "w") as f:
             _json.dump(cents, f)
+        if quantize:
+            with open(_os.path.join(path, "_quant.json"), "w") as f:
+                _json.dump({"scales": [float(s) for s in scales]}, f)
         return cls(embeddings.sparkSession, path)
 
-    def query(self, query_vec: list[float], k: int = 10, nprobe: int = 2) -> DataFrame:
+    def _probe_cells(self, query_vec, nprobe: int) -> list[int]:
         qv = np.asarray(query_vec, dtype=np.float64)
         d = np.linalg.norm(self.centroids - qv, axis=1)
-        cells = [int(c) for c in np.argsort(d)[:nprobe]]
+        return [int(c) for c in np.argsort(d)[:nprobe]]
+
+    def query(self, query_vec: list[float], k: int = 10, nprobe: int = 2) -> DataFrame:
+        cells = self._probe_cells(query_vec, nprobe)
         df = self.spark.read.parquet(self.path).filter(F.col("cell").isin(cells))
         q = F.array(*[F.lit(float(x)) for x in query_vec])
         return (
             df.select("vec_id", cosine_expr(F.col("embedding"), q).alias("cos_raw"))
+            .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+            .limit(k)
+            .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
+        )
+
+    def query_quantized(self, query_vec: list[float], k: int = 10, nprobe: int = 2,
+                        rerank: int | None = None) -> DataFrame:
+        """Two-stage SQ8 probe: (1) the approximate pass scans ONLY the
+        int8 ``codes`` column of the probed cells (asymmetric distance —
+        dequantized codes against the FULL-precision query, so the query
+        side loses nothing) and keeps the top ``rerank`` (default 4·k)
+        candidates; (2) the exact pass joins those ids back to the
+        full-precision vectors of the SAME pruned cells and emits the
+        true cosine on the usual round6 grid — returned scores are
+        EXACT, quantization only affects which candidates reach the
+        rerank (recall pinned vs the unquantized probe in pytest)."""
+        if self.scales is None:
+            raise ValueError("index was built without quantize=True")
+        rerank = max(k, rerank if rerank is not None else 4 * k)
+        cells = self._probe_cells(query_vec, nprobe)
+        qv = np.asarray(query_vec, dtype=np.float64)
+        qn = float(np.linalg.norm(qv))
+        sc = self.scales
+
+        @F.pandas_udf("double")
+        def _approx(codes: pd.Series) -> pd.Series:
+            if len(codes) == 0:
+                return pd.Series([], dtype=np.float64)
+            m = np.frombuffer(b"".join(codes), dtype=np.int8).reshape(len(codes), -1)
+            dq = m.astype(np.float64) * sc
+            num = dq @ qv
+            den = np.linalg.norm(dq, axis=1) * qn
+            return pd.Series(np.where(den > 0, num / np.maximum(den, 1e-30), 0.0))
+
+        base = self.spark.read.parquet(self.path).filter(F.col("cell").isin(cells))
+        cand = (
+            base.select("vec_id", _approx(F.col("codes")).alias("approx"))
+            .orderBy(F.desc("approx"), F.asc("vec_id"))
+            .limit(rerank)
+        )
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            base.join(cand.select("vec_id"), "vec_id", "left_semi")
+            .select("vec_id", cosine_expr(F.col("embedding"), q).alias("cos_raw"))
             .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
             .limit(k)
             .select("vec_id", F.round("cos_raw", 6).alias("cosine"))

@@ -256,3 +256,23 @@ def test_drop_near_duplicates(spark, planted):
     kept = sorted(r["doc_id"] for r in dedup.drop_near_duplicates(planted, pairs).collect())
     # cluster {0,1,2} keeps canonical 0; untouched docs pass through
     assert kept == [0, 3, 4, 5]
+
+
+def test_ivf_quantized_two_stage(spark, tmp_path):
+    """SQ8 IVF (round 5c): the approximate pass ranks int8 codes, the
+    rerank pass recomputes EXACT cosine on the full vectors — returned
+    (id, score) rows equal the unquantized probe of the same cells."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    d = str(tmp_path / "ivf_q")
+    ivf = similarity.IvfIndex.build(emb, d, n_cells=8, seed=7, quantize=True)
+    for qid in (3, 17):
+        qv = list(emb.filter(F.col("vec_id") == qid).select("embedding").collect()[0][0])
+        exact = [tuple(r) for r in ivf.query(qv, k=10, nprobe=4).collect()]
+        quant = [tuple(r) for r in ivf.query_quantized(qv, k=10, nprobe=4, rerank=40).collect()]
+        assert quant == exact  # scores exact; SQ8 recall covers top-10 at 4x rerank
+    # reopening restores the scales; unquantized index refuses the path
+    ivf2 = similarity.IvfIndex(spark, d)
+    assert ivf2.scales is not None
+    plain = similarity.IvfIndex.build(emb, str(tmp_path / "ivf_p"), n_cells=8, seed=7)
+    with pytest.raises(ValueError, match="quantize"):
+        plain.query_quantized([0.0] * len(qv), k=5)
