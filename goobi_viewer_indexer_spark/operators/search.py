@@ -3249,11 +3249,16 @@ class FieldedIndex:
             )
         return scored
 
-    def _fold_pf(self, query, pf, ps: int, bq):
-        """Normalize edismax ``pf``/``ps`` into bq clause strings (see
-        :meth:`search`): the query's positive plain tokens in order form
-        ``field:"tok …"~ps^boost`` per pf field.  Returns the merged bq
-        (str | list) or the original when pf doesn't apply."""
+    def _fold_pf(self, query, pf, ps: int, bq, gram: int | None = None):
+        """Normalize edismax ``pf``/``ps`` (and ``pf2``/``pf3`` via
+        ``gram``) into bq clause strings (see :meth:`search`): the
+        query's positive plain tokens in order form
+        ``field:"tok …"~ps^boost`` per pf field — the whole query when
+        ``gram`` is None, else every consecutive ``gram``-token window
+        (Solr's bigram/trigram phrase fields; each window is its own
+        additive clause, so partial phrase matches boost too).  Returns
+        the merged bq (str | list) or the original when pf doesn't
+        apply."""
         if isinstance(query, str):
             clauses, _m = parse_fielded_clauses(query)
             toks = [
@@ -3273,14 +3278,18 @@ class FieldedIndex:
                 ]
             else:
                 toks = [t for _f, t in query]
-        if len(toks) < 2:
+        if len(toks) < max(2, gram or 2):
             return bq
         fields = {pf: 1.0} if isinstance(pf, str) else dict(pf)
-        phrase = " ".join(toks)
+        if gram is None:
+            grams = [toks]
+        else:
+            grams = [toks[i:i + gram] for i in range(len(toks) - gram + 1)]
         sl = f"~{int(ps)}" if ps else ""
         clauses_out = [
-            f'{f}:"{phrase}"{sl}' + (f"^{w}" if w != 1.0 else "")
+            f'{f}:"{" ".join(g)}"{sl}' + (f"^{w}" if w != 1.0 else "")
             for f, w in fields.items()
+            for g in grams
         ]
         if bq is None:
             return clauses_out if len(clauses_out) > 1 else clauses_out[0]
@@ -4007,6 +4016,10 @@ class FieldedIndex:
         bq: str | list[str] | None = None,
         pf: str | dict[str, float] | None = None,
         ps: int = 0,
+        pf2: str | dict[str, float] | None = None,
+        pf3: str | dict[str, float] | None = None,
+        ps2: int | None = None,
+        ps3: int | None = None,
         min_match: int | str = 1,
     ) -> DataFrame:
         """``min_match`` (Solr DisMax ``mm`` on the fielded engine, round
@@ -4026,7 +4039,10 @@ class FieldedIndex:
         clauses (``f:"tok tok"~ps^boost``) so every composition bq
         supports holds.  Multiple pf fields SUM their phrase scores —
         the named deviation from Lucene's dismax max.  Skipped for
-        single-token queries, like Solr.
+        single-token queries, like Solr.  ``pf2``/``pf3`` (Solr bigram/
+        trigram phrase fields): every consecutive 2-/3-token window of
+        the query folds as its OWN additive clause, so partial phrase
+        matches boost too; ``ps2``/``ps3`` default to ``ps``.
 
         ``bq``: Solr edismax boost query — an additive fielded scoring
         clause (``lang:en^2.0`` shapes): docs matching it gain its BM25F
@@ -4064,10 +4080,19 @@ class FieldedIndex:
         if (isinstance(min_match, str) or min_match != 1) and (
             bf is not None or boost is not None or sort is not None or after is not None
             or offset or fl is not None or fq is not None or bq is not None or pf is not None
+            or pf2 is not None or pf3 is not None
         ):
             raise ValueError("fielded min_match= supports the plain top-k path only")
-        if pf is not None:
-            bq = self._fold_pf(query, pf, ps, bq)
+        if pf is not None or pf2 is not None or pf3 is not None:
+            # Solr edismax pf/pf2/pf3: whole-query / bigram / trigram
+            # phrase fields, each folding to implicit bq phrase clauses;
+            # ps2/ps3 default to ps like Solr
+            if pf is not None:
+                bq = self._fold_pf(query, pf, ps, bq)
+            if pf2 is not None:
+                bq = self._fold_pf(query, pf2, ps if ps2 is None else ps2, bq, gram=2)
+            if pf3 is not None:
+                bq = self._fold_pf(query, pf3, ps if ps3 is None else ps3, bq, gram=3)
             pf = None
         if bq is not None and (sort is not None or after is not None):
             raise ValueError("bq=/pf= compose with fl/fq/offset/bf/boost, not sort/after")
@@ -4205,6 +4230,10 @@ class FieldedIndex:
         fl: list[str] | None = None,
         pf: dict[str, float] | str | None = None,
         ps: int = 0,
+        pf2: dict[str, float] | str | None = None,
+        pf3: dict[str, float] | str | None = None,
+        ps2: int | None = None,
+        ps3: int | None = None,
     ) -> DataFrame:
         """Solr edismax MAIN-QUERY scoring (``defType=edismax&qf=...&tie=``):
         every bare query term searches every ``qf`` field, and per
@@ -4244,8 +4273,10 @@ class FieldedIndex:
         projecting stored fields onto the top-k; ONE
         TakeOrderedAndProject reduce either way.  ``pf``/``ps`` (phrase
         boost fields) fold into implicit ``f:"query tokens"~ps^boost``
-        bq clauses exactly as in :meth:`search`; single-token queries
-        skip pf like Solr."""
+        bq clauses exactly as in :meth:`search`; ``pf2``/``pf3`` fold
+        every consecutive bigram/trigram window the same way (``ps2``/
+        ``ps3`` default to ``ps`` like Solr); too-short queries skip
+        like Solr."""
         from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
 
         if not qf:
@@ -4256,12 +4287,16 @@ class FieldedIndex:
         if not 0.0 <= tie <= 1.0:
             raise ValueError("tie must be in [0, 1]")
         ordered = list(query) if isinstance(query, list) else tokenize_py(query)
-        if pf is not None and len(ordered) >= 2:
-            pfd = {pf: 1.0} if isinstance(pf, str) else dict(pf)
-            phrase = " ".join(ordered)
-            sl = f"~{int(ps)}" if ps else ""
-            extra = [f'{f}:"{phrase}"{sl}' + (f"^{w}" if w != 1.0 else "")
-                     for f, w in pfd.items()]
+        for pfx, psx, gram in ((pf, ps, None), (pf2, ps if ps2 is None else ps2, 2),
+                               (pf3, ps if ps3 is None else ps3, 3)):
+            if pfx is None or len(ordered) < max(2, gram or 2):
+                continue
+            pfd = {pfx: 1.0} if isinstance(pfx, str) else dict(pfx)
+            grams = [ordered] if gram is None else [
+                ordered[i:i + gram] for i in range(len(ordered) - gram + 1)]
+            sl = f"~{int(psx)}" if psx else ""
+            extra = [f'{f}:"{" ".join(g)}"{sl}' + (f"^{w}" if w != 1.0 else "")
+                     for f, w in pfd.items() for g in grams]
             bq = extra if bq is None else ([bq] if isinstance(bq, str) else list(bq)) + extra
         terms = sorted(set(ordered))
         mm = parse_mm(min_match, len(terms)) if isinstance(min_match, str) else min_match

@@ -237,3 +237,33 @@ def test_guards_and_empties(spark, fidx):
     assert fidx.search_dismax("zzzznotaterm", {"text": 1.0}, k=5).count() == 0
     out = fidx.search_dismax("table", {"text": 1.0}, k=5)
     assert out.columns == ["doc_id", "score"]
+
+
+def test_pf2_pf3_fold_windows(spark, fidx):
+    # pf2/pf3 fold every consecutive bigram/trigram window into its own
+    # bq clause (partial phrase matches boost) — explicit-bq identity
+    q = "table spark window"
+    via_pf2 = [tuple(r) for r in fidx.search_dismax(
+        q, QF, k=12, tie=0.5, pf2={"text": 2.0}, ps2=1).collect()]
+    via_bq = [tuple(r) for r in fidx.search_dismax(
+        q, QF, k=12, tie=0.5,
+        bq=['text:"table spark"~1^2.0', 'text:"spark window"~1^2.0']).collect()]
+    assert via_pf2 == via_bq and via_pf2
+    via_pf3 = [tuple(r) for r in fidx.search_dismax(
+        q, QF, k=12, tie=0.5, pf3="text").collect()]
+    via_bq3 = [tuple(r) for r in fidx.search_dismax(
+        q, QF, k=12, tie=0.5, bq='text:"table spark window"').collect()]
+    assert via_pf3 == via_bq3
+    # too-short queries skip pf3 (2 tokens < gram) like Solr
+    short = [tuple(r) for r in fidx.search_dismax("table spark", QF, k=12, tie=0.5,
+                                                  pf3="text").collect()]
+    plain = [tuple(r) for r in fidx.search_dismax("table spark", QF, k=12, tie=0.5).collect()]
+    assert short == plain
+    # the same fold works on FieldedIndex.search (ps2 defaults to ps)
+    s_pf2 = [tuple(r) for r in fidx.search("text:table AND text:spark AND text:window",
+                                           k=12, pf2={"text": 2.0}, ps=1).collect()]
+    s_bq = [tuple(r) for r in fidx.search("text:table AND text:spark AND text:window",
+                                          k=12,
+                                          bq=['text:"table spark"~1^2.0',
+                                              'text:"spark window"~1^2.0']).collect()]
+    assert s_pf2 == s_bq and s_pf2
