@@ -772,6 +772,25 @@ def _bool_toks(body: str) -> list[str]:
     return _re.findall(r"[a-z0-9]+\*?", norm)
 
 
+def _synonym_groups(query, synonyms: dict[str, list[str]]) -> list[list[str]]:
+    """Query-time synonym expansion: each distinct query token becomes an
+    OR-group of itself plus its synonyms.  Alternatives run through the
+    SAME tokenizer as query text; multi-token synonyms raise (Solr's
+    graph synonyms are out of scope by design — phrase alternatives
+    don't fit the bag-scoring contract)."""
+    terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
+    groups = []
+    for t in terms:
+        alts = {t}
+        for s in synonyms.get(t, []):
+            toks = tokenize_py(s)
+            if len(toks) != 1:
+                raise ValueError(f"synonym {s!r} for {t!r} is not a single token")
+            alts.add(toks[0])
+        groups.append(sorted(alts))
+    return groups
+
+
 def parse_boolean_query(q: str) -> tuple[list[list[str]], list[list[str]]]:
     """``'(table join) spark -window -(foo bar)'`` → (groups, negs):
     groups = [[table, join], [spark]] (each AND-required, OR within),
@@ -994,8 +1013,18 @@ class InvertedIndex:
         bq: str | list[str] | None = None,
         pf: float | None = None,
         ps: int = 0,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> DataFrame:
-        """``pf``/``ps``: edismax phrase-boost fields — docs containing
+        """``synonyms``: query-time synonym expansion (Solr's
+        SynonymGraphFilter at query time): each query term with an entry
+        becomes an OR-group ``(term syn …)`` — ``mode='and'`` requires
+        every group (Solr q.op=AND over SynonymQueries), ``mode='or'``
+        degenerates to the plain OR over the union (bag scoring makes the
+        two identical there).  Each alternative scores with its OWN idf —
+        the documented, SQL-checkable deviation from Lucene's blended-df
+        SynonymQuery.  Single-token synonyms only; plain top-k path only.
+
+        ``pf``/``ps``: edismax phrase-boost fields — docs containing
         the WHOLE query as an ordered-window phrase (slop ``ps``) have
         their score scaled by ``(1 + pf)``.  Because this engine's phrase
         scoring is bag-of-distinct-terms BM25, Solr's additive
@@ -1067,6 +1096,15 @@ class InvertedIndex:
         # sweep).  min(k, n_live) returns the same rows.
         k = min(k, self.n_live)
         min_match = _mm_int(query, min_match)
+        if synonyms:
+            if (mode not in ("and", "or") or min_match != 1 or sort is not None
+                    or after is not None or offset or fl is not None or fq is not None
+                    or bq is not None or pf is not None or bf is not None or boost is not None):
+                raise ValueError("synonyms= supports the plain and/or top-k path only")
+            groups = _synonym_groups(query, synonyms)
+            if mode == "and":
+                return self.search_boolean((groups, []), k=k)
+            return self.search(sorted({t for g in groups for t in g}), k=k, mode="or")
         if fq is not None and mode == "phrase":
             raise ValueError("fq= with mode='phrase' is not supported on the flat engine — use FieldedIndex")
         if bq is not None and (sort is not None or after is not None or mode == "phrase"):
@@ -4021,6 +4059,7 @@ class FieldedIndex:
         ps2: int | None = None,
         ps3: int | None = None,
         min_match: int | str = 1,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """``min_match`` (Solr DisMax ``mm`` on the fielded engine, round
         5b): for OR-combined queries a doc qualifies only when it matches
@@ -4077,6 +4116,29 @@ class FieldedIndex:
         keyset paging for sorted results — the last row's (sort values…,
         doc_id); deep pages cost the same as page 1."""
         k = min(k, self.n_docs)  # see InvertedIndex.search: unclamped limit(k) OOMs
+        if synonyms:
+            # query-time synonym expansion (see InvertedIndex.search):
+            # every pair's term becomes a field-scoped OR-group clause
+            # f:(term syn …); the rewritten boolean query keeps mode and
+            # min_match semantics (mm counts top-level clauses = the
+            # original terms).  Plain top-k path only.
+            if (bf is not None or boost is not None or sort is not None or after is not None
+                    or offset or fl is not None or fq is not None or bq is not None
+                    or pf is not None or pf2 is not None or pf3 is not None):
+                raise ValueError("synonyms= supports the plain top-k path only")
+            if isinstance(query, str):
+                pairs, qboosts, qmode = parse_fielded_query(query)
+                if any(b != 1.0 for b in qboosts.values()):
+                    raise ValueError("synonyms= does not compose with clause boosts")
+                mode = qmode
+            else:
+                pairs = list(query)
+            parts = []
+            for fld, t in pairs:
+                alts = _synonym_groups([t], synonyms)[0]
+                parts.append(f"{fld}:({' '.join(alts)})")
+            joiner = " AND " if mode == "and" else " OR "
+            return self.search(joiner.join(parts), k=k, min_match=min_match)
         if (isinstance(min_match, str) or min_match != 1) and (
             bf is not None or boost is not None or sort is not None or after is not None
             or offset or fl is not None or fq is not None or bq is not None or pf is not None
