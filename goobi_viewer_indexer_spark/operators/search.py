@@ -4460,6 +4460,149 @@ class FieldedIndex:
             )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_dismax_many(
+        self, queries: dict[str, tuple]
+    ) -> dict[str, list[tuple[int, float]]]:
+        """Batch execution of edismax main queries: ONE distributed job
+        answers every dismax query (the :meth:`search_many` amortization
+        for the viewer's default handler).  ``queries``: qid →
+        ``(query, qf, k[, tie[, min_match]])``.  Rank-identical to
+        per-query :meth:`search_dismax` (tested): each posting list in a
+        range is decoded ONCE and its unweighted BM25 saturation array is
+        shared across every query that references the term — per query
+        the contribution is ``(qf_boost·idf)·weight``, the single-query
+        kernel's exact float operation order — and the whole per-query
+        combine (field max/sum, tie blend, doc sum, mm count) stays
+        inside the kernel as in :meth:`search_dismax`.  The reduce is the
+        :meth:`search_many` per-qid bounded window."""
+        from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
+
+        meta = self.meta
+        k1, b, span = meta["k1"], meta["b"], self.span
+        n_docs, avgdls, fields = self.n_docs, self.avgdls, self.fields
+
+        parsed: dict[str, tuple[list[str], dict[str, float], int, float, int]] = {}
+        for qid, spec in queries.items():
+            q, qf, k = spec[0], spec[1], spec[2]
+            tie = float(spec[3]) if len(spec) > 3 else 0.0
+            mmspec = spec[4] if len(spec) > 4 else 1
+            if not qf:
+                raise ValueError(f"{qid}: qf must name at least one field")
+            for f in qf:
+                if f not in self.fields:
+                    raise ValueError(f"{qid}: unknown field {f!r} (have {self.fields})")
+            if not 0.0 <= tie <= 1.0:
+                raise ValueError(f"{qid}: tie must be in [0, 1]")
+            terms = sorted(set(q if isinstance(q, list) else tokenize_py(q)))
+            mm = parse_mm(mmspec, len(terms)) if isinstance(mmspec, str) else mmspec
+            parsed[qid] = (terms, dict(qf), min(k, self.n_docs), tie, mm)
+        results: dict[str, list] = {qid: [] for qid in parsed}
+        all_tagged = sorted({tag_term(f, t) for terms, qf, _, _, _ in parsed.values()
+                             for t in terms for f in qf})
+        if not all_tagged:
+            return results
+        stats = self.term_stats_for(all_tagged)
+        needed = sorted(t for t in all_tagged if t in stats)
+        if not needed:
+            return results
+        idf_raw = {t: wand.idf(n_docs, stats[t][0]) for t in needed}
+        live = {qid: spec for qid, spec in parsed.items()
+                if any(tag_term(f, t) in stats for t in spec[0] for f in spec[1])}
+        if not live:
+            return results
+        rows = self.postings_for(needed).withColumn(
+            "rng",
+            F.explode(
+                F.sequence((F.col("min_doc") / span).cast("int"), (F.col("max_doc") / span).cast("int"))
+            ),
+        )
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            eo = pd.DataFrame({"qid": [], "doc_id": [], "raw": [], "nt": []}).astype(
+                {"qid": str, "doc_id": np.int64, "raw": np.float64, "nt": np.int64})
+            if len(pdf) == 0:
+                return eo
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * span, (rng + 1) * span - 1
+            base = int(pdf["base"].iloc[0])
+            dl_by_field = {
+                f: wand.DenseDoclens(base, np.frombuffer(pdf[f"doclens_{f}"].iloc[0], dtype=np.int32))
+                for f in fields
+            }
+            deleted = None
+            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
+                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            # decode + saturate each list ONCE (idf=1.0 is an exact float
+            # identity), shared across all queries referencing the term
+            cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for row in pdf.to_dict("records"):
+                tt = row["term"]
+                fname = tt.split(FIELD_SEP, 1)[0]
+                L = _mk_termlist(row, 1.0, stats[tt][0])
+                d, tfs = L.decode_range(lo, hi)
+                if d.size == 0:
+                    continue
+                keep = wand._drop_deleted(d, deleted)
+                d, tfs = d[keep], tfs[keep]
+                if d.size == 0:
+                    continue
+                cache[tt] = (d, wand._bm25(tfs, dl_by_field[fname](d), 1.0,
+                                           avgdls[fname], k1, b))
+            out = []
+            for qid, (terms, qf, _k, tie, _mm) in live.items():
+                raw = np.zeros(span, np.float64)
+                cnt = np.zeros(span, np.int64)
+                for t in terms:
+                    mx = np.full(span, -np.inf)
+                    sm = np.zeros(span, np.float64)
+                    seen = np.zeros(span, bool)
+                    for f, w in qf.items():
+                        tt = tag_term(f, t)
+                        if tt not in cache:
+                            continue
+                        d, basew = cache[tt]
+                        s = (w * idf_raw[tt]) * basew
+                        li = d - lo
+                        np.maximum.at(mx, li, s)
+                        np.add.at(sm, li, s)
+                        seen[li] = True
+                    li = np.flatnonzero(seen)
+                    if li.size:
+                        raw[li] += mx[li] + tie * (sm[li] - mx[li])
+                        cnt[li] += 1
+                li = np.flatnonzero(cnt)
+                if li.size:
+                    out.append(pd.DataFrame({
+                        "qid": qid, "doc_id": li + lo, "raw": raw[li], "nt": cnt[li]}))
+            return pd.concat(out, ignore_index=True).astype(
+                {"qid": str, "doc_id": np.int64, "raw": np.float64, "nt": np.int64}
+            ) if out else eo
+
+        joined = rows.join(self._doclens, "rng")
+        if self._tomb_packed is not None:
+            joined = joined.join(self._tomb_packed, "rng", "left")
+        per_doc = joined.groupBy("rng").applyInPandas(
+            emit, "qid string, doc_id long, raw double, nt long")
+
+        from pyspark.sql.window import Window
+
+        mm_map = F.create_map(*[F.lit(x) for qid, (_, _, _, _, mm) in live.items()
+                                for x in (qid, max(mm, 1))])
+        k_map = F.create_map(*[F.lit(x) for qid, (_, _, k, _, _) in live.items()
+                               for x in (qid, k)])
+        w = Window.partitionBy("qid").orderBy(
+            F.desc(F.round("raw", 6)), F.asc("doc_id"))
+        final = (
+            per_doc.filter(F.col("nt") >= mm_map[F.col("qid")])
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k_map[F.col("qid")])
+            .select("qid", "doc_id", F.round("raw", 6).alias("score"), "_rk")
+            .collect()
+        )
+        for r in sorted(final, key=lambda r: (r["qid"], r["_rk"])):
+            results[r["qid"]].append((r["doc_id"], r["score"]))
+        return results
+
     def score_matches(
         self,
         query: str | list[tuple[str, str]],

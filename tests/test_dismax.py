@@ -267,3 +267,26 @@ def test_pf2_pf3_fold_windows(spark, fidx):
                                           bq=['text:"table spark"~1^2.0',
                                               'text:"spark window"~1^2.0']).collect()]
     assert s_pf2 == s_bq and s_pf2
+
+
+def test_search_dismax_many_matches_per_query(spark, fidx):
+    # ONE batched job == per-query search_dismax across qf/tie/mm shapes,
+    # including an all-absent-terms query (empty result, not an error)
+    batch = {
+        "q1": ("table spark", {"text": 1.0, "source": 2.0}, 8, 0.3),
+        "q2": ("table spark window", {"text": 1.0, "lang": 3.0}, 5, 0.5, 2),
+        "q3": ("en table", QF, 10, 0.0),
+        "q4": ("zzzznotaterm", {"text": 1.0}, 5),
+        "q5": ("table", {"text": 1.0}, 6, 1.0),
+    }
+    got = fidx.search_dismax_many(batch)
+    for qid, spec in batch.items():
+        q, qf, k = spec[0], spec[1], spec[2]
+        tie = spec[3] if len(spec) > 3 else 0.0
+        mm = spec[4] if len(spec) > 4 else 1
+        want = [(r["doc_id"], r["score"])
+                for r in fidx.search_dismax(q, qf, k=k, tie=tie, min_match=mm).collect()]
+        assert got[qid] == want, (qid, got[qid][:3], want[:3])
+    assert got["q4"] == []
+    with pytest.raises(ValueError, match="unknown field"):
+        fidx.search_dismax_many({"bad": ("table", {"nosuch": 1.0}, 5)})
