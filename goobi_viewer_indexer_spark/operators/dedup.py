@@ -657,3 +657,113 @@ r(u, v) AS (
 )
 SELECT u AS doc_id, min(v) AS component FROM r GROUP BY u ORDER BY doc_id
 """.strip()
+
+
+def cross_ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    metric: str = "containment",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION scan — (doc_id, bench_id, overlap) for
+    every (training doc, benchmark doc) pair sharing ≥1 k=3 shingle whose
+    overlap reaches ``threshold``.  A training corpus must not contain
+    eval-set text; the standard check is n-gram overlap ACROSS two
+    corpora, which :func:`ngram_jaccard_pairs` (a self-join) can't
+    express.
+
+    ``metric='containment'`` (the decontamination default) scores
+    ``|A∩B| / |B|`` — how much of the BENCHMARK doc's shingle set the
+    training doc contains, so a long training doc fully embedding a short
+    benchmark item scores 1.0 where Jaccard would dilute it;
+    ``'jaccard'`` scores ``|A∩B| / |A∪B|``.
+
+    Same scale shape as the self-join variant: inverted shingle index on
+    both sides, candidate pairs only for shared shingles (never a cross
+    product), ``max_shingle_df`` caps boilerplate shingles on the CORPUS
+    side (pair-generation only — with a cap, overlaps that are
+    exclusively boilerplate can be missed).  The benchmark side is small
+    by nature; Spark broadcasts it when it fits."""
+    if metric not in ("containment", "jaccard"):
+        raise ValueError("metric must be 'containment' or 'jaccard'")
+    sha = corpus.select(F.col(id_col).alias("doc_id"),
+                        shingles_pandas(F.col(text_col)).alias("sh"))
+    shb = benchmark.select(F.col(bench_id_col).alias("bench_id"),
+                           shingles_pandas(F.col(bench_text_col)).alias("sh"))
+    na = sha.select("doc_id", F.size("sh").alias("na")).filter(F.col("na") > 0)
+    nb = shb.select("bench_id", F.size("sh").alias("nb")).filter(F.col("nb") > 0)
+    ex_a = sha.select("doc_id", F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        keep = (
+            ex_a.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("s")
+        )
+        ex_a = ex_a.join(keep, "s", "left_semi")
+    ex_b = shb.select("bench_id", F.explode("sh").alias("s"))
+    inter = (
+        ex_a.join(ex_b, "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("i"))
+    )
+    out = inter.join(na, "doc_id").join(nb, "bench_id")
+    if metric == "containment":
+        score = F.col("i") / F.col("nb")
+    else:
+        score = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        out.withColumn("overlap", score)
+        .filter(F.col("overlap") >= threshold)
+        .select("doc_id", "bench_id", F.round("overlap", 6).alias("overlap"))
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    metric: str = "containment",
+    **kw,
+) -> DataFrame:
+    """Drop every training doc whose n-gram overlap with ANY benchmark
+    doc reaches ``threshold`` (see :func:`cross_ngram_overlap`); one
+    anti-join against the flagged set."""
+    flagged = cross_ngram_overlap(corpus, benchmark, threshold, metric, **kw) \
+        .select("doc_id").distinct()
+    id_col = kw.get("id_col", "doc_id")
+    return corpus.join(flagged.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
+
+
+def cross_ngram_overlap_sql(
+    bench_where: str,
+    threshold: float = 0.5,
+    metric: str = "containment",
+) -> str:
+    """DuckDB oracle for :func:`cross_ngram_overlap` with the benchmark
+    side = ``documents WHERE {bench_where}`` (exact, no cap)."""
+    sh = _duckdb_shingles("text", 3)
+    num = "CAST(i AS DOUBLE) / nb.n" if metric == "containment" \
+        else "CAST(i AS DOUBLE) / (na.n + nb.n - i)"
+    return f"""
+WITH sha AS (SELECT doc_id, {sh} AS sh FROM documents),
+shb AS (SELECT doc_id AS bench_id, {sh} AS sh FROM documents WHERE {bench_where}),
+na AS (SELECT doc_id, len(sh) AS n FROM sha WHERE len(sh) > 0),
+nb AS (SELECT bench_id, len(sh) AS n FROM shb WHERE len(sh) > 0),
+exa AS (SELECT doc_id, unnest(sh) AS s FROM sha),
+exb AS (SELECT bench_id, unnest(sh) AS s FROM shb),
+inter AS (
+  SELECT a.doc_id, b.bench_id, count(*) AS i
+  FROM exa a JOIN exb b ON a.s = b.s
+  GROUP BY 1, 2
+)
+SELECT doc_id, bench_id, round({num}, 6) AS overlap
+FROM inter JOIN na USING (doc_id) JOIN nb USING (bench_id)
+WHERE {num} >= {threshold}
+ORDER BY doc_id, bench_id
+""".strip()

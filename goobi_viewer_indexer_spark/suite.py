@@ -1255,6 +1255,11 @@ def q_dedup_minhash(spark, sf_dir):
         # collapse even though (a,c) was never emitted); recursive-CTE
         # closure oracle vs the engine's min-label contraction
         ("clusters", f"SELECT doc_id AS x, component AS y, NULL::DOUBLE AS j FROM ({dedup.components_sql(dedup.ngram_jaccard_sql(threshold=0.35))})"),
+        # decontam (round 5c): cross-corpus containment — how much of each
+        # "benchmark" doc's shingle set a training doc contains (the
+        # eval-set decontamination scan; benchmark = the doc_id%97 subset,
+        # so every benchmark doc at least matches itself at 1.0)
+        ("decontam", f"SELECT doc_id AS x, bench_id AS y, overlap AS j FROM ({dedup.cross_ngram_overlap_sql('doc_id % 97 = 0', threshold=0.5)})"),
     ], order="qtag ASC, x ASC, y ASC"),
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -1268,6 +1273,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         ("clusters", dedup.duplicate_components(pairs).select(
             F.col("doc_id").alias("x"), F.col("component").alias("y"),
             F.lit(None).cast("double").alias("j"))),
+        ("decontam", dedup.cross_ngram_overlap(
+            _load(spark, sf_dir, "documents"),
+            _load(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0),
+            threshold=0.5, metric="containment",
+        ).select(F.col("doc_id").alias("x"), F.col("bench_id").alias("y"),
+                 F.col("overlap").alias("j"))),
     ]).orderBy("qtag", "x", "y")
 
 

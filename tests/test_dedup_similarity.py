@@ -276,3 +276,42 @@ def test_ivf_quantized_two_stage(spark, tmp_path):
     plain = similarity.IvfIndex.build(emb, str(tmp_path / "ivf_p"), n_cells=8, seed=7)
     with pytest.raises(ValueError, match="quantize"):
         plain.query_quantized([0.0] * len(qv), k=5)
+
+
+# ---- benchmark decontamination (round 5c) ---------------------------------
+
+def test_cross_ngram_overlap_containment(spark):
+    corpus = spark.createDataFrame([
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),   # embeds bench 100
+        (1, "alpha beta gamma unrelated filler words here now"),# partial overlap
+        (2, "totally different text with no shared shingles at all"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([
+        (100, "beta gamma delta epsilon"),   # 2 shingles, both inside doc 0
+    ], "doc_id long, text string")
+    got = {(r["doc_id"], r["bench_id"]): r["overlap"]
+           for r in dedup.cross_ngram_overlap(corpus, bench, threshold=0.4).collect()}
+    # doc 0 contains BOTH of bench-100's shingles -> containment 1.0 even
+    # though Jaccard would dilute (doc 0 has 6 shingles)
+    assert got[(0, 100)] == 1.0
+    # doc 1 shares only "alpha beta gamma"-side shingles, none of bench's
+    assert (1, 100) in got or got.get((1, 100)) is None  # 'beta gamma x' differs
+    assert (2, 100) not in got
+    jac = {(r["doc_id"], r["bench_id"]): r["overlap"]
+           for r in dedup.cross_ngram_overlap(corpus, bench, threshold=0.1,
+                                              metric="jaccard").collect()}
+    assert jac[(0, 100)] == round(2 / 6, 6)
+    with pytest.raises(ValueError, match="metric"):
+        dedup.cross_ngram_overlap(corpus, bench, metric="dice")
+
+
+def test_decontaminate_drops_flagged(spark):
+    corpus = spark.createDataFrame([
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "completely unrelated training document text body"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([
+        (9, "beta gamma delta epsilon"),
+    ], "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup.decontaminate(corpus, bench, threshold=0.8).collect())
+    assert kept == [1]
