@@ -584,7 +584,14 @@ class FunctionQuery:
             raise ValueError(f"trailing input in function query: {src!r}")
 
     _FUNCS = {"field": 1, "recip": 4, "linear": 3, "sqrt": 1, "abs": 1,
-              "sum": None, "product": None}
+              "sum": None, "product": None,
+              # round 5c: the rest of Solr's common math surface —
+              # log (base 10, Solr's log), ln, div, pow, variadic
+              # max/min (Solr's max(x, c) floor idiom), 4-arg map
+              # (map(x, min, max, target): x in [min, max] -> target,
+              # else x — Solr's missing-sentinel remap)
+              "log": 1, "ln": 1, "div": 2, "pow": 2,
+              "max": None, "min": None, "map": 4}
 
     def _peek(self):
         return self._toks[self._i] if self._i < len(self._toks) else None
@@ -646,6 +653,21 @@ class FunctionQuery:
             return F.sqrt(args[0])
         if kind == "abs":
             return F.abs(args[0])
+        if kind == "log":
+            return F.log10(args[0])
+        if kind == "ln":
+            return F.log(args[0])
+        if kind == "div":
+            return args[0] / args[1]
+        if kind == "pow":
+            return F.pow(args[0], args[1])
+        if kind == "max":
+            return F.greatest(*args) if len(args) > 1 else args[0]
+        if kind == "min":
+            return F.least(*args) if len(args) > 1 else args[0]
+        if kind == "map":
+            x, mn, mx, tgt = args
+            return F.when((x >= mn) & (x <= mx), tgt).otherwise(x)
         if kind == "sum":
             out = args[0]
             for a in args[1:]:

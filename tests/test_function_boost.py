@@ -160,3 +160,36 @@ def test_boost_plan_is_take_ordered(idx):
     plan = idx.search(["table"], k=10, boost="recip(nch,1,1000,1000)")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_extended_function_grammar(spark, idx):
+    """Round 5c: log/ln/div/pow/max/min/map — python-math truth over the
+    stored nch column (exact for div/max/min/map; 1e-9 for libm fns)."""
+    import math
+
+    nch = {r["doc_id"]: r["nch"] for r in idx.stored().select("doc_id", "nch").collect()}
+    base = {r["doc_id"]: r["score"]
+            for r in idx.search(["table", "join"], k=10**6, mode="and").collect()}
+
+    cases = {
+        "log(sum(nch,1))": lambda v: math.log10(v + 1.0),
+        "ln(sum(nch,1))": lambda v: math.log(v + 1.0),
+        "div(nch,100)": lambda v: v / 100.0,
+        "pow(nch,0.5)": lambda v: v ** 0.5,
+        "max(nch,250)": lambda v: max(v, 250.0),
+        "min(nch,250)": lambda v: min(v, 250.0),
+        "map(nch,0,200,0)": lambda v: 0.0 if 0.0 <= v <= 200.0 else v,
+    }
+    for src, fn in cases.items():
+        got = [(r["doc_id"], r["score"])
+               for r in idx.search(["table", "join"], k=8, mode="and", bf=src).collect()]
+        want = sorted(
+            ((d, math.floor((s + fn(float(nch[d]))) * 1e6 + 0.5) / 1e6) for d, s in base.items()),
+            key=lambda x: (-x[1], x[0]))[:8]
+        assert [d for d, _ in got] == [d for d, _ in want], src
+        for (_d, gs), (_w, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, (src, gs, ws)
+    with pytest.raises(ValueError, match="takes 4 args|args"):
+        idx.search(["table"], k=5, bf="map(nch,0,200)")
+    with pytest.raises(ValueError, match="unsupported function"):
+        idx.search(["table"], k=5, bf="scale(nch,0,1)")
