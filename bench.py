@@ -256,6 +256,18 @@ def run_suite(spark, corpus_src: str) -> tuple[dict[str, float], dict[str, objec
         "dedup_minhash_lsh",
         lambda: dedup.minhash_near_duplicates(docs, threshold=0.35, hash_fn="xxhash64").count(),
     )
+
+    # round-5c graph stage: connected components over simhash candidate
+    # pairs (min-label contraction + path compression) and a cross-corpus
+    # decontamination scan against a small benchmark subset
+    def run_dedup_graph():
+        pairs = dedup.simhash_candidate_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
+        dedup.duplicate_components(pairs).collect()
+        dedup.cross_ngram_overlap(
+            docs, docs.filter(F.col("doc_id") % 499 == 0), threshold=0.8
+        ).count()
+
+    timed("dedup_clusters_decontam", run_dedup_graph)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     timed("ann_bruteforce_topk", lambda: similarity.cosine_topk_bruteforce(emb, list(qv), k=10, exclude_id=0).collect())

@@ -555,6 +555,7 @@ def duplicate_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_rounds: int = 64,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(doc_id, component) for every doc appearing in a near-dup pair —
     the TRANSITIVE CLOSURE of the pair relation, with ``component`` = the
@@ -576,14 +577,41 @@ def duplicate_components(
     node into its local-min basin (a 300-node path resolves in ONE outer
     round — pinned in pytest with max_rounds=6); remaining edges connect
     basin minima, so outer rounds are O(log n) with the edge set
-    strictly shrinking.  No driver-side graph; ``localCheckpoint`` cuts
-    the growing lineage (the resolve_roots idiom)."""
+    strictly shrinking.  ``localCheckpoint`` cuts the growing lineage
+    (the resolve_roots idiom).
+
+    ``driver_threshold``: near-dup graphs are TINY relative to their
+    corpora (pairs, not docs), and the iterative contraction pays many
+    small Spark jobs of fixed overhead — so when the distinct edge set
+    fits under the threshold (default 1M edges ≈ 16 MB) it is collected
+    and resolved with an in-memory union-find, byte-identical output
+    (min-root union ⇒ component = min id).  The distributed contraction
+    is the big-graph path; pass ``driver_threshold=0`` to force it (the
+    log-rounds pytest does)."""
     e = pairs.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
     edges = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if driver_threshold:
+        head = edges.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in head:
+                ra, rb = find(r["u"]), find(r["v"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            rows = sorted((x, find(x)) for x in parent)
+            return pairs.sparkSession.createDataFrame(rows, "doc_id long, component long")
     assign = (
         edges.select(F.col("u").alias("doc_id")).distinct()
         .select("doc_id", F.col("doc_id").alias("label"))

@@ -238,6 +238,10 @@ def test_duplicate_components_topologies(spark):
     got = {r["doc_id"]: r["component"] for r in dedup.duplicate_components(pdf).collect()}
     assert got == _uf_truth(pairs)
     assert got[13] == 10 and got[43] == 40 and got[22] == 20
+    # distributed contraction path == driver union-find fast path
+    dist = {r["doc_id"]: r["component"]
+            for r in dedup.duplicate_components(pdf, driver_threshold=0).collect()}
+    assert dist == got
 
 
 def test_duplicate_components_log_rounds(spark):
@@ -247,7 +251,7 @@ def test_duplicate_components_log_rounds(spark):
     n = 300
     pdf = spark.createDataFrame([(i, i + 1) for i in range(n)], "doc_a long, doc_b long")
     got = {r["doc_id"]: r["component"]
-           for r in dedup.duplicate_components(pdf, max_rounds=6).collect()}
+           for r in dedup.duplicate_components(pdf, max_rounds=6, driver_threshold=0).collect()}
     assert got == {i: 0 for i in range(n + 1)}
 
 
