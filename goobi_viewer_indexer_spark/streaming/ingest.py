@@ -170,3 +170,52 @@ def windowed_event_counts(
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exactly-once CONTENT dedup across micro-batches — the streaming
+    twin of ``dedup.exact_duplicates`` for continuous ingest: a doc
+    passes through only if its sha256(text) has never been seen in any
+    earlier micro-batch (or earlier in the same batch, smallest id
+    first).  Custom stateful operator (``applyInPandasWithState``) keyed
+    by the content hash; per-hash state is ONE boolean, so state-store
+    size is bytes per distinct document ever seen — the shape that holds
+    at an unbounded stream.  Emits (doc_id, content_sha256).
+
+    Note Spark's built-in ``dropDuplicates`` on a stream also keeps
+    state, but evicts it only under an event-time watermark — content
+    dedup must NOT forget old hashes, so the explicit state op (NoTimeout)
+    states that contract instead of hiding it."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("content_sha256"),
+    )
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        seen = state.get[0] if state.exists else False
+        best = None
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                d = int(rec["doc_id"])
+                if best is None or d < best:
+                    best = d
+        if not seen and best is not None:
+            state.update((True,))
+            yield pd.DataFrame([{"doc_id": best, "content_sha256": key[0]}])
+        elif not state.exists:
+            state.update((seen,))
+
+    return hashed.groupBy("content_sha256").applyInPandasWithState(
+        fn,
+        outputStructType="doc_id long, content_sha256 string",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -467,3 +467,55 @@ def test_mp4_keyframe_extraction(spark):
     assert {(r["asset_id"], r["frame_idx"], r["frame_ms"]) for r in got} == {(1, 0, 0), (1, 3, 300)}
     by_idx = {r["frame_idx"]: bytes(r["frame_data"]) for r in got}
     assert by_idx[0] == samples[0] and by_idx[3] == samples[3]
+
+
+def test_streaming_exact_dedup_stateful(spark, tmp_path):
+    """Content dedup state crosses micro-batch boundaries: batch 2's copy
+    of a batch-1 doc is suppressed; within a batch the smallest id wins."""
+    import glob
+    import os
+
+    from goobi_viewer_indexer_spark.streaming.ingest import streaming_exact_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: doc 0 and its in-batch copy 5 (0 wins); unique doc 1
+    spark.createDataFrame(
+        [(5, "same content alpha"), (0, "same content alpha"), (1, "unique one")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src + "/b1")
+    # batch 2: cross-batch copy of doc 0 (suppressed) + new doc 2
+    spark.createDataFrame(
+        [(9, "same content alpha"), (2, "unique two")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [0, 1, 2]
+    # re-running with the same checkpoint emits nothing new (exactly-once)
+    q2 = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert got2 == [0, 1, 2]
