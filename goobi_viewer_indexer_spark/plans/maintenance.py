@@ -860,9 +860,7 @@ def purge_compact(spark: SparkSession, index_dir: str) -> dict:
     _publish(index_dir, "postings", tmp)
 
     _rewrite_docstats(spark, index_dir, span, fnames, tomb)
-    import shutil
-
-    shutil.rmtree(txn.table_path(index_dir, "tombstones"))
+    txn.remove_table(index_dir, "tombstones")  # skips snapshot-pinned gens
     # keep the BUILD avgdl basis; record live values for scoring/ub_scale
     if fnames:
         n_live, avgdls_live = live_corpus_stats_fielded(spark, index_dir, fnames)
@@ -1084,9 +1082,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
             .parquet(tmp4)
         )
         _publish(index_dir, "doclens_packed", tmp4)
-        import shutil
-
-        shutil.rmtree(txn.table_path(index_dir, "tombstones"))
+        txn.remove_table(index_dir, "tombstones")  # skips snapshot-pinned gens
 
     if fnames:
         meta["avgdl_by_field"] = avgdls_live

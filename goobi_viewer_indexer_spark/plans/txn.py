@@ -48,6 +48,7 @@ import fcntl as _fcntl
 import glob as _glob
 import json
 import os
+import re as _re
 import shutil
 import threading as _threading
 
@@ -170,7 +171,8 @@ def _flip(index_dir: str, name: str, new_dirname: str) -> None:
         cur["retained"][name] = displaced
         cur["rev"] = int(cur.get("rev", 0)) + 1
         _write_current(index_dir, cur)
-        if gc_target and gc_target != new_dirname:
+        if gc_target and gc_target != new_dirname and gc_target not in pinned_dirs(index_dir):
+            # snapshot-referenced generations are pinned (see snapshot())
             shutil.rmtree(os.path.join(index_dir, gc_target), ignore_errors=True)
 
 
@@ -322,3 +324,199 @@ def recover_dir(live_dir: str) -> None:
         os.rename(bak, live_dir)
     elif os.path.exists(live_dir) and os.path.exists(bak):
         shutil.rmtree(bak)
+
+
+# --------------------------------------------------------------- snapshots
+# Named snapshots (the Iceberg tag / Solr backup analog).  Pointer-only
+# snapshots are NOT enough here: tombstones and postings deltas are
+# APPEND-IN-PLACE mutations (the LSM design), so a later delete would
+# leak into a "frozen" generation, and meta.json (live avgdl/n_docs)
+# rewrites too.  A snapshot therefore records, per table, the resolved
+# generation dirname AND the relative FILE MANIFEST inside it (files are
+# append-only within a generation — nothing rewrites a data file in
+# place), plus byte copies of the small index-root metadata files.
+# Creating a snapshot copies only metadata bytes; restore() materializes
+# fresh generation dirs by HARDLINKING exactly the manifested files (the
+# post-snapshot future stays intact — restore never deletes data) and
+# flips every pointer in ONE current.json write.  Snapshot-referenced
+# generation dirs are PINNED against _flip/remove_table GC so the links'
+# sources survive; vacuum() reclaims after drop_snapshot().
+
+_SNAP_EXCLUDE = {"_txns", "_snapshots"}
+
+
+def _snap_root(index_dir: str) -> str:
+    p = os.path.join(index_dir, "_snapshots")
+    os.makedirs(p, exist_ok=True)
+    return p
+
+
+def pinned_dirs(index_dir: str) -> set[str]:
+    """Generation dirnames referenced by ANY snapshot — never GC'd."""
+    out: set[str] = set()
+    for p in _glob.glob(os.path.join(index_dir, "_snapshots", "*.json")):
+        try:
+            with open(p) as f:
+                out.update(json.load(f).get("tables", {}))
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def _walk_rel(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            out.append(os.path.relpath(os.path.join(dirpath, fn), root))
+    return sorted(out)
+
+
+def snapshot(index_dir: str, name: str) -> dict:
+    """Record the current state under ``name``: per-table generation
+    dirname + file manifest, plus copies of the root metadata files
+    (meta.json, …).  Atomic (manifest tmp+rename, written LAST);
+    re-snapshotting a name overwrites it."""
+    if not _re.fullmatch(r"[A-Za-z0-9._-]+", name):
+        raise ValueError(f"bad snapshot name {name!r}")
+    with _current_lock(index_dir):
+        cur = _read_current(index_dir)
+        resolved = dict(cur["tables"])
+        for entry in os.listdir(index_dir):
+            full = os.path.join(index_dir, entry)
+            if (os.path.isdir(full) and entry not in _SNAP_EXCLUDE
+                    and not _re.search(r"\.v\d+$", entry)
+                    and not entry.startswith("_")
+                    and entry not in resolved):
+                resolved[entry] = entry  # implicit generation 0
+        tables = {}
+        for tname, dirname in resolved.items():
+            droot = os.path.join(index_dir, dirname)
+            if os.path.isdir(droot):
+                tables[tname] = {"dir": dirname, "files": _walk_rel(droot)}
+        files_dir = os.path.join(_snap_root(index_dir), f"{name}.files")
+        shutil.rmtree(files_dir, ignore_errors=True)
+        os.makedirs(files_dir)
+        root_files = []
+        for entry in os.listdir(index_dir):
+            full = os.path.join(index_dir, entry)
+            if os.path.isfile(full) and entry not in ("current.json",) \
+                    and not entry.endswith(".lock"):
+                shutil.copy2(full, os.path.join(files_dir, entry))
+                root_files.append(entry)
+        # "tables" is the pin set keyed by DIRNAME (pinned_dirs reads the
+        # keys); the per-table detail lives in "manifest"
+        snap = {"name": name, "rev": int(cur.get("rev", 0)),
+                "tables": {m["dir"]: t for t, m in tables.items()},
+                "manifest": tables, "root_files": sorted(root_files)}
+        dst = os.path.join(_snap_root(index_dir), f"{name}.json")
+        tmp = dst + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, dst)
+        return snap
+
+
+def list_snapshots(index_dir: str) -> list[dict]:
+    out = []
+    for p in sorted(_glob.glob(os.path.join(index_dir, "_snapshots", "*.json"))):
+        with open(p) as f:
+            out.append(json.load(f))
+    return out
+
+
+def restore_snapshot(index_dir: str, name: str) -> None:
+    """Materialize the snapshot as FRESH generations (hardlinks of exactly
+    the manifested files — post-snapshot data is never deleted), restore
+    the root metadata files, and flip every table pointer in ONE atomic
+    ``current.json`` write (+ rev bump, so searchers refresh).  Tables
+    that did not exist at snapshot time point at a non-existent dirname —
+    readers' existence checks see them absent."""
+    p = os.path.join(index_dir, "_snapshots", f"{name}.json")
+    if not os.path.exists(p):
+        raise ValueError(f"no snapshot {name!r}")
+    with open(p) as f:
+        snap = json.load(f)
+    with _current_lock(index_dir):
+        cur = _read_current(index_dir)
+        rev2 = int(cur.get("rev", 0)) + 1
+        new_tables: dict[str, str] = {}
+        for tname, m in snap["manifest"].items():
+            src_root = os.path.join(index_dir, m["dir"])
+            missing = [f for f in m["files"]
+                       if not os.path.exists(os.path.join(src_root, f))]
+            if missing:
+                raise ValueError(
+                    f"snapshot {name!r}: {tname} lost files {missing[:3]} — "
+                    f"was the snapshot's generation vacuumed?")
+            dirname = f"{tname}.v{rev2}"
+            dst_root = os.path.join(index_dir, dirname)
+            shutil.rmtree(dst_root, ignore_errors=True)  # crashed earlier restore
+            for rel in m["files"]:
+                dst = os.path.join(dst_root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(os.path.join(src_root, rel), dst)
+                except OSError:
+                    shutil.copy2(os.path.join(src_root, rel), dst)
+            os.makedirs(dst_root, exist_ok=True)  # empty-table edge
+            new_tables[tname] = dirname
+        # tables live NOW but absent from the snapshot: point at a
+        # never-created dirname so readers see them gone (their data
+        # stays on disk for other snapshots / the pre-restore state)
+        for tname in set(cur["tables"]):
+            if tname not in new_tables:
+                new_tables[tname] = f"{tname}.v{rev2}.absent"
+        for entry in os.listdir(index_dir):
+            if (os.path.isdir(os.path.join(index_dir, entry))
+                    and entry not in _SNAP_EXCLUDE and not entry.startswith("_")
+                    and not _re.search(r"\.v\d+(\.absent)?$", entry)
+                    and entry not in new_tables):
+                new_tables[entry] = f"{entry}.v{rev2}.absent"
+        files_dir = os.path.join(index_dir, "_snapshots", f"{name}.files")
+        for entry in snap.get("root_files", []):
+            src = os.path.join(files_dir, entry)
+            tmp = os.path.join(index_dir, entry + ".tmp")
+            shutil.copy2(src, tmp)
+            os.replace(tmp, os.path.join(index_dir, entry))
+        cur["tables"] = new_tables
+        cur["rev"] = rev2
+        _write_current(index_dir, cur)
+
+
+def drop_snapshot(index_dir: str, name: str) -> None:
+    p = os.path.join(index_dir, "_snapshots", f"{name}.json")
+    if os.path.exists(p):
+        os.remove(p)
+    shutil.rmtree(os.path.join(index_dir, "_snapshots", f"{name}.files"),
+                  ignore_errors=True)
+
+
+def remove_table(index_dir: str, name: str) -> None:
+    """Drop a logical table: remove its pointer (rev bump) and delete the
+    current generation dir UNLESS a snapshot pins it."""
+    with _current_lock(index_dir):
+        cur = _read_current(index_dir)
+        resolved = cur["tables"].pop(name, None) or name
+        cur.get("retained", {}).pop(name, None)
+        cur["rev"] = int(cur.get("rev", 0)) + 1
+        _write_current(index_dir, cur)
+        if resolved not in pinned_dirs(index_dir):
+            shutil.rmtree(os.path.join(index_dir, resolved), ignore_errors=True)
+
+
+def vacuum(index_dir: str) -> list[str]:
+    """Delete VERSIONED generation dirs (``name.vN``) referenced by no
+    current pointer, no retained entry and no snapshot — the
+    expire-snapshots sweep after :func:`drop_snapshot`.  Returns the
+    removed dirnames."""
+    with _current_lock(index_dir):
+        cur = _read_current(index_dir)
+        keep = set(cur["tables"].values()) | set(cur.get("retained", {}).values()) \
+            | pinned_dirs(index_dir)
+        removed = []
+        for entry in os.listdir(index_dir):
+            if _re.search(r"\.v\d+$", entry) and entry not in keep \
+                    and os.path.isdir(os.path.join(index_dir, entry)):
+                shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
+                removed.append(entry)
+        return removed

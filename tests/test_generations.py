@@ -128,3 +128,55 @@ def test_fielded_local_searcher_staleness(spark, tmp_path):
     maint.delete_docs(spark, d, [victim])
     after = loc.search("text:shared", k=40)
     assert all(doc != victim for doc, _ in after)
+
+
+# ---- named snapshots / restore / vacuum (round 5c) ------------------------
+
+def _top10(spark, d):
+    return [tuple(r) for r in InvertedIndex(spark, d).search(["alpha"], k=10).collect()]
+
+
+def test_snapshot_restore_roundtrip(spark, idx):
+    before = _top10(spark, idx)
+    txn.snapshot(idx, "pre")
+    maint.delete_docs(spark, idx, [0, 1, 2], tag="snapdel")
+    after = _top10(spark, idx)
+    assert after != before and not any(d in {0, 1, 2} for d, _ in after)
+    rev_deleted = txn.current_rev(idx)
+    txn.restore_snapshot(idx, "pre")
+    assert txn.current_rev(idx) > rev_deleted  # rev bumps -> searchers refresh
+    assert _top10(spark, idx) == before
+    names = [s["name"] for s in txn.list_snapshots(idx)]
+    assert names == ["pre"]
+    with pytest.raises(ValueError, match="no snapshot"):
+        txn.restore_snapshot(idx, "nope")
+
+
+def test_snapshot_pins_generations_across_gc(spark, idx):
+    """Two publishes normally GC the generation a snapshot references —
+    the pin must keep it restorable."""
+    before = _top10(spark, idx)
+    txn.snapshot(idx, "keep")
+    pinned = set(txn.snapshot(idx, "keep")["tables"].values())
+    # two successive mutations: without pinning, flip #2 GCs the
+    # generation flip #1 displaced (the snapshot's)
+    maint.delete_docs(spark, idx, [5], tag="gc1")
+    maint.delete_docs(spark, idx, [6], tag="gc2")
+    for dname in pinned:
+        assert os.path.exists(os.path.join(idx, dname)), dname
+    txn.restore_snapshot(idx, "keep")
+    assert _top10(spark, idx) == before
+
+
+def test_drop_and_vacuum_reclaims_unreferenced(spark, idx):
+    txn.snapshot(idx, "v")
+    maint.delete_docs(spark, idx, [7], tag="vac1")
+    maint.delete_docs(spark, idx, [8], tag="vac2")
+    assert txn.vacuum(idx) == []  # everything still pinned or live
+    txn.drop_snapshot(idx, "v")
+    removed = txn.vacuum(idx)
+    # current + retained generations survive, searches still work
+    cur = txn._read_current(idx)
+    live = set(cur["tables"].values()) | set(cur["retained"].values())
+    assert not (set(removed) & live)
+    assert len(_top10(spark, idx)) > 0
