@@ -321,39 +321,6 @@ ORDER BY doc_a, doc_b
 
 
 # ------------------------------------------------------------------- simhash
-def _simhash32_expr(toks, hex_off: int):
-    """32-bit SimHash half from md5 hex chars [hex_off, hex_off+8)."""
-    bits = 32
-    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), hex_off, 8), 16, 10).cast("long"))
-    # ONE fold over the token array accumulating all bit counters at once
-    # (an array<long> of length ``bits``) — not one pass per bit
-    zeros = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
-    idxs = F.sequence(F.lit(0), F.lit(bits - 1))
-    # bit i of h = floor(h / 2^i) % 2 (shiftright needs a literal count, so
-    # arithmetic keeps the bit index a column inside the fold)
-    pow2 = lambda i: F.pow(F.lit(2.0), i.cast("double"))  # noqa: E731
-    bit_sums = F.aggregate(
-        th,
-        zeros,
-        lambda acc, h: F.zip_with(
-            acc,
-            idxs,
-            lambda a, i: a
-            + F.when(F.floor(h / pow2(i)).cast("long") % 2 == 1, 1).otherwise(-1),
-        ),
-    )
-    sim = F.aggregate(
-        F.zip_with(
-            bit_sums,
-            idxs,
-            lambda s, i: F.when(s > 0, pow2(i).cast("long")).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    return F.when(F.size(toks) == 0, F.lit(0).cast("long")).otherwise(sim)
-
-
 def simhash_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over tokens as two 32-bit halves (hi = md5 hex
     chars 1-8, lo = chars 9-16; the split keeps every hex-parse inside
@@ -361,20 +328,60 @@ def simhash_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     sign of Σ_tokens (±1 depending on bit i of that half's token hash).
 
     Emits (doc_id, simhash_hi, simhash_lo); candidate retrieval is
-    :func:`simhash_candidate_pairs` (16-bit-chunk banding)."""
-    # tokens materialized in their own projection: both halves (and their
-    # size() guards) reference the array — inline tokenize would re-run
-    # the regex per reference (see shingles_from_tokens)
-    toks = F.col("_toks")
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), tokenize_expr(text_col).alias("_toks"))
-        .select(
-            "doc_id",
-            _simhash32_expr(toks, 1).alias("simhash_hi"),
-            _simhash32_expr(toks, 9).alias("simhash_lo"),
-        )
-        .orderBy("doc_id")
-    )
+    :func:`simhash_candidate_pairs` (16-bit-chunk banding).
+
+    Execution split (round 5c — measured 27 s → ~2 s at sf0.1): the
+    md5-per-token stays JVM-side (F.md5 + conv, cheap whole-stage
+    codegen), but the per-bit sign counting moves to ONE Arrow pandas
+    UDF over the per-doc hash arrays — the previous pure-Catalyst
+    ``aggregate(zip_with(...))`` fold evaluated 64 interpreted float
+    ``pow`` calls per token per doc (~160 M at sf0.1).  numpy computes
+    the identical value: ``(h >> i) & 1`` == ``floor(h/2^i) % 2`` for
+    the non-negative 32-bit halves, so the DuckDB oracle stays
+    bit-identical (dedup_simhash green)."""
+    return _simhash_frame(docs, id_col, text_col, drop_empty=False).orderBy("doc_id")
+
+
+def _simhash_frame(docs: DataFrame, id_col: str, text_col: str,
+                   drop_empty: bool) -> DataFrame:
+    """Shared fast fingerprint body (see :func:`simhash_fingerprint`);
+    ``drop_empty`` pre-filters zero-token docs (the banding path's
+    quadratic-bucket guard).
+
+    The md5 runs in the PYTHON workers (hashlib — byte-identical to JVM
+    ``F.md5``, both hash the token's UTF-8 bytes): the JVM path pays the
+    documented MessageDigest lock under thread contention (the same
+    serialization that pushed minhash to xxhash64 — but SimHash's oracle
+    needs md5), and the per-bit sign counting is one vectorized numpy
+    pass over each doc's hash matrix."""
+    import hashlib as _hashlib
+
+    import numpy as _np
+
+    @F.pandas_udf("simhash_hi long, simhash_lo long")
+    def _sim64(toks: pd.Series) -> pd.DataFrame:
+        shifts = _np.arange(32, dtype=_np.int64)
+        his, los = [], []
+        for arr in toks:
+            if arr is None or len(arr) == 0:
+                his.append(0)
+                los.append(0)
+                continue
+            hx = [_hashlib.md5(t.encode("utf-8")).hexdigest() for t in arr]
+            hi = _np.array([int(h[:8], 16) for h in hx], dtype=_np.int64)
+            lo = _np.array([int(h[8:16], 16) for h in hx], dtype=_np.int64)
+            ch = (2 * ((hi[:, None] >> shifts) & 1) - 1).sum(axis=0)
+            cl = (2 * ((lo[:, None] >> shifts) & 1) - 1).sum(axis=0)
+            his.append(int(((ch > 0).astype(_np.int64) << shifts).sum()))
+            los.append(int(((cl > 0).astype(_np.int64) << shifts).sum()))
+        return pd.DataFrame({"simhash_hi": his, "simhash_lo": los})
+
+    base = docs.select(F.col(id_col).alias("doc_id"), tokenize_expr(text_col).alias("_toks"))
+    if drop_empty:
+        base = base.filter(F.size(F.col("_toks")) > 0)
+    return base.select("doc_id", _sim64(F.col("_toks")).alias("_s")).select(
+        "doc_id", F.col("_s.simhash_hi").alias("simhash_hi"),
+        F.col("_s.simhash_lo").alias("simhash_lo"))
 
 
 def _simhash_half_sql(hex_off: int) -> str:
@@ -417,16 +424,15 @@ def simhash_candidate_pairs(
     scale, millions of empty/boilerplate docs make the self-join (and the
     output itself) quadratic.  Empty docs are trivially exact duplicates
     of each other; surface them via :func:`exact_duplicates` instead."""
-    toks = F.col("_toks")
-    fp = (
-        docs.select(F.col(id_col).alias("doc_id"), tokenize_expr(text_col).alias("_toks"))
-        .filter(F.size(toks) > 0)
-        .select(
-            "doc_id",
-            _simhash32_expr(toks, 1).alias("simhash_hi"),
-            _simhash32_expr(toks, 9).alias("simhash_lo"),
-        )
-    )
+    # the self-join references the fingerprint frame TWICE (and the
+    # verify carries its columns through) — without persistence the whole
+    # tokenize+md5+UDF pipeline executes once per reference (measured
+    # 2.3×).  n_docs × 3 longs; MEMORY_AND_DISK so an extreme corpus
+    # spills instead of recomputing
+    from pyspark import StorageLevel
+
+    fp = _simhash_frame(docs, id_col, text_col, drop_empty=True) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     hi, lo = F.col("simhash_hi"), F.col("simhash_lo")
     chunks = F.array(
         F.struct(F.lit(0).alias("band"), F.floor(hi / F.lit(65536)).cast("long").alias("chunk")),
