@@ -176,3 +176,44 @@ FINGERPRINT_SQL = f"""
 SELECT doc_id, md5(array_to_string({duckdb_tokenize_sql('text')}, ' ')) AS fp
 FROM documents ORDER BY doc_id
 """.strip()
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-unigram language-model quality score: per doc the MEAN
+    ``ln P(token)`` with ``P(t) = count(t) / total_tokens`` estimated
+    from the corpus itself — the KenLM-perplexity idea reduced to the
+    model a Spark pipeline can fit in one aggregation (docs full of
+    corpus-rare garbage score far below fluent ones; the standard
+    cheap quality filter next to the ratio heuristics).
+
+    One token explode → self term-frequency aggregate → join back
+    (AQE picks broadcast while the vocabulary fits, shuffle-hash beyond
+    — no forced hint) → per-doc mean of ``ln(cnt/total)``.  Zero-token docs
+    emit NULL.  Everything is Catalyst arithmetic; the ``ln`` parity
+    with DuckDB holds on the same 1-ulp/round6 argument the BM25 idf
+    oracles rely on."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize_expr(text_col)).alias("t"))
+    tf = toks.groupBy("t").agg(F.count("*").alias("c"))
+    total = tf.agg(F.sum("c")).collect()[0][0] or 1  # one scalar job
+    per_doc = (
+        toks.join(tf, "t")
+        .groupBy("doc_id")
+        .agg(F.avg(F.log(F.col("c") / F.lit(float(total)))).alias("mean_logp"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", F.round("mean_logp", 6).alias("mean_logp"))
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({duckdb_tokenize_sql('text')}) AS t FROM documents),
+tf AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+per AS (SELECT doc_id, avg(ln(c / n)) AS mean_logp FROM tok JOIN tf USING (t) CROSS JOIN tot GROUP BY doc_id)
+SELECT d.doc_id, round(per.mean_logp, 6) AS mean_logp
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+""".strip()

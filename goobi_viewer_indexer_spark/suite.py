@@ -1332,11 +1332,12 @@ def q_emb_neardup(spark, sf_dir):
 SELECT l.doc_id, l.lang_pred, l.en_ratio,
        q.n_tokens, q.punct_ratio, q.stopword_ratio, q.mean_token_len, q.quality,
        c.ws_tokens, c.analysis_tokens, c.bpe_ish_tokens,
-       f.fp
+       f.fp, u.mean_logp
 FROM ({text_analysis.LANG_ID_SQL}) l
 JOIN ({text_analysis.QUALITY_SQL}) q USING (doc_id)
 JOIN ({text_analysis.TOKEN_COUNTS_SQL}) c USING (doc_id)
 JOIN ({text_analysis.FINGERPRINT_SQL}) f USING (doc_id)
+JOIN ({text_analysis.UNIGRAM_LOGPROB_SQL}) u USING (doc_id)
 ORDER BY doc_id
 """.strip(),
 )
@@ -1352,6 +1353,7 @@ def q_text_profile(spark, sf_dir):
         .join(text_analysis.quality_score(d), "doc_id")
         .join(text_analysis.token_counts(d), "doc_id")
         .join(text_analysis.fingerprint(d), "doc_id")
+        .join(text_analysis.unigram_logprob(d), "doc_id")
         .orderBy("doc_id")
     )
 

@@ -319,3 +319,25 @@ def test_decontaminate_drops_flagged(spark):
     ], "doc_id long, text string")
     kept = sorted(r["doc_id"] for r in dedup.decontaminate(corpus, bench, threshold=0.8).collect())
     assert kept == [1]
+
+
+def test_unigram_logprob_truth(spark):
+    """Corpus-unigram LM score: repeated-token docs score higher (less
+    negative) than rare-token docs; python-math truth pinned."""
+    import math
+
+    from goobi_viewer_indexer_spark.operators import text_analysis
+
+    docs = spark.createDataFrame([
+        (0, "common common common common"),
+        (1, "common rare1"),
+        (2, None),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_logp"]
+           for r in text_analysis.unigram_logprob(docs).collect()}
+    total = 6  # 4x common + common + rare1
+    p_common, p_rare = 5 / total, 1 / total
+    assert abs(got[0] - round(math.log(p_common), 6)) < 1e-6
+    assert abs(got[1] - round((math.log(p_common) + math.log(p_rare)) / 2, 6)) < 1e-6
+    assert got[2] is None
+    assert got[0] > got[1]
