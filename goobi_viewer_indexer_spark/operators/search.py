@@ -328,6 +328,51 @@ def _facet_interval_over(ids, dims, col: str, intervals) -> DataFrame:
     )
 
 
+def _grouped_plan(st: DataFrame, scored: DataFrame, group_field: str,
+                  k_groups: int, docs_per_group: int, group_sort: str | None,
+                  group_offset: int, include_ngroups: bool) -> DataFrame:
+    """Shared Solr result-grouping plan (flat + fielded engines): see
+    InvertedIndex.search_grouped for the contract.  ``scored`` is the
+    (already fq-filtered) total-recall score frame; everything past it is
+    engine-independent."""
+    from pyspark.sql.window import Window
+
+    gcols = [group_field]
+    if group_sort is not None:
+        scols, gkeys, _ascs = _parse_sort(group_sort)
+        gcols = list(dict.fromkeys(gcols + [c for c in scols if c != "score"]))
+        inner_keys = [*gkeys, F.asc("doc_id")]
+    else:
+        inner_keys = [F.desc("score"), F.asc("doc_id")]
+    j = scored.join(st.select("doc_id", *gcols), "doc_id")
+    wd = Window.partitionBy(group_field).orderBy(*inner_keys)
+    ranked = j.withColumn("_dr", F.row_number().over(wd)).filter(F.col("_dr") <= docs_per_group)
+    # groups [offset, offset+k) by best score WITHOUT a global window:
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k + driver merge); _gr's row_number window then runs over <=
+    # offset+k rows, not one task sorting every group (VERDICT r3 — at
+    # 100x a high-cardinality group field made the old plan a
+    # single-task sort)
+    gtop = (
+        j.groupBy(group_field)
+        .agg(F.max("score").alias("_gscore"))
+        .orderBy(F.desc("_gscore"), F.asc(group_field))
+        .limit(group_offset + k_groups)
+        .withColumn("_gr", F.row_number().over(Window.orderBy(F.desc("_gscore"), F.asc(group_field))))
+        .filter(F.col("_gr") > group_offset)
+        .select(group_field, "_gr")
+    )
+    out = (
+        ranked.join(F.broadcast(gtop), group_field)
+        .orderBy(F.asc("_gr"), F.asc("_dr"))
+        .select(group_field, "doc_id", F.round("score", 6).alias("score"))
+    )
+    if include_ngroups:
+        ngroups = j.agg(F.countDistinct(group_field).cast("long").alias("ngroups"))
+        out = out.crossJoin(F.broadcast(ngroups))
+    return out
+
+
 def _facet_pivot_over(ids, dims, cols: list[str], min_count: int, limit):
     """Shared facet.pivot body (Solr ``facet.pivot=A,B[,C…]`` — the
     viewer's hierarchical collection drill-down): nested value counts
@@ -1829,8 +1874,6 @@ class InvertedIndex:
         over the per-group MAX score (one row per group, tiny).  At 100×
         no global sort of all matches happens: matches sort only within
         their group partition, and the global order is over groups."""
-        from pyspark.sql.window import Window
-
         st = self.stored()
         if st is None:
             raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
@@ -1839,40 +1882,8 @@ class InvertedIndex:
             # Solr fq composes with grouping too: one semi-join upstream of
             # everything (doc ranks, group selection, ngroups)
             scored = scored.join(self.fq_ids(fq), "doc_id", "left_semi")
-        gcols = [group_field]
-        if group_sort is not None:
-            scols, gkeys, _ascs = _parse_sort(group_sort)
-            gcols = list(dict.fromkeys(gcols + [c for c in scols if c != "score"]))
-            inner_keys = [*gkeys, F.asc("doc_id")]
-        else:
-            inner_keys = [F.desc("score"), F.asc("doc_id")]
-        j = scored.join(st.select("doc_id", *gcols), "doc_id")
-        wd = Window.partitionBy(group_field).orderBy(*inner_keys)
-        ranked = j.withColumn("_dr", F.row_number().over(wd)).filter(F.col("_dr") <= docs_per_group)
-        # groups [offset, offset+k) by best score WITHOUT a global window:
-        # orderBy+limit compiles to TakeOrderedAndProject (per-partition
-        # top-k + driver merge); _gr's row_number window then runs over ≤
-        # offset+k rows, not one task sorting every group (VERDICT r3 — at
-        # 100× a high-cardinality group field made the old plan a
-        # single-task sort)
-        gtop = (
-            j.groupBy(group_field)
-            .agg(F.max("score").alias("_gscore"))
-            .orderBy(F.desc("_gscore"), F.asc(group_field))
-            .limit(group_offset + k_groups)
-            .withColumn("_gr", F.row_number().over(Window.orderBy(F.desc("_gscore"), F.asc(group_field))))
-            .filter(F.col("_gr") > group_offset)
-            .select(group_field, "_gr")
-        )
-        out = (
-            ranked.join(F.broadcast(gtop), group_field)
-            .orderBy(F.asc("_gr"), F.asc("_dr"))
-            .select(group_field, "doc_id", F.round("score", 6).alias("score"))
-        )
-        if include_ngroups:
-            ngroups = j.agg(F.countDistinct(group_field).cast("long").alias("ngroups"))
-            out = out.crossJoin(F.broadcast(ngroups))
-        return out
+        return _grouped_plan(st, scored, group_field, k_groups, docs_per_group,
+                             group_sort, group_offset, include_ngroups)
 
     # -- boolean (NOT + AND-of-OR-groups) -----------------------------------
     def _boolean_parts(self, query) -> tuple[list[list[str]], list[list[str]], dict, set[str]] | None:
@@ -4898,6 +4909,35 @@ class FieldedIndex:
         for r in sorted(final, key=lambda r: (r["qid"], r["_rk"])):
             results[r["qid"]].append((r["doc_id"], r["score"]))
         return results
+
+    def search_grouped(
+        self,
+        query: str | list[tuple[str, str]],
+        group_field: str,
+        k_groups: int = 10,
+        docs_per_group: int = 2,
+        mode: str = "or",
+        group_sort: str | None = None,
+        group_offset: int = 0,
+        include_ngroups: bool = False,
+        fq: str | list[str] | None = None,
+    ) -> DataFrame:
+        """Solr result grouping on the FIELDED engine — the handler the
+        viewer's collapse-by-PI_TOPSTRUCT actually runs against.  The
+        query takes the full fielded surface (strings with AND/OR/NOT,
+        phrases, wildcards, ranges incl. dv routing — everything
+        :meth:`score_matches` scores); the grouped reduce is the SHARED
+        plan of :meth:`InvertedIndex.search_grouped` (per-group window +
+        TakeOrderedAndProject group rank + broadcast join; group_offset /
+        ngroups / group.sort identical)."""
+        st = self.stored()
+        if st is None:
+            raise ValueError("index has no stored fields (maintenance.set_stored_fields)")
+        scored = self.score_matches(query, mode=mode)
+        if fq is not None:
+            scored = scored.join(self.fq_ids(fq), "doc_id", "left_semi")
+        return _grouped_plan(st, scored, group_field, k_groups, docs_per_group,
+                             group_sort, group_offset, include_ngroups)
 
     def open_local(self) -> "LocalFieldedSearcher":
         return LocalFieldedSearcher(self)

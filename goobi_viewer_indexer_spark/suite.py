@@ -679,6 +679,24 @@ def q_fl_projection(spark, sf_dir):
                     mode="and", group_offset=5, include_ngroups=True,
                 ),
             ),
+            # fielded (round 5c): grouping on the FIELDED engine — the
+            # handler the viewer's PI_TOPSTRUCT collapse actually runs
+            # against; BM25F match set (NOT clause included), same
+            # shared grouped reduce.  Ranks use the round6 scores the
+            # fielded score frame emits.
+            (
+                "fielded",
+                f"""
+WITH scored AS ({naive_bm25.bm25f_topk_sql([("text", "table")], k=1000000, neg_filters=[("lang", "de")])}),
+j AS (SELECT s.doc_id, s.score AS score_raw, d.source FROM scored s JOIN documents d USING (doc_id)),
+dr AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score_raw DESC, doc_id ASC) AS _dr FROM j),
+gr AS (SELECT source, row_number() OVER (ORDER BY max(score_raw) DESC, source ASC) AS _gr FROM j GROUP BY source)
+SELECT d.source, d.doc_id, round(d.score_raw, 6) AS score, ng.ngroups
+FROM dr d JOIN gr USING (source)
+CROSS JOIN (SELECT CAST(count(DISTINCT source) AS BIGINT) AS ngroups FROM j) ng
+WHERE d._dr <= 2 AND gr._gr > 0 AND gr._gr <= 5
+""".strip(),
+            ),
         ],
         order="qtag ASC, source ASC, doc_id ASC",
     ),
@@ -699,6 +717,10 @@ def q_grouped(spark, sf_dir):
         ("page2", idx.search_grouped(
             ["table", "join"], "source", k_groups=3, docs_per_group=2, mode="and",
             group_offset=5, include_ngroups=True,
+        )),
+        ("fielded", _fielded_stored_index_for(spark, sf_dir).search_grouped(
+            "text:table AND -lang:de", "source", k_groups=5, docs_per_group=2,
+            include_ngroups=True,
         )),
     ]).orderBy("qtag", "source", "doc_id")
 
