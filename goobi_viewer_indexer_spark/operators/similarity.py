@@ -396,6 +396,55 @@ class IvfIndex:
             .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
         )
 
+    def query_many(self, queries: dict[str, list[float]], k: int = 10,
+                   nprobe: int = 2) -> dict[str, list[tuple[int, float]]]:
+        """Batched ANN: ONE job answers every query — the union of all
+        probed cells is scanned once (still partition-pruned to the
+        probed subset), each row scores only against the queries whose
+        probe set contains its cell (one vectorized matmul per
+        (batch, cell) slice), and the reduce is a per-qid bounded window.
+        The embedding-join amortization: N queries cost one scan of
+        their cell union instead of N scans."""
+        routes = {qid: set(self._probe_cells(v, nprobe)) for qid, v in queries.items()}
+        all_cells = sorted(set().union(*routes.values())) if routes else []
+        results: dict[str, list] = {qid: [] for qid in queries}
+        if not all_cells:
+            return results
+        qmat = {qid: np.asarray(v, dtype=np.float64) for qid, v in queries.items()}
+        qnorm = {qid: float(np.linalg.norm(v)) for qid, v in qmat.items()}
+
+        def emit(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                for cell, grp in pdf.groupby("cell"):
+                    m = np.stack([np.asarray(e, dtype=np.float64) for e in grp["embedding"]])
+                    norms = np.linalg.norm(m, axis=1)
+                    for qid, cs in routes.items():
+                        if int(cell) not in cs:
+                            continue
+                        den = norms * qnorm[qid]
+                        cos = np.where(den > 0, (m @ qmat[qid]) / np.maximum(den, 1e-30), 0.0)
+                        yield pd.DataFrame({"qid": qid, "vec_id": grp["vec_id"].values,
+                                            "cos_raw": cos})
+
+        base = self.spark.read.parquet(self.path).filter(F.col("cell").isin(all_cells))
+        scored = base.select("vec_id", "embedding", "cell").mapInPandas(
+            emit, "qid string, vec_id long, cos_raw double")
+
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        rows = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), "_rk")
+            .collect()
+        )
+        for r in sorted(rows, key=lambda r: (r["qid"], r["_rk"])):
+            results[r["qid"]].append((r["vec_id"], r["cosine"]))
+        return results
+
     def query_quantized(self, query_vec: list[float], k: int = 10, nprobe: int = 2,
                         rerank: int | None = None) -> DataFrame:
         """Two-stage SQ8 probe: (1) the approximate pass scans ONLY the

@@ -341,3 +341,17 @@ def test_unigram_logprob_truth(spark):
     assert abs(got[1] - round((math.log(p_common) + math.log(p_rare)) / 2, 6)) < 1e-6
     assert got[2] is None
     assert got[0] > got[1]
+
+
+def test_ivf_query_many_matches_per_query(spark, tmp_path):
+    """Batched ANN == per-query probes (one scan of the cell union)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ivf = similarity.IvfIndex.build(emb, str(tmp_path / "ivf_b"), n_cells=8, seed=7)
+    qids = [3, 17, 42]
+    qs = {f"q{i}": list(emb.filter(F.col("vec_id") == i).select("embedding").collect()[0][0])
+          for i in qids}
+    got = ivf.query_many(qs, k=8, nprobe=3)
+    for i in qids:
+        want = [tuple(r) for r in ivf.query(qs[f"q{i}"], k=8, nprobe=3).collect()]
+        assert got[f"q{i}"] == want, (i, got[f"q{i}"][:3], want[:3])
+    assert ivf.query_many({}, k=5) == {}
