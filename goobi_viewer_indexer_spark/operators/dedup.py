@@ -668,13 +668,37 @@ def drop_near_duplicates(
     id_col: str = "doc_id",
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    keep_by: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Keep-one-per-cluster: remove every near-dup-cluster member except
-    the canonical (min-id) one; docs in no pair pass through.  One
+    the canonical one; docs in no pair pass through.  One
     broadcast-sized anti-join against the loser set (near-dup graphs are
-    tiny relative to the corpus)."""
+    tiny relative to the corpus).
+
+    ``keep_by=None`` keeps the MIN-id member (deterministic default).
+    ``keep_by=(column, "desc"|"asc")`` keeps the member that ranks first
+    by that docs column instead (the training-pipeline shape: keep the
+    longest / highest-quality copy), ties broken by doc_id asc — one
+    extra join of the cluster members (not the corpus) onto the column
+    plus a per-component window over those members only."""
     comp = duplicate_components(pairs, id_a, id_b)
-    losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    if keep_by is None:
+        losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    else:
+        from pyspark.sql.window import Window
+
+        col, direction = keep_by
+        if direction not in ("asc", "desc"):
+            raise ValueError("keep_by direction must be 'asc' or 'desc'")
+        key = F.asc(col) if direction == "asc" else F.desc(col)
+        members = comp.join(
+            docs.select(F.col(id_col).alias("doc_id"), col), "doc_id")
+        w = Window.partitionBy("component").orderBy(key, F.asc("doc_id"))
+        losers = (
+            members.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") > 1)
+            .select("doc_id")
+        )
     return docs.join(losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
 
 

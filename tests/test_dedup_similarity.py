@@ -355,3 +355,20 @@ def test_ivf_query_many_matches_per_query(spark, tmp_path):
         want = [tuple(r) for r in ivf.query(qs[f"q{i}"], k=8, nprobe=3).collect()]
         assert got[f"q{i}"] == want, (i, got[f"q{i}"][:3], want[:3])
     assert ivf.query_many({}, k=5) == {}
+
+
+def test_drop_near_duplicates_keep_by_quality(spark):
+    # keep_by keeps the best-ranked cluster member instead of the min id
+    docs = spark.createDataFrame([
+        (0, "short", 5), (1, "longer copy", 50), (2, "longest copy here", 500),
+        (3, "unrelated", 7),
+    ], "doc_id long, text string, n_chars long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    kept = sorted(r["doc_id"] for r in dedup.drop_near_duplicates(
+        docs, pairs, keep_by=("n_chars", "desc")).collect())
+    assert kept == [2, 3]  # longest member wins; untouched doc passes
+    kept_asc = sorted(r["doc_id"] for r in dedup.drop_near_duplicates(
+        docs, pairs, keep_by=("n_chars", "asc")).collect())
+    assert kept_asc == [0, 3]
+    with pytest.raises(ValueError, match="direction"):
+        dedup.drop_near_duplicates(docs, pairs, keep_by=("n_chars", "down"))
