@@ -202,6 +202,67 @@ class AnnIndex:
             .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
         )
 
+    def query_many(self, queries: dict[str, list[float]], k: int = 10) -> dict[str, list[tuple[int, float]]]:
+        """Batched hyperplane-LSH probes — one scan of the union of every
+        query's (table, bucket) cells (see :func:`_ann_query_many`);
+        identity with per-query :meth:`query` pinned in pytest."""
+        routes = {qid: set(query_buckets(v, self.n_tables, self.n_planes, self.seed))
+                  for qid, v in queries.items()}
+        return _ann_query_many(self.spark, self.path, routes, queries, k)
+
+
+def _ann_query_many(spark, path: str, routes: dict[str, set[tuple[int, int]]],
+                    qvecs: dict[str, list[float]], k: int) -> dict[str, list[tuple[int, float]]]:
+    """Shared batched-probe body (AnnIndex.query_many): scan the union of
+    all probed (table, bucket) cells once, score each cell slice against
+    the queries probing it, dedup per (qid, vec_id) (a vector colliding
+    with a query in several tables scores once), per-qid bounded-window
+    top-k."""
+    results: dict[str, list] = {qid: [] for qid in qvecs}
+    all_cells = sorted(set().union(*routes.values())) if routes else []
+    if not all_cells:
+        return results
+    qmat = {qid: np.asarray(v, dtype=np.float64) for qid, v in qvecs.items()}
+    qnorm = {qid: float(np.linalg.norm(v)) for qid, v in qmat.items()}
+
+    def emit(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            for (t, bkt), grp in pdf.groupby(["table", "bucket"]):
+                m = np.stack([np.asarray(e, dtype=np.float64) for e in grp["embedding"]])
+                norms = np.linalg.norm(m, axis=1)
+                for qid, cs in routes.items():
+                    if (int(t), int(bkt)) not in cs:
+                        continue
+                    den = norms * qnorm[qid]
+                    cos = np.where(den > 0, (m @ qmat[qid]) / np.maximum(den, 1e-30), 0.0)
+                    yield pd.DataFrame({"qid": qid, "vec_id": grp["vec_id"].values,
+                                        "cos_raw": cos})
+
+    df = spark.read.parquet(path)
+    pred = None
+    for t, bkt in all_cells:
+        c = (F.col("table") == t) & (F.col("bucket") == bkt)
+        pred = c if pred is None else (pred | c)
+    scored = (
+        df.filter(pred).select("vec_id", "embedding", "table", "bucket")
+        .mapInPandas(emit, "qid string, vec_id long, cos_raw double")
+        .groupBy("qid", "vec_id").agg(F.max("cos_raw").alias("cos_raw"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    rows = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), "_rk")
+        .collect()
+    )
+    for r in sorted(rows, key=lambda r: (r["qid"], r["_rk"])):
+        results[r["qid"]].append((r["vec_id"], r["cosine"]))
+    return results
+
 
 def cosine_topk_lsh(
     embeddings: DataFrame,

@@ -372,3 +372,15 @@ def test_drop_near_duplicates_keep_by_quality(spark):
     assert kept_asc == [0, 3]
     with pytest.raises(ValueError, match="direction"):
         dedup.drop_near_duplicates(docs, pairs, keep_by=("n_chars", "down"))
+
+
+def test_ann_index_query_many_matches_per_query(spark, tmp_path):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    aidx = similarity.AnnIndex.build(emb, str(tmp_path / "ann_b"), dim=64, n_tables=8, n_planes=4)
+    qs = {f"q{i}": list(emb.filter(F.col("vec_id") == i).select("embedding").collect()[0][0])
+          for i in (1, 7, 23)}
+    got = aidx.query_many(qs, k=8)
+    for qid, v in qs.items():
+        want = [tuple(r) for r in aidx.query(v, k=8).collect()]
+        assert got[qid] == want, (qid, got[qid][:3], want[:3])
+    assert aidx.query_many({}, k=5) == {}
