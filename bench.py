@@ -216,6 +216,13 @@ def run_suite(spark, corpus_src: str) -> tuple[dict[str, float], dict[str, objec
         fidx_dv.search_dismax("table spark", {"text": 1.0, "lang": 2.0}, k=10, tie=0.1, fq="lang:en").collect()
 
     timed("search_dismax_2q", run_dismax)
+
+    # batched dismax: three edismax queries in ONE job (lists decoded once)
+    timed("search_dismax_many_3q", lambda: fidx_dv.search_dismax_many({
+        "a": ("table spark", {"text": 1.0, "source": 2.0}, 10, 0.3),
+        "b": ("table join window", {"text": 1.0, "lang": 2.0}, 10, 0.5, 2),
+        "c": ("scan value", {"text": 1.0}, 10, 1.0),
+    }))
     shutil.rmtree(fidx_dir, ignore_errors=True)
 
     # ---- 3. local searcher latency p50/p95 ----
@@ -277,6 +284,10 @@ def run_suite(spark, corpus_src: str) -> tuple[dict[str, float], dict[str, objec
     timed("ann_index_build", lambda: similarity.AnnIndex.build(emb, ann_dir, dim=64, n_planes=5))
     aidx = similarity.AnnIndex(spark, ann_dir, 64, n_planes=5)
     timed("ann_lsh_topk", lambda: aidx.query(list(qv), k=10).collect())
+    qv3 = {f"q{i}": list(emb.filter(F.col("vec_id") == i).select("embedding").collect()[0][0])
+           for i in (0, 7, 23)}
+    # batched probes: one scan of the cell union answers all three
+    timed("ann_lsh_batch_3q", lambda: aidx.query_many(qv3, k=10))
     shutil.rmtree(ann_dir, ignore_errors=True)
     timed("text_quality_score", lambda: text_analysis.quality_score(docs).count())
     qs = suite.queries()
