@@ -3368,8 +3368,19 @@ class FieldedIndex:
 
     def _mids_fq(self, query, mode, fq) -> DataFrame:
         """match set of ``query`` intersected with the ``fq`` filter set
-        (Solr component semantics: facets/stats apply to q ∧ fq)."""
-        ids = self.match_ids(query, mode=mode)
+        (Solr component semantics: facets/stats apply to q ∧ fq).
+
+        ``mode="dismax"`` (round 5c): faceting/stats beside an edismax
+        main query — ``query`` is ``(q, qf)`` or ``(q, qf, min_match)``
+        and membership comes from :meth:`match_ids_dismax`, so EVERY
+        facet / stats / pivot / range / interval / query method gains
+        the dismax handler through this one seam."""
+        if mode == "dismax":
+            q, qf = query[0], query[1]
+            mm = query[2] if len(query) > 2 else 1
+            ids = self.match_ids_dismax(q, qf, min_match=mm)
+        else:
+            ids = self.match_ids(query, mode=mode)
         return ids if fq is None else ids.join(self.fq_ids(fq), "doc_id", "left_semi")
 
     def fq_ids(self, fq: str | list[str]) -> DataFrame:
@@ -4372,8 +4383,6 @@ class FieldedIndex:
         every consecutive bigram/trigram window the same way (``ps2``/
         ``ps3`` default to ``ps`` like Solr); too-short queries skip
         like Solr."""
-        from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
-
         if not qf:
             raise ValueError("qf must name at least one field")
         for f in qf:
@@ -4397,13 +4406,50 @@ class FieldedIndex:
         mm = parse_mm(min_match, len(terms)) if isinstance(min_match, str) else min_match
         k = min(k, self.n_docs)
         empty = self.spark.createDataFrame([], "doc_id long, score double")
-        if not terms:
+        per_doc = self._dismax_per_doc(terms, qf, tie)
+        if per_doc is None:
             return empty
+        if fq is not None:
+            # fq filters docs whole, so joining the per-doc rows cannot
+            # skew nt term counts
+            per_doc = per_doc.join(self.fq_ids(fq), "doc_id", "left_semi")
+        scored = (
+            per_doc.filter(F.col("nt") >= mm)
+            .select("doc_id", F.round("raw", 6).alias("score"))
+        )
+        if bq is not None:
+            scored = self._apply_bq(scored, bq)
+        if bf is not None or boost is not None:
+            return _boosted_plan(self.stored(), scored, k, bf, boost, fl)
+        if fl is not None:
+            st = self.stored()
+            if st is None:
+                raise ValueError("fl= needs stored fields (maintenance.set_stored_fields)")
+            return (
+                scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                .join(st.select("doc_id", *fl), "doc_id", "left")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .select("doc_id", "score", *fl)
+            )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _dismax_per_doc(self, terms: list[str], qf: dict[str, float],
+                        tie: float) -> DataFrame | None:
+        """The dismax range kernel shared by :meth:`search_dismax` and
+        :meth:`match_ids_dismax`: per matching doc one (doc_id, raw, nt)
+        row — raw = Σ_terms DisjunctionMax over the qf fields, nt = the
+        distinct matched-term count — ALL of it computed inside the ONE
+        applyInPandas stage (range-locality; zero aggregation shuffles).
+        None = provably empty (no terms / no indexed tagged term)."""
+        from goobi_viewer_indexer_spark.operators.spimi import FIELD_SEP, tag_term
+
+        if not terms:
+            return None
         tagged = [tag_term(f, t) for t in terms for f in qf]
         stats = self.term_stats_for(tagged)
         present = [tt for tt in tagged if tt in stats]
         if not present:
-            return empty
+            return None
         meta = self.meta
         k1, b, span = meta["k1"], meta["b"], self.span
         n_docs, avgdls, fields = self.n_docs, self.avgdls, self.fields
@@ -4468,30 +4514,36 @@ class FieldedIndex:
         joined = rows.join(self._doclens, "rng")
         if self._tomb_packed is not None:
             joined = joined.join(self._tomb_packed, "rng", "left")
-        per_doc = joined.groupBy("rng").applyInPandas(emit, "doc_id long, raw double, nt long")
+        return joined.groupBy("rng").applyInPandas(emit, "doc_id long, raw double, nt long")
+
+    def match_ids_dismax(
+        self,
+        query: str | list[str],
+        qf: dict[str, float],
+        min_match: int | str = 1,
+        fq: str | list | None = None,
+    ) -> DataFrame:
+        """ALL doc_ids matching the edismax main query (≥ ``min_match``
+        distinct terms in any qf field) — the membership seam behind
+        ``mode="dismax"`` faceting/stats (Solr facets beside an edismax
+        handler count over exactly this set).  Per-range emission with NO
+        global top-k reduce (the match_ids_phrase return-all pattern —
+        a TakeOrderedAndProject sized to the match count would allocate
+        its heap up front)."""
+        if not qf:
+            raise ValueError("qf must name at least one field")
+        for f in qf:
+            if f not in self.fields:
+                raise ValueError(f"unknown field {f!r} (have {self.fields})")
+        terms = sorted(set(query if isinstance(query, list) else tokenize_py(query)))
+        mm = parse_mm(min_match, len(terms)) if isinstance(min_match, str) else min_match
+        per_doc = self._dismax_per_doc(terms, qf, 0.0)
+        if per_doc is None:
+            return self.spark.createDataFrame([], "doc_id long")
+        ids = per_doc.filter(F.col("nt") >= max(mm, 1)).select("doc_id")
         if fq is not None:
-            # fq filters docs whole, so joining the per-doc rows cannot
-            # skew nt term counts
-            per_doc = per_doc.join(self.fq_ids(fq), "doc_id", "left_semi")
-        scored = (
-            per_doc.filter(F.col("nt") >= mm)
-            .select("doc_id", F.round("raw", 6).alias("score"))
-        )
-        if bq is not None:
-            scored = self._apply_bq(scored, bq)
-        if bf is not None or boost is not None:
-            return _boosted_plan(self.stored(), scored, k, bf, boost, fl)
-        if fl is not None:
-            st = self.stored()
-            if st is None:
-                raise ValueError("fl= needs stored fields (maintenance.set_stored_fields)")
-            return (
-                scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-                .join(st.select("doc_id", *fl), "doc_id", "left")
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .select("doc_id", "score", *fl)
-            )
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            ids = ids.join(self.fq_ids(fq), "doc_id", "left_semi")
+        return ids
 
     def search_dismax_many(
         self, queries: dict[str, tuple]

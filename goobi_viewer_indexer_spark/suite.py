@@ -337,6 +337,28 @@ FROM documents
 WHERE list_contains({duckdb_tokenize_sql('text')}, 'table') AND lang IS NULL
 """.strip(),
         ),
+        # dismax_facet (round 5c): facet counts beside an edismax main
+        # query — membership = docs matching BOTH terms in ANY qf field
+        # (mm=2 over terms; UNION dedups (doc, term) so count(*) counts
+        # distinct matched terms)
+        (
+            "dismax_facet",
+            f"""
+WITH pt AS (
+  SELECT doc_id, 'table' AS t FROM documents
+  WHERE list_contains({duckdb_tokenize_sql('text')}, 'table')
+     OR list_contains({duckdb_tokenize_sql('source')}, 'table')
+  UNION
+  SELECT doc_id, 'spark' FROM documents
+  WHERE list_contains({duckdb_tokenize_sql('text')}, 'spark')
+     OR list_contains({duckdb_tokenize_sql('source')}, 'spark')
+),
+m AS (SELECT doc_id FROM pt GROUP BY doc_id HAVING count(*) >= 2)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.source HAVING count(*) >= 2
+""".strip(),
+        ),
         # interval (round 5c): Solr facet.interval — arbitrary OVERLAPPING
         # intervals (bracket grammar, open ends) as independent
         # conditional counts; 'none' pins the zero-count row
@@ -367,6 +389,9 @@ def q_facet_matrix(spark, sf_dir):
     fidx = _fielded_index_for(spark, sf_dir)
     dims = _load(spark, sf_dir, "documents").select("doc_id", "source")
     dimsl = _load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    idx2_dismax = _fielded_index_for(spark, sf_dir).facet_counts(
+        ("table spark", {"text": 1.0, "source": 2.0}, 2), dims, "source",
+        mode="dismax", min_count=2)
     return _union_tagged([
         ("contains", idx.facet_counts(["table"], dims, "source", mode="and",
                                       contains="RC2", contains_ignore_case=True, limit=5)),
@@ -382,6 +407,7 @@ def q_facet_matrix(spark, sf_dir):
                                            sort="index", limit=3, missing=True)
                           .select(F.coalesce(F.col("lang"), F.lit("~missing")).alias("source"), "n")),
         ("prefix_limit", idx.facet_counts(["table"], dims, "source", mode="and", prefix="src1", limit=5)),
+        ("dismax_facet", idx2_dismax),
         # facet.interval (round 5c): overlapping intervals over n_chars,
         # bracket grammar incl. open ends and a provably-empty interval
         ("interval", idx.facet_interval(

@@ -290,3 +290,29 @@ def test_search_dismax_many_matches_per_query(spark, fidx):
     assert got["q4"] == []
     with pytest.raises(ValueError, match="unknown field"):
         fidx.search_dismax_many({"bad": ("table", {"nosuch": 1.0}, 5)})
+
+
+def test_facets_beside_dismax(spark, fidx):
+    # mode="dismax" on the facet/stats seam: counts over exactly the
+    # edismax match set (>= mm distinct terms in any qf field)
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    dims = docs.select("doc_id", "source")
+    got = {(r["source"], r["n"]) for r in fidx.facet_counts(
+        ("table spark", QF, 2), dims, "source", mode="dismax", min_count=2).collect()}
+    members = {r["doc_id"] for r in fidx.match_ids_dismax("table spark", QF, min_match=2).collect()}
+    want = {(r["source"], r["n"]) for r in
+            docs.filter(F.col("doc_id").isin(list(members)))
+            .groupBy("source").agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 2).collect()}
+    assert got == want and got
+    # membership equals the scored path's doc set at the same mm
+    scored = {r["doc_id"] for r in
+              fidx.search_dismax("table spark", QF, k=10**6, min_match=2).collect()}
+    assert members == scored
+    # stats over the dismax set through the same seam
+    members1 = {r["doc_id"] for r in fidx.match_ids_dismax("table spark", QF).collect()}
+    st = fidx.field_stats(("table spark", QF), docs.select("doc_id", "n_chars"),
+                          "n_chars", mode="dismax")
+    assert st.collect()[0][0] == len(members1)  # stats run over exactly the dismax set
