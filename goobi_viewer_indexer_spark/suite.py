@@ -784,7 +784,9 @@ round(CASE WHEN count(v) > 1 THEN
   sqrt((sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))
         - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(v))
        / (count(v) - 1)) END, 6) AS stddev,
-list_transform(quantile_cont(v, [0.25, 0.5, 0.9]), x -> round(x, 6)) AS percentiles,
+round(quantile_cont(v, 0.25), 6) AS p25,
+round(quantile_cont(v, 0.5), 6) AS p50,
+round(quantile_cont(v, 0.9), 6) AS p90,
 CAST(count(DISTINCT v) AS BIGINT) AS cardinality
 """.strip()
 
@@ -819,12 +821,27 @@ def q_field_stats(spark, sf_dir):
     # so the DuckDB quantile_cont oracle is bit-identical on integer dims
     # cardinality (round 5b): Solr stats countDistinct — EXACT here
     # (approx_count_distinct = the HLL knob at extreme scale)
+    # r6 gate fix (VERDICT r5 #1): the r5b ARRAY `percentiles` column broke
+    # the driver's canonicalizer (pandas can't sort a list column) — the
+    # entry flattens it to scalar p25/p50/p90 on BOTH sides; the library
+    # field_stats API keeps the array.
     pct = [0.25, 0.5, 0.9]
-    g = idx.field_stats(["table", "join"], dims, "doclen", mode="and", percentiles=pct,
-                        cardinality=True)
+
+    def _flat(df):
+        return df.select(
+            *[c for c in df.columns if c not in ("percentiles", "cardinality")],
+            F.col("percentiles")[0].alias("p25"),
+            F.col("percentiles")[1].alias("p50"),
+            F.col("percentiles")[2].alias("p90"),
+            "cardinality",
+        )
+
+    g = _flat(idx.field_stats(["table", "join"], dims, "doclen", mode="and",
+                              percentiles=pct, cardinality=True))
     return _union_tagged([
-        ("by_lang", idx.field_stats(["table", "join"], dims, "doclen", mode="and",
-                                    facet_col="lang", percentiles=pct, cardinality=True)),
+        ("by_lang", _flat(idx.field_stats(["table", "join"], dims, "doclen", mode="and",
+                                          facet_col="lang", percentiles=pct,
+                                          cardinality=True))),
         ("global", g.select(F.lit("").alias("facet"), "*")),
     ]).orderBy("qtag", "facet")
 
