@@ -973,6 +973,67 @@ _BM25_COLS = [
 ]
 
 
+# -- per-index broadcast of the packed range side tables (round 6) ---------
+# Every query used to BROADCAST-HASH-JOIN the packed doclens (and
+# tombstones) onto the exploded postings rows — re-shipping the same bytes
+# and paying one extra AQE stage (side-table scan + BroadcastExchange) per
+# query job.  While the packed tables fit the broadcast budget, a
+# once-per-index ``sc.broadcast`` of {rng: (base, doclens, deleted)} is
+# strictly better: the same data crosses the wire once per executor and is
+# reused by every subsequent query (guide §2.4 — remove shuffles/exchanges
+# outright; §4.5 — heavyweight state once, not per job).  Beyond the
+# budget (``SPARK_GRAFT_DOCLENS_BC_MB``, default 256 — doclens are 4
+# bytes/doc/field) the join path below stays, byte-identical.
+
+def _rng_ctx(bc, pdf, rng):
+    """(base, doclens, deleted) for one range group — from the per-index
+    broadcast when present, else from the joined side-table columns.
+    Returns None when the range has no doclens row (the inner join would
+    have dropped it)."""
+    if bc is not None:
+        ent = bc.value.get(rng)
+        if ent is None:
+            return None
+        base, lens_b, del_b = ent
+        deleted = np.frombuffer(del_b, dtype=np.int64) if del_b is not None else None
+        return base, np.frombuffer(lens_b, dtype=np.int32), deleted
+    deleted = None
+    if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
+        deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+    return int(pdf["base"].iloc[0]), np.frombuffer(pdf["doclens"].iloc[0], dtype=np.int32), deleted
+
+
+def _rng_deleted(bc, pdf, rng):
+    """Tombstone array for one range group (match-only kernels — no
+    doclens): broadcast when present, else the left-joined column."""
+    if bc is not None:
+        ent = bc.value.get(rng)
+        if ent is not None and ent[2] is not None:
+            return np.frombuffer(ent[2], dtype=np.int64)
+        return None
+    if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
+        return np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+    return None
+
+
+def _rng_ctx_fielded(bc, pdf, rng, fields):
+    """(base, {field: doclens}, deleted) for one range group (fielded
+    engine) — broadcast when present, else the joined side-table columns;
+    None when the range has no doclens row (inner-join drop)."""
+    if bc is not None:
+        ent = bc.value.get(rng)
+        if ent is None:
+            return None
+        base, lens_t, del_b = ent
+        deleted = np.frombuffer(del_b, dtype=np.int64) if del_b is not None else None
+        return base, {f: np.frombuffer(lens_t[i], dtype=np.int32) for i, f in enumerate(fields)}, deleted
+    deleted = None
+    if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
+        deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+    base = int(pdf["base"].iloc[0])
+    return base, {f: np.frombuffer(pdf[f"doclens_{f}"].iloc[0], dtype=np.int32) for f in fields}, deleted
+
+
 class InvertedIndex:
     """A SNAPSHOT handle: table paths resolve through the generation
     pointer (txn.table_path / current.json) at construction, so concurrent
@@ -1028,6 +1089,43 @@ class InvertedIndex:
 
         return _txn.current_rev(self.dir) != self.rev
 
+    def _rng_broadcast(self):
+        """Once-per-index broadcast of the packed doclens + tombstones
+        keyed by rng (see the module note above :func:`_rng_ctx`), lazily
+        built at first query; ``None`` when the corpus exceeds the
+        broadcast budget (the per-query join path — the 100 TB shape)."""
+        import os
+
+        bc = getattr(self, "_dl_bc", None)
+        if bc is not None:
+            return bc if bc is not False else None
+        cap = float(os.environ.get("SPARK_GRAFT_DOCLENS_BC_MB", "256")) * 1e6
+        if self.meta["n_docs"] * 4 > cap:
+            self._dl_bc = False
+            return None
+        tomb = {}
+        if self._tomb_packed is not None:
+            tomb = {int(r["rng"]): bytes(r["deleted"]) for r in self._tomb_packed.collect()}
+        self._dl_bc = self.spark.sparkContext.broadcast({
+            int(r["rng"]): (int(r["base"]), bytes(r["doclens"]), tomb.get(int(r["rng"])))
+            for r in self._doclens.collect()
+        })
+        return self._dl_bc
+
+    def _attach_rng_side(self, rows: DataFrame, doclens: bool = True):
+        """(kernel_input, bc): join the packed side tables when the
+        broadcast budget is exceeded, else pass rows through untouched
+        and hand the kernel the per-index broadcast."""
+        bc = self._rng_broadcast()
+        if bc is not None:
+            return rows, bc
+        joined = rows.join(self._doclens, "rng") if doclens else rows
+        if self._tomb_packed is not None:
+            joined = joined.join(self._tomb_packed, "rng", "left")
+        elif not doclens:
+            joined = joined.withColumn("deleted", F.lit(None).cast("binary"))
+        return joined, None
+
     def _buckets_of(self, terms: list[str]) -> list[int]:
         # driver-side Murmur3 identical to Spark's hash(): bucket routing
         # without launching a job (tests/test_spark_hash.py pins parity)
@@ -1048,9 +1146,29 @@ class InvertedIndex:
         return df
 
     def term_stats_for(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        bks = self._buckets_of(terms)
-        rows = self._term_stats.filter(F.col("bucket").isin(bks) & F.col("term").isin(terms)).collect()
-        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+        """Exact (df, cf) per indexed term — bucket-pruned point lookups,
+        MEMOIZED per index handle (round 6): this is a snapshot reader, so
+        stats are immutable for its lifetime, and query logs repeat terms
+        — the memo turns the per-query stats job into a dict lookup
+        (absent terms are memoized too).  Expansion scans
+        (:meth:`expand_fuzzy` / :meth:`expand_prefix` / :meth:`expand_range`)
+        pre-populate it, so e.g. a fuzzy search pays ONE dictionary probe
+        job instead of two."""
+        memo = getattr(self, "_stats_memo", None)
+        if memo is None:
+            memo = self._stats_memo = {}
+        missing = [t for t in terms if t not in memo]
+        if missing:
+            bks = self._buckets_of(missing)
+            rows = self._term_stats.filter(
+                F.col("bucket").isin(bks) & F.col("term").isin(missing)
+            ).collect()
+            found = {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+            if len(memo) > 4_000_000:  # long-lived-service guard
+                memo.clear()
+            for t in missing:
+                memo[t] = found.get(t)
+        return {t: memo[t] for t in terms if memo[t] is not None}
 
     # -- distributed search ------------------------------------------------
     def stored(self) -> DataFrame | None:
@@ -1313,35 +1431,32 @@ class InvertedIndex:
                 )
             ),
         )
-        dl = self._doclens
+        joined, bc = self._attach_rng_side(rows)
 
         def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": np.int64, "score": np.float64}
+            )
             if len(pdf) == 0:
-                return pd.DataFrame({"doc_id": [], "score": []}).astype({"doc_id": np.int64, "score": np.float64})
+                return empty
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * span, (rng + 1) * span - 1
-            base = int(pdf["base"].iloc[0])
-            lens = np.frombuffer(pdf["doclens"].iloc[0], dtype=np.int32)
-            deleted = None
-            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
-                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            ctx = _rng_ctx(bc, pdf, rng)
+            if ctx is None:
+                return empty
+            base, lens, deleted = ctx
             lists = [
                 _mk_termlist(row, idfs[row["term"]], stats[row["term"]][0])
                 for row in pdf.to_dict("records")
             ]
             if mode == "and" and len(lists) < n_terms:
-                return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                    {"doc_id": np.int64, "score": np.float64}
-                )
+                return empty
             docs, scores = wand.score_topk(
                 lists, wand.DenseDoclens(base, lens), avgdl, k1, b, k, mode, lo, hi,
                 deleted=deleted, ub_scale=ub_scale, after=after, min_match=min_match,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        joined = rows.join(dl, "rng")
-        if self._tomb_packed is not None:
-            joined = joined.join(self._tomb_packed, "rng", "left")
         local_topk = joined.groupBy("rng").applyInPandas(score_range, "doc_id long, score double")
         return (
             local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1432,25 +1547,20 @@ class InvertedIndex:
             ),
         )
 
+        joined, bc = self._attach_rng_side(rows, doclens=False)
+
         def match_range(pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) == 0:
                 return pd.DataFrame({"doc_id": []}).astype({"doc_id": np.int64})
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * span, (rng + 1) * span - 1
-            deleted = None
-            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
-                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            deleted = _rng_deleted(bc, pdf, rng)
             lists = [_mk_termlist(row, 0.0, dfs[row["term"]]) for row in pdf.to_dict("records")]
             if mode == "and" and len(lists) < n_terms:
                 return pd.DataFrame({"doc_id": []}).astype({"doc_id": np.int64})
             docs = wand.match_docs(lists, mode, lo, hi, deleted=deleted)
             return pd.DataFrame({"doc_id": docs})
 
-        joined = rows
-        if self._tomb_packed is not None:
-            joined = joined.join(self._tomb_packed, "rng", "left")
-        else:
-            joined = joined.withColumn("deleted", F.lit(None).cast("binary"))
         return joined.groupBy("rng").applyInPandas(match_range, "doc_id long")
 
     # -- prefix (wildcard) queries -------------------------------------------
@@ -1470,12 +1580,17 @@ class InvertedIndex:
         rows = (
             self._term_stats
             .filter((F.col("term") >= prefix) & (F.col("term") < hi))
-            .select("term")
+            .select("term", "df", "cf")
             .limit(max_expansions + 1)
             .collect()
         )
         if len(rows) > max_expansions:
             raise ValueError(f"prefix {prefix!r} expands to > {max_expansions} terms")
+        memo = getattr(self, "_stats_memo", None)
+        if memo is None:
+            memo = self._stats_memo = {}
+        for r in rows:  # positive entries only: the scan proves presence
+            memo.setdefault(r["term"], (int(r["df"]), int(r["cf"])))
         return sorted(r["term"] for r in rows)
 
     def search_prefix(self, prefix: str, k: int = 10, max_expansions: int = 1024) -> DataFrame:
@@ -1525,15 +1640,20 @@ class InvertedIndex:
                 cond = cond & (body >= ilo)
             if ihi is not None:
                 cond = cond & (body <= ihi)
-            rows = base.filter(cond).select("term").limit(max_expansions + 1).collect()
+            rows = base.filter(cond).select("term", "df", "cf").limit(max_expansions + 1).collect()
         else:
             if nlo is not None:
                 base = base.filter(F.col("term") >= nlo)
             if nhi is not None:
                 base = base.filter(F.col("term") <= nhi)
-            rows = base.select("term").limit(max_expansions + 1).collect()
+            rows = base.select("term", "df", "cf").limit(max_expansions + 1).collect()
         if len(rows) > max_expansions:
             raise ValueError(f"range [{lo} TO {hi}] expands to > {max_expansions} terms")
+        memo = getattr(self, "_stats_memo", None)
+        if memo is None:
+            memo = self._stats_memo = {}
+        for r in rows:  # positive entries only: the scan proves presence
+            memo.setdefault(r["term"], (int(r["df"]), int(r["cf"])))
         return sorted(r["term"] for r in rows)
 
     # -- fuzzy terms (Solr term~1) -------------------------------------------
@@ -1555,10 +1675,18 @@ class InvertedIndex:
         rows = (
             self._term_stats
             .filter(F.col("bucket").isin(self._buckets_of(probes)) & F.col("term").isin(probes))
-            .select("term")
+            .select("term", "df", "cf")
             .collect()
         )
-        terms = sorted(r["term"] for r in rows)
+        # exact IN probe = full knowledge: memoize hits AND misses so the
+        # following search() pays no second stats job (round 6)
+        memo = getattr(self, "_stats_memo", None)
+        if memo is None:
+            memo = self._stats_memo = {}
+        found = {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+        for p in probes:
+            memo.setdefault(p, found.get(p))
+        terms = sorted(found)
         if len(terms) > max_expansions:
             raise ValueError(f"fuzzy {term!r}~1 expands to {len(terms)} terms (> {max_expansions})")
         return terms
@@ -1809,17 +1937,18 @@ class InvertedIndex:
             ),
         )
 
+        joined, bc = self._attach_rng_side(rows)
+
         def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
             emptypdf = pd.DataFrame({"doc_id": [], "score": []}).astype({"doc_id": np.int64, "score": np.float64})
             if len(pdf) == 0:
                 return emptypdf
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * span, (rng + 1) * span - 1
-            base = int(pdf["base"].iloc[0])
-            lens = np.frombuffer(pdf["doclens"].iloc[0], dtype=np.int32)
-            deleted = None
-            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
-                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            ctx = _rng_ctx(bc, pdf, rng)
+            if ctx is None:
+                return emptypdf
+            base, lens, deleted = ctx
             lists = [
                 _mk_termlist(row, idfs[row["term"]], stats[row["term"]][0])
                 for row in pdf.to_dict("records")
@@ -1833,9 +1962,6 @@ class InvertedIndex:
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        joined = rows.join(self._doclens, "rng")
-        if self._tomb_packed is not None:
-            joined = joined.join(self._tomb_packed, "rng", "left")
         return joined.groupBy("rng").applyInPandas(score_range, "doc_id long, score double")
 
     def search_grouped(
@@ -1937,17 +2063,18 @@ class InvertedIndex:
             ),
         )
 
+        joined, bc = self._attach_rng_side(rows)
+
         def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
             emptypdf = pd.DataFrame({"doc_id": [], "score": []}).astype({"doc_id": np.int64, "score": np.float64})
             if len(pdf) == 0:
                 return emptypdf
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * span, (rng + 1) * span - 1
-            base = int(pdf["base"].iloc[0])
-            lens = np.frombuffer(pdf["doclens"].iloc[0], dtype=np.int32)
-            deleted = None
-            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
-                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            ctx = _rng_ctx(bc, pdf, rng)
+            if ctx is None:
+                return emptypdf
+            base, lens, deleted = ctx
             by_term = {
                 row["term"]: _mk_termlist(row, idfs.get(row["term"], 0.0), stats[row["term"]][0])
                 for row in pdf.to_dict("records")
@@ -1968,9 +2095,6 @@ class InvertedIndex:
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        joined = rows.join(self._doclens, "rng")
-        if self._tomb_packed is not None:
-            joined = joined.join(self._tomb_packed, "rng", "left")
         local_topk = joined.groupBy("rng").applyInPandas(score_range, "doc_id long, score double")
         return (
             local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1997,15 +2121,15 @@ class InvertedIndex:
             ),
         )
 
+        joined, bc = self._attach_rng_side(rows, doclens=False)
+
         def match_range(pdf: pd.DataFrame) -> pd.DataFrame:
             emptypdf = pd.DataFrame({"doc_id": []}).astype({"doc_id": np.int64})
             if len(pdf) == 0:
                 return emptypdf
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * span, (rng + 1) * span - 1
-            deleted = None
-            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
-                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            deleted = _rng_deleted(bc, pdf, rng)
             by_term = {row["term"]: _mk_termlist(row, 0.0, dfs[row["term"]]) for row in pdf.to_dict("records")}
             groups_tl = []
             for g in pos_groups:
@@ -2018,11 +2142,6 @@ class InvertedIndex:
             docs = wand.match_docs_boolean(groups_tl, negs_tl, lo, hi, deleted=deleted)
             return pd.DataFrame({"doc_id": docs})
 
-        joined = rows
-        if self._tomb_packed is not None:
-            joined = joined.join(self._tomb_packed, "rng", "left")
-        else:
-            joined = joined.withColumn("deleted", F.lit(None).cast("binary"))
         return joined.groupBy("rng").applyInPandas(match_range, "doc_id long")
 
     def facet_counts(
@@ -2224,17 +2343,18 @@ class InvertedIndex:
             ),
         )
 
+        joined, bc = self._attach_rng_side(rows)
+
         def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
             emptypdf = pd.DataFrame({"doc_id": [], "score": []}).astype({"doc_id": np.int64, "score": np.float64})
             if len(pdf) == 0:
                 return emptypdf
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * span, (rng + 1) * span - 1
-            base = int(pdf["base"].iloc[0])
-            lens = np.frombuffer(pdf["doclens"].iloc[0], dtype=np.int32)
-            deleted = None
-            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
-                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            ctx = _rng_ctx(bc, pdf, rng)
+            if ctx is None:
+                return emptypdf
+            base, lens, deleted = ctx
             by_term = {
                 row["term"]: _mk_termlist(row, idfs[row["term"]], stats[row["term"]][0])
                 for row in pdf.to_dict("records")
@@ -2249,9 +2369,6 @@ class InvertedIndex:
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        joined = rows.join(self._doclens, "rng")
-        if self._tomb_packed is not None:
-            joined = joined.join(self._tomb_packed, "rng", "left")
         return joined.groupBy("rng").applyInPandas(score_range, "doc_id long, score double")
 
     def search_many(self, queries: dict[str, tuple[list[str] | str, str, int]]) -> dict[str, list[tuple[int, float]]]:
@@ -2355,17 +2472,17 @@ class InvertedIndex:
         )
 
         def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            emptypdf = pd.DataFrame({"qid": [], "doc_id": [], "score": []}).astype(
+                {"qid": str, "doc_id": np.int64, "score": np.float64}
+            )
             if len(pdf) == 0:
-                return pd.DataFrame({"qid": [], "doc_id": [], "score": []}).astype(
-                    {"qid": str, "doc_id": np.int64, "score": np.float64}
-                )
+                return emptypdf
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * span, (rng + 1) * span - 1
-            base = int(pdf["base"].iloc[0])
-            lens = np.frombuffer(pdf["doclens"].iloc[0], dtype=np.int32)
-            deleted = None
-            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
-                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            ctx = _rng_ctx(bc, pdf, rng)
+            if ctx is None:
+                return emptypdf
+            base, lens, deleted = ctx
             by_term = {}
             for row in pdf.to_dict("records"):
                 by_term[row["term"]] = _mk_termlist(row, idfs[row["term"]], stats[row["term"]][0])
@@ -2428,9 +2545,7 @@ class InvertedIndex:
                 {"qid": str, "doc_id": np.int64, "score": np.float64}
             )
 
-        joined = rows.join(self._doclens, "rng")
-        if self._tomb_packed is not None:
-            joined = joined.join(self._tomb_packed, "rng", "left")
+        joined, bc = self._attach_rng_side(rows)
         local_topk = joined.groupBy("rng").applyInPandas(score_range, "qid string, doc_id long, score double")
 
         from pyspark.sql.window import Window
@@ -3091,6 +3206,46 @@ class FieldedIndex:
 
         return _txn.current_rev(self.dir) != self.rev
 
+    def _rng_broadcast(self):
+        """Once-per-index broadcast of the packed per-field doclens +
+        tombstones keyed by rng (see the module note above
+        :func:`_rng_ctx`), lazily built at first query; ``None`` when the
+        corpus exceeds the broadcast budget (the per-query join path)."""
+        import os
+
+        bc = getattr(self, "_dl_bc", None)
+        if bc is not None:
+            return bc if bc is not False else None
+        cap = float(os.environ.get("SPARK_GRAFT_DOCLENS_BC_MB", "256")) * 1e6
+        if self.meta["n_docs"] * 4 * max(1, len(self.fields)) > cap:
+            self._dl_bc = False
+            return None
+        tomb = {}
+        if self._tomb_packed is not None:
+            tomb = {int(r["rng"]): bytes(r["deleted"]) for r in self._tomb_packed.collect()}
+        fields = self.fields
+        self._dl_bc = self.spark.sparkContext.broadcast({
+            int(r["rng"]): (
+                int(r["base"]),
+                tuple(bytes(r[f"doclens_{f}"]) for f in fields),
+                tomb.get(int(r["rng"])),
+            )
+            for r in self._doclens.collect()
+        })
+        return self._dl_bc
+
+    def _attach_rng_side(self, rows: DataFrame, doclens: bool = True):
+        """(kernel_input, bc): join the packed side tables when the
+        broadcast budget is exceeded, else pass rows through untouched
+        and hand the kernel the per-index broadcast."""
+        bc = self._rng_broadcast()
+        if bc is not None:
+            return rows, bc
+        joined = rows.join(self._doclens, "rng") if doclens else rows
+        if self._tomb_packed is not None:
+            joined = joined.join(self._tomb_packed, "rng", "left")
+        return joined, None
+
     # -- doc-values range routing (round 5) --------------------------------
     def _split_dv(self, query, mode):
         """Split a string query's range clauses between dictionary
@@ -3292,9 +3447,23 @@ class FieldedIndex:
         return sorted({bucket_of(t, nb) for t in tagged})
 
     def term_stats_for(self, tagged: list[str]) -> dict[str, tuple[int, int]]:
-        bks = self._buckets_of(tagged)
-        rows = self._term_stats.filter(F.col("bucket").isin(bks) & F.col("term").isin(tagged)).collect()
-        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+        """Exact (df, cf) per tagged term — MEMOIZED per snapshot handle
+        (round 6, same contract as :meth:`InvertedIndex.term_stats_for`)."""
+        memo = getattr(self, "_stats_memo", None)
+        if memo is None:
+            memo = self._stats_memo = {}
+        missing = [t for t in tagged if t not in memo]
+        if missing:
+            bks = self._buckets_of(missing)
+            rows = self._term_stats.filter(
+                F.col("bucket").isin(bks) & F.col("term").isin(missing)
+            ).collect()
+            found = {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+            if len(memo) > 4_000_000:  # long-lived-service guard
+                memo.clear()
+            for t in missing:
+                memo[t] = found.get(t)
+        return {t: memo[t] for t in tagged if memo[t] is not None}
 
     def stored(self) -> DataFrame | None:
         """The stored-fields side table (maintenance.set_stored_fields) —
@@ -3449,15 +3618,15 @@ class FieldedIndex:
             ),
         )
 
+        joined, bc = self._attach_rng_side(rows, doclens=False)
+
         def match_range(pdf: pd.DataFrame) -> pd.DataFrame:
             emptypdf = pd.DataFrame({"doc_id": []}).astype({"doc_id": np.int64})
             if len(pdf) == 0:
                 return emptypdf
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * span, (rng + 1) * span - 1
-            deleted = None
-            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
-                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
+            deleted = _rng_deleted(bc, pdf, rng)
             by_term = {
                 row["term"]: _mk_termlist(row, 0.0, dfs_by_term[row["term"]])
                 for row in pdf.to_dict("records")
@@ -3483,9 +3652,6 @@ class FieldedIndex:
             )
             return pd.DataFrame({"doc_id": docs})
 
-        joined = rows
-        if self._tomb_packed is not None:
-            joined = joined.join(self._tomb_packed, "rng", "left")
         return joined.groupBy("rng").applyInPandas(match_range, "doc_id long")
 
     def expand_prefix(self, field: str, prefix: str, max_expansions: int = 1024) -> list[str]:
@@ -4001,6 +4167,7 @@ class FieldedIndex:
             ),
         )
         pos_groups = phrase_groups
+        joined, bc = self._attach_rng_side(rows)
 
         def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
             emptypdf = pd.DataFrame({"doc_id": [], "score": []}).astype({"doc_id": np.int64, "score": np.float64})
@@ -4008,14 +4175,13 @@ class FieldedIndex:
                 return emptypdf
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * span, (rng + 1) * span - 1
-            base = int(pdf["base"].iloc[0])
+            ctx = _rng_ctx_fielded(bc, pdf, rng, fields)
+            if ctx is None:
+                return emptypdf
+            base, lens_by_field, deleted = ctx
             dl_by_field = {
-                f: wand.DenseDoclens(base, np.frombuffer(pdf[f"doclens_{f}"].iloc[0], dtype=np.int32))
-                for f in fields
+                f: wand.DenseDoclens(base, lens_by_field[f]) for f in fields
             }
-            deleted = None
-            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
-                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
             by_term = {}
             for row in pdf.to_dict("records"):
                 t = row["term"]
@@ -4067,9 +4233,6 @@ class FieldedIndex:
                 )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        joined = rows.join(self._doclens, "rng")
-        if self._tomb_packed is not None:
-            joined = joined.join(self._tomb_packed, "rng", "left")
         local_topk = joined.groupBy("rng").applyInPandas(score_range, "doc_id long, score double")
         if return_all:
             # per-range recall is already total (kk = range width) and the
@@ -4462,6 +4625,8 @@ class FieldedIndex:
             ),
         )
 
+        joined, bc = self._attach_rng_side(rows)
+
         def emit(pdf: pd.DataFrame) -> pd.DataFrame:
             eo = pd.DataFrame({"doc_id": [], "raw": [], "nt": []}).astype(
                 {"doc_id": np.int64, "raw": np.float64, "nt": np.int64})
@@ -4469,14 +4634,13 @@ class FieldedIndex:
                 return eo
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * span, (rng + 1) * span - 1
-            base = int(pdf["base"].iloc[0])
+            ctx = _rng_ctx_fielded(bc, pdf, rng, fields)
+            if ctx is None:
+                return eo
+            base, lens_by_field, deleted = ctx
             dl_by_field = {
-                f: wand.DenseDoclens(base, np.frombuffer(pdf[f"doclens_{f}"].iloc[0], dtype=np.int32))
-                for f in fields
+                f: wand.DenseDoclens(base, lens_by_field[f]) for f in fields
             }
-            deleted = None
-            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
-                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
             by_term: dict[str, list] = {}
             for row in pdf.to_dict("records"):
                 by_term.setdefault(row["term"].split(FIELD_SEP, 1)[1], []).append(row)
@@ -4511,9 +4675,6 @@ class FieldedIndex:
                 return eo
             return pd.DataFrame({"doc_id": li + lo, "raw": raw[li], "nt": cnt[li]})
 
-        joined = rows.join(self._doclens, "rng")
-        if self._tomb_packed is not None:
-            joined = joined.join(self._tomb_packed, "rng", "left")
         return joined.groupBy("rng").applyInPandas(emit, "doc_id long, raw double, nt long")
 
     def match_ids_dismax(
@@ -4602,6 +4763,8 @@ class FieldedIndex:
             ),
         )
 
+        joined, bc = self._attach_rng_side(rows)
+
         def emit(pdf: pd.DataFrame) -> pd.DataFrame:
             eo = pd.DataFrame({"qid": [], "doc_id": [], "raw": [], "nt": []}).astype(
                 {"qid": str, "doc_id": np.int64, "raw": np.float64, "nt": np.int64})
@@ -4609,14 +4772,13 @@ class FieldedIndex:
                 return eo
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * span, (rng + 1) * span - 1
-            base = int(pdf["base"].iloc[0])
+            ctx = _rng_ctx_fielded(bc, pdf, rng, fields)
+            if ctx is None:
+                return eo
+            base, lens_by_field, deleted = ctx
             dl_by_field = {
-                f: wand.DenseDoclens(base, np.frombuffer(pdf[f"doclens_{f}"].iloc[0], dtype=np.int32))
-                for f in fields
+                f: wand.DenseDoclens(base, lens_by_field[f]) for f in fields
             }
-            deleted = None
-            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
-                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
             # decode + saturate each list ONCE (idf=1.0 is an exact float
             # identity), shared across all queries referencing the term
             cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -4663,9 +4825,6 @@ class FieldedIndex:
                 {"qid": str, "doc_id": np.int64, "raw": np.float64, "nt": np.int64}
             ) if out else eo
 
-        joined = rows.join(self._doclens, "rng")
-        if self._tomb_packed is not None:
-            joined = joined.join(self._tomb_packed, "rng", "left")
         per_doc = joined.groupBy("rng").applyInPandas(
             emit, "qid string, doc_id long, raw double, nt long")
 
@@ -4854,6 +5013,8 @@ class FieldedIndex:
             ),
         )
 
+        joined, bc = self._attach_rng_side(rows)
+
         def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
             emptypdf = pd.DataFrame({"qid": [], "doc_id": [], "score": []}).astype(
                 {"qid": str, "doc_id": np.int64, "score": np.float64}
@@ -4862,14 +5023,13 @@ class FieldedIndex:
                 return emptypdf
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * span, (rng + 1) * span - 1
-            base = int(pdf["base"].iloc[0])
+            ctx = _rng_ctx_fielded(bc, pdf, rng, fields)
+            if ctx is None:
+                return emptypdf
+            base, lens_by_field, deleted = ctx
             dl_by_field = {
-                f: wand.DenseDoclens(base, np.frombuffer(pdf[f"doclens_{f}"].iloc[0], dtype=np.int32))
-                for f in fields
+                f: wand.DenseDoclens(base, lens_by_field[f]) for f in fields
             }
-            deleted = None
-            if "deleted" in pdf.columns and pdf["deleted"].iloc[0] is not None:
-                deleted = np.frombuffer(pdf["deleted"].iloc[0], dtype=np.int64)
             by_term = {}
             for row in pdf.to_dict("records"):
                 t = row["term"]
@@ -4939,9 +5099,6 @@ class FieldedIndex:
                 {"qid": str, "doc_id": np.int64, "score": np.float64}
             )
 
-        joined = rows.join(self._doclens, "rng")
-        if self._tomb_packed is not None:
-            joined = joined.join(self._tomb_packed, "rng", "left")
         local_topk = joined.groupBy("rng").applyInPandas(score_range, "qid string, doc_id long, score double")
 
         from pyspark.sql.window import Window
