@@ -508,9 +508,15 @@ def ngram_jaccard_pairs(
     exact verifier / small-domain tool (reference analog: the
     GroupedMetadata equality dedup is exact too,
     MetadataHelper.java:1339-1398)."""
+    # round 6: the per-doc set size rides THROUGH the explode (one int per
+    # exploded row) instead of living in a separate `sizes` branch — the
+    # old shape evaluated the shingle pandas-UDF over the full corpus once
+    # per branch reference (explode side a, explode side b, na join, nb
+    # join = FOUR full passes; Catalyst does no cross-branch CSE through
+    # joins).  Carrying n costs 4 bytes/row in the self-join shuffle and
+    # halves the UDF passes and drops two joins (guide §2.3/§2.4).
     sh = docs.select(F.col(id_col).alias("doc_id"), shingles_pandas(F.col(text_col)).alias("sh"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n")).filter(F.col("n") > 0)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     if max_shingle_df is not None:
         keep = (
             ex.groupBy("s").agg(F.count("*").alias("df"))
@@ -522,13 +528,10 @@ def ngram_jaccard_pairs(
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
+        .agg(F.count("*").alias("i"), F.first("a.n").alias("na"), F.first("b.n").alias("nb"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
-        inter.join(na, "doc_a").join(nb, "doc_b")
-        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        inter.withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -749,13 +752,16 @@ def cross_ngram_overlap(
     by nature; Spark broadcasts it when it fits."""
     if metric not in ("containment", "jaccard"):
         raise ValueError("metric must be 'containment' or 'jaccard'")
+    # round 6: per-doc set sizes ride through the explode (see
+    # :func:`ngram_jaccard_pairs`) — the old `na`/`nb` join branches each
+    # re-evaluated the shingle pandas-UDF over their whole corpus (the
+    # corpus side twice = the dominant cost of a decontamination scan);
+    # now each side computes shingles ONCE and two joins disappear.
     sha = corpus.select(F.col(id_col).alias("doc_id"),
                         shingles_pandas(F.col(text_col)).alias("sh"))
     shb = benchmark.select(F.col(bench_id_col).alias("bench_id"),
                            shingles_pandas(F.col(bench_text_col)).alias("sh"))
-    na = sha.select("doc_id", F.size("sh").alias("na")).filter(F.col("na") > 0)
-    nb = shb.select("bench_id", F.size("sh").alias("nb")).filter(F.col("nb") > 0)
-    ex_a = sha.select("doc_id", F.explode("sh").alias("s"))
+    ex_a = sha.select("doc_id", F.size("sh").alias("na"), F.explode("sh").alias("s"))
     if max_shingle_df is not None:
         keep = (
             ex_a.groupBy("s").agg(F.count("*").alias("df"))
@@ -763,13 +769,12 @@ def cross_ngram_overlap(
             .select("s")
         )
         ex_a = ex_a.join(keep, "s", "left_semi")
-    ex_b = shb.select("bench_id", F.explode("sh").alias("s"))
-    inter = (
+    ex_b = shb.select("bench_id", F.size("sh").alias("nb"), F.explode("sh").alias("s"))
+    out = (
         ex_a.join(ex_b, "s")
         .groupBy("doc_id", "bench_id")
-        .agg(F.count("*").alias("i"))
+        .agg(F.count("*").alias("i"), F.first("na").alias("na"), F.first("nb").alias("nb"))
     )
-    out = inter.join(na, "doc_id").join(nb, "bench_id")
     if metric == "containment":
         score = F.col("i") / F.col("nb")
     else:
