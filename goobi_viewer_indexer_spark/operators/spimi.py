@@ -93,28 +93,48 @@ def _encode_flat_tokens(flat_terms, flat_docs, flat_dl, flat_pos, avgdl, seg, cf
     field's avgdl)."""
     # stable sort by term only: the flat layout is already (doc asc, pos
     # asc), so after the stable sort each (term, doc) run keeps ascending
-    # positions — exactly the layout encode_many's position stream needs
-    order = pd.Series(flat_terms).sort_values(kind="stable").index.to_numpy()
+    # positions — exactly the layout encode_many's position stream needs.
+    # Round 6: sorting the token stream as PyObject strings was the
+    # kernel's hot spot (~hundreds of thousands of string comparisons per
+    # segment).  Dictionary-encode to int codes, rank the (small)
+    # vocabulary by the SAME PyObject comparison np used before, and
+    # stable-sort the int keys — identical order, so the encoded bytes
+    # are unchanged.  NOT pd.factorize: its str hashtable hashes via C
+    # strings and truncates at embedded NULs, colliding the fielded
+    # engine's "field\x00term" keys (observed: 2 uniques for a whole
+    # segment); the dict loop is binary-safe.
+    code_of: dict = {}
+    codes = np.empty(flat_terms.size, dtype=np.int64)
+    for i, t in enumerate(flat_terms):
+        codes[i] = code_of.setdefault(t, len(code_of))
+    uniques = np.empty(len(code_of), dtype=object)
+    uniques[:] = list(code_of)
+    rank = np.empty(len(uniques), dtype=np.int64)
+    rank[np.argsort(uniques)] = np.arange(len(uniques))
+    key = rank[codes]
+    order = np.argsort(key, kind="stable")
     terms_all = flat_terms[order]
+    key_all = key[order]
     docs_all = flat_docs[order]
     dls_all = flat_dl[order]
     pos_all = flat_pos[order]
     avg_all = avgdl[order] if isinstance(avgdl, np.ndarray) else avgdl
 
-    # posting boundaries: (term, doc) changes
+    # posting boundaries: (term, doc) changes — int compares on the codes
     n = terms_all.size
     newpost = np.ones(n, dtype=bool)
-    newpost[1:] = (terms_all[1:] != terms_all[:-1]) | (docs_all[1:] != docs_all[:-1])
+    newpost[1:] = (key_all[1:] != key_all[:-1]) | (docs_all[1:] != docs_all[:-1])
     pstarts = np.flatnonzero(newpost)
     tfs = np.diff(np.append(pstarts, n)).astype(np.int64)
     terms = terms_all[pstarts]
+    keyp = key_all[pstarts]
     docs = docs_all[pstarts]
     dls = dls_all[pstarts]
     avgs = avg_all[pstarts] if isinstance(avg_all, np.ndarray) else avg_all
 
     # term run boundaries (terms sorted)
     newterm = np.ones(len(terms), dtype=bool)
-    newterm[1:] = terms[1:] != terms[:-1]
+    newterm[1:] = keyp[1:] != keyp[:-1]
     starts = np.flatnonzero(newterm)
 
     w = codec.bm25_weight(tfs, dls, avgs, cfg.k1, cfg.b)

@@ -301,14 +301,19 @@ def build_index(
             batch_docs = docs_seg.filter((F.col("seg") >= lo) & (F.col("seg") < hi))
             partials = spimi.build_partials(batch_docs, avgdl, cfg)
             partials.write.mode("overwrite").parquet(os.path.join(part_root, f"batch={bi}"))
-            # lineage manifest: per-segment row counts + content fingerprint
+            # lineage manifest: per-segment row counts + content fingerprint.
+            # Round 6: derived from the stage-0 doc_stats table (sha256 IS
+            # the per-row content identity) instead of re-scanning and
+            # re-hashing the raw text per batch — the manifest job now
+            # reads three narrow columns, not the corpus text.
             (
-                batch_docs.groupBy("seg")
+                dstats.filter((F.col("seg") >= lo) & (F.col("seg") < hi))
+                .groupBy("seg")
                 .agg(
                     F.count("*").alias("row_count"),
                     F.min("doc_id").alias("min_doc"),
                     F.max("doc_id").alias("max_doc"),
-                    F.bit_xor(F.xxhash64(F.coalesce(F.col("text"), F.lit("")))).alias("content_fingerprint"),
+                    F.bit_xor(F.xxhash64("sha256")).alias("content_fingerprint"),
                 )
                 .withColumn("build_ts", F.lit(time.time()))
                 .write.mode("overwrite")

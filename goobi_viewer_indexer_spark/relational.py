@@ -37,15 +37,35 @@ FROM ranked WHERE rn = 1 ORDER BY l_orderkey
 """.strip(),
 )
 def q_deepest_owner(spark, sf_dir):
+    # round 6 (guide §2.3 "aggregate before you shuffle"): the deepest
+    # line per order is picked with ONE partial-aggregating min(struct)
+    # over lineitem's four needed columns BEFORE the orders join — the
+    # old shape joined first and windowed the full join output, shuffling
+    # every lineitem row wide.  Equivalent because the join is per-order
+    # 1:1 (o_orderkey unique) so rank-1-then-join == join-then-rank-1;
+    # (-quantity, linenumber, partkey) lexicographic min == the window's
+    # (quantity DESC, linenumber ASC, partkey ASC) rank 1, and
+    # (orderkey, linenumber) is unique so ties cannot occur.  Output
+    # identical (oracle-gated).
     l = _load(spark, sf_dir, "lineitem")
     o = _load(spark, sf_dir, "orders")
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.desc("l_quantity"), F.asc("l_linenumber"), F.asc("l_partkey")
+    best = (
+        l.select("l_orderkey", "l_quantity", "l_linenumber", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("l_quantity")).alias("nq"),
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_partkey").alias("pk"),
+                    F.col("l_quantity").alias("q"),
+                )
+            ).alias("w")
+        )
+        .select("l_orderkey", F.col("w.pk").alias("l_partkey"), F.col("w.q").alias("l_quantity"))
     )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        best.join(o, best.l_orderkey == o.o_orderkey)
         .select("l_orderkey", "l_partkey", "l_quantity", "o_custkey", "o_orderpriority")
         .orderBy("l_orderkey")
     )
