@@ -254,10 +254,14 @@ def minhash_near_duplicates(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard over distinct shingles."""
-    sigs = minhash_signature(docs, id_col, text_col, hash_fn=hash_fn).cache()
-    sigs.count()  # materialize: three downstream branches (bands + both
+    # eager localCheckpoint: three downstream branches (bands + both
     # sides of the verify join) would otherwise each recompute the
-    # tokenize→shingle→minhash chain inside one action (~5x wall time)
+    # tokenize→shingle→minhash chain inside one action (~5x wall time).
+    # localCheckpoint instead of cache+count (round 6): same one
+    # materialization job, but the storage is released by the
+    # ContextCleaner when the frame is GC'd — repeated calls in a
+    # long-lived session don't accumulate CacheManager entries.
+    sigs = minhash_signature(docs, id_col, text_col, hash_fn=hash_fn).localCheckpoint()
     pairs = lsh_candidate_pairs(sigs)
     sh = sigs.select("doc_id", "shingles")
     j = (
@@ -427,12 +431,12 @@ def simhash_candidate_pairs(
     # the self-join references the fingerprint frame TWICE (and the
     # verify carries its columns through) — without persistence the whole
     # tokenize+md5+UDF pipeline executes once per reference (measured
-    # 2.3×).  n_docs × 3 longs; MEMORY_AND_DISK so an extreme corpus
-    # spills instead of recomputing
-    from pyspark import StorageLevel
-
+    # 2.3×).  n_docs × 3 longs; lazy localCheckpoint materializes like
+    # MEMORY_AND_DISK persist (spills instead of recomputing) but is
+    # auto-released on GC instead of leaking a CacheManager entry per
+    # call (ADVICE r5).
     fp = _simhash_frame(docs, id_col, text_col, drop_empty=True) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     hi, lo = F.col("simhash_hi"), F.col("simhash_lo")
     chunks = F.array(
         F.struct(F.lit(0).alias("band"), F.floor(hi / F.lit(65536)).cast("long").alias("chunk")),

@@ -232,7 +232,12 @@ def _facet_over(ids, dims, facet_col: str, min_count: int, limit, prefix,
     cnt = (F.countDistinct(F.col(group_field)) if group_field else F.count("*"))
     counts = ids.join(dim, "doc_id").groupBy(facet_col).agg(cnt.alias("n"))
     if missing:
-        counts = counts.cache()  # two consumers below — see docstring
+        # two consumers below — see docstring.  localCheckpoint (lazy)
+        # materializes once like .cache() but the storage is released by
+        # the ContextCleaner when the frame is garbage-collected, so
+        # repeated facet calls in a long-lived session don't accumulate
+        # CacheManager entries (ADVICE r5).
+        counts = counts.localCheckpoint(eager=False)
     out = (
         (counts.filter(keep) if missing else counts)
         .filter(F.col("n") >= min_count)
@@ -448,7 +453,10 @@ def _facet_range_over(ids, dims, col: str, start: int, end: int, gap: int,
         .when(c >= upper, F.lit("after"))
         .otherwise((F.floor((c - start) / gap) * gap + start).cast("long").cast("string"))
     )
-    counts = joined.groupBy(lab.alias("bucket")).agg(F.count("*").alias("n")).cache()
+    # lazy localCheckpoint = one materialization shared by the branch
+    # consumers, auto-released on GC (no CacheManager leak — ADVICE r5)
+    counts = joined.groupBy(lab.alias("bucket")).agg(F.count("*").alias("n")) \
+        .localCheckpoint(eager=False)
     want_before = other in ("before", "all")
     want_after = other in ("after", "all")
     want_between = other in ("between", "all")

@@ -197,6 +197,19 @@ def _build_segment_pdf_fielded(
     )
 
 
+# Stage-1 task granularity (round 6): a SEGMENT is the doc-range unit of
+# the on-disk layout, but one applyInPandas task per segment caps stage-1
+# parallelism at nseg — with large segments (the corpus shape) a 32-core
+# build ran ~10 tasks.  Grouping by (seg, doc_id // SUB_SPAN) splits big
+# segments into doc-contiguous sub-ranges that encode independently: a
+# term's sub-rows are doc-range-disjoint and min_doc-sorted, exactly what
+# the stage-2 byte-splice merge consumes (same contract as salt rows), and
+# df/cf stay exact under row summing.  The constant is corpus- and
+# cluster-independent, so builds remain deterministic and replayable;
+# segments at or below it are untouched.
+STAGE1_SUB_SPAN = 1024
+
+
 def build_partials_fielded(
     docs: DataFrame, avgdls: dict[str, float], cfg: IndexConfig, fields: dict[str, str]
 ) -> DataFrame:
@@ -207,9 +220,19 @@ def build_partials_fielded(
 
     return (
         docs.select("doc_id", "seg", *fields.values())
-        .groupBy("seg")
+        .withColumn("_sub", _stage1_sub(cfg))
+        .groupBy("seg", "_sub")
         .applyInPandas(fn, POSTINGS_SCHEMA)
     )
+
+
+def _stage1_sub(cfg: IndexConfig):
+    """Sub-range key for stage-1 grouping — constant 0 (no split, the
+    exact pre-round-6 layout) while segments are at most
+    :data:`STAGE1_SUB_SPAN` docs."""
+    if cfg.docs_per_segment <= STAGE1_SUB_SPAN:
+        return F.lit(0)
+    return (F.col("doc_id") / STAGE1_SUB_SPAN).cast("int")
 
 
 def build_partials(docs: DataFrame, avgdl: float, cfg: IndexConfig) -> DataFrame:
@@ -217,7 +240,12 @@ def build_partials(docs: DataFrame, avgdl: float, cfg: IndexConfig) -> DataFrame
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _build_segment_pdf(pdf, avgdl, cfg)
 
-    return docs.select("doc_id", "text", "seg").groupBy("seg").applyInPandas(fn, POSTINGS_SCHEMA)
+    return (
+        docs.select("doc_id", "text", "seg")
+        .withColumn("_sub", _stage1_sub(cfg))
+        .groupBy("seg", "_sub")
+        .applyInPandas(fn, POSTINGS_SCHEMA)
+    )
 
 
 def merge_group_pdf(pdf: pd.DataFrame, out_seg: int | None = None) -> pd.DataFrame:

@@ -339,12 +339,18 @@ def build_index(
     mark("stage2_merge_write")
 
     # term stats from stage-1 partials (exact df/cf, no double count:
-    # each (term, seg) appears exactly once across batch manifests)
+    # each (term, seg) appears exactly once across batch manifests).
+    # Round 6: repartition by bucket before the partitioned write — the
+    # AQE-coalesced aggregate output otherwise lands on a few tasks that
+    # each open a file in (up to) every bucket directory serially; the
+    # narrow (term, df, cf) rows re-shuffle cheaply and each writer task
+    # then owns whole buckets (the AnnIndex.build file-fanout lesson).
     ts_path = os.path.join(index_dir, "term_stats")
     (
         partials.groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         .withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
+        .repartition(cfg.postings_buckets, "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(ts_path)
@@ -477,6 +483,7 @@ def build_index_fielded(
         partials.groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         .withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
+        .repartition(cfg.postings_buckets, "bucket")  # see build_index: bucket-aligned writers
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(index_dir, "term_stats"))

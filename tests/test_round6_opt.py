@@ -102,6 +102,34 @@ def test_fielded_broadcast_vs_join_parity(spark, fielded_idx_dir, monkeypatch):
     assert bc_idx.search_dismax_many(spec) == join_idx.search_dismax_many(spec)
 
 
+def test_stage1_subsplit_rank_identity(spark, tmp_path):
+    # segments above STAGE1_SUB_SPAN build from sub-range groups (round 6
+    # stage-1 parallelism); the sub-rows splice back in the stage-2 merge,
+    # so ranking must be identical to a small-segment (legacy-layout) build
+    from goobi_viewer_indexer_spark.operators.spimi import STAGE1_SUB_SPAN
+
+    docs = spark.range(STAGE1_SUB_SPAN * 2 + 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("table join doc"), F.col("id").cast("string"),
+            F.when(F.col("id") % 3 == 0, F.lit(" table join table")).otherwise(F.lit(" spark")),
+        ).alias("text"),
+    )
+    assert docs.count() > STAGE1_SUB_SPAN  # the split path is actually hit
+    d1, d2 = str(tmp_path / "split"), str(tmp_path / "legacy")
+    build_index(docs, d1, IndexConfig(docs_per_segment=STAGE1_SUB_SPAN * 2,
+                                      merge_fanin=4, postings_buckets=16))
+    build_index(docs, d2, IndexConfig(docs_per_segment=64,
+                                      merge_fanin=4, postings_buckets=16))
+    i1, i2 = InvertedIndex(spark, d1), InvertedIndex(spark, d2)
+    for q, m in [(["table", "join"], "or"), (["table", "join"], "and")]:
+        r1 = [tuple(r) for r in i1.search(q, k=20, mode=m).collect()]
+        assert r1 == [tuple(r) for r in i2.search(q, k=20, mode=m).collect()]
+        assert i1.open_local().search(q, k=20, mode=m) == r1
+    assert [tuple(r) for r in i1.search_phrase(["table", "join"], k=10).collect()] == \
+        [tuple(r) for r in i2.search_phrase(["table", "join"], k=10).collect()]
+
+
 def test_stats_memo_matches_fresh_lookup(spark, flat_idx_dir):
     idx = InvertedIndex(spark, flat_idx_dir)
     fresh = dict(idx.term_stats_for(["table", "join", "zzznope"]))
