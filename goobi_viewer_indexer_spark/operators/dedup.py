@@ -765,6 +765,20 @@ def cross_ngram_overlap(
     by nature; Spark broadcasts it when it fits."""
     if metric not in ("containment", "jaccard"):
         raise ValueError("metric must be 'containment' or 'jaccard'")
+    # round 6 fast path: the benchmark side is SMALL BY NATURE (the
+    # docstring contract), so when no corpus-side df cap is requested and
+    # the benchmark fits a driver budget, the scan becomes ONE narrow
+    # mapInPandas over the corpus intersecting each doc's shingle set
+    # against a broadcast {shingle -> bench ids} inverted dict — no
+    # corpus-shingle explode, no join, no shuffle beyond the tiny
+    # candidate output (guide §3.1: broadcast the small side; §2.3:
+    # shuffle keys/counters, not payloads).  Score arithmetic stays in
+    # Catalyst so rounding matches the join path bit-for-bit.
+    if max_shingle_df is None:
+        out = _cross_ngram_broadcast(corpus, benchmark, threshold, metric,
+                                     id_col, text_col, bench_id_col, bench_text_col)
+        if out is not None:
+            return out
     # round 6: per-doc set sizes ride through the explode (see
     # :func:`ngram_jaccard_pairs`) — the old `na`/`nb` join branches each
     # re-evaluated the shingle pandas-UDF over their whole corpus (the
@@ -794,6 +808,92 @@ def cross_ngram_overlap(
         score = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
         out.withColumn("overlap", score)
+        .filter(F.col("overlap") >= threshold)
+        .select("doc_id", "bench_id", F.round("overlap", 6).alias("overlap"))
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+def _cross_ngram_broadcast(corpus, benchmark, threshold, metric,
+                           id_col, text_col, bench_id_col, bench_text_col):
+    """Broadcast-dict decontamination body (see :func:`cross_ngram_overlap`):
+    collect the small benchmark side's shingle sets (budget:
+    ``SPARK_GRAFT_DECONTAM_BC_DOCS`` docs, default 20000, and 5M total
+    shingles), invert them to {shingle -> [bench ids]}, and intersect each
+    corpus doc's shingles against the broadcast inside one mapInPandas.
+    Returns None when the benchmark exceeds the budget (callers fall back
+    to the inverted-index join — the both-sides-big shape)."""
+    import os as _os
+    import re as _re
+
+    # the fast path emits long ids; non-integer id columns use the join
+    int_types = ("bigint", "int", "smallint", "tinyint")
+    if dict(corpus.dtypes).get(id_col) not in int_types \
+            or dict(benchmark.dtypes).get(bench_id_col) not in int_types:
+        return None
+    cap = int(_os.environ.get("SPARK_GRAFT_DECONTAM_BC_DOCS", "20000"))
+    rows = (
+        benchmark.select(F.col(bench_id_col).alias("bench_id"),
+                         shingles_pandas(F.col(bench_text_col)).alias("sh"))
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        return None
+    nb = {int(r["bench_id"]): len(r["sh"]) for r in rows if len(r["sh"]) > 0}
+    if not nb:
+        return corpus.sparkSession.createDataFrame(
+            [], "doc_id long, bench_id long, overlap double")
+    total = sum(nb.values())
+    if total > 5_000_000:
+        return None
+    inv: dict[str, list[int]] = {}
+    for r in rows:
+        bid = int(r["bench_id"])
+        for s in r["sh"]:
+            inv.setdefault(s, []).append(bid)
+    bc = corpus.sparkSession.sparkContext.broadcast(inv)
+    tok_re = _re.compile(r"[a-z0-9]+")
+    k = 3
+
+    def emit(batches):
+        inv_l = bc.value
+        fa = tok_re.findall
+        join = " ".join
+        for pdf in batches:
+            out_d, out_b, out_i, out_n = [], [], [], []
+            for doc_id, s in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                toks = fa(s.lower())
+                if len(toks) < k:
+                    continue
+                sh = dict.fromkeys(map(join, zip(*(toks[i:] for i in range(k)))))
+                hits: dict[int, int] = {}
+                for g in sh:
+                    for bid in inv_l.get(g, ()):
+                        hits[bid] = hits.get(bid, 0) + 1
+                na = len(sh)
+                for bid, i in hits.items():
+                    out_d.append(doc_id)
+                    out_b.append(bid)
+                    out_i.append(i)
+                    out_n.append(na)
+            yield pd.DataFrame({"doc_id": out_d, "bench_id": out_b,
+                                "i": out_i, "na": out_n}).astype(
+                {"doc_id": "int64", "bench_id": "int64", "i": "int64", "na": "int64"})
+
+    cand = (
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .mapInPandas(emit, "doc_id long, bench_id long, i long, na long")
+    )
+    # nb as a literal map keeps the score arithmetic in Catalyst — the
+    # same double division + round(…, 6) the join path produces
+    nb_expr = F.create_map(*[F.lit(x) for kv in nb.items() for x in kv])[F.col("bench_id")]
+    if metric == "containment":
+        score = F.col("i") / nb_expr
+    else:
+        score = F.col("i") / (F.col("na") + nb_expr - F.col("i"))
+    return (
+        cand.withColumn("overlap", score)
         .filter(F.col("overlap") >= threshold)
         .select("doc_id", "bench_id", F.round("overlap", 6).alias("overlap"))
         .orderBy("doc_id", "bench_id")

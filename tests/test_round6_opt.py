@@ -130,6 +130,27 @@ def test_stage1_subsplit_rank_identity(spark, tmp_path):
         [tuple(r) for r in i2.search_phrase(["table", "join"], k=10).collect()]
 
 
+def test_decontam_broadcast_matches_join_path(spark, monkeypatch):
+    # the small-benchmark broadcast fast path must emit exactly the
+    # inverted-index join path's rows (same counts, same rounding)
+    from goobi_viewer_indexer_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    fast = [tuple(r) for r in dedup.cross_ngram_overlap(docs, bench, threshold=0.5).collect()]
+    monkeypatch.setenv("SPARK_GRAFT_DECONTAM_BC_DOCS", "0")  # force the join path
+    joined = [tuple(r) for r in dedup.cross_ngram_overlap(docs, bench, threshold=0.5).collect()]
+    assert fast == joined and len(fast) > 0
+    # jaccard metric too
+    monkeypatch.delenv("SPARK_GRAFT_DECONTAM_BC_DOCS")
+    fast_j = [tuple(r) for r in dedup.cross_ngram_overlap(docs, bench, threshold=0.3,
+                                                          metric="jaccard").collect()]
+    monkeypatch.setenv("SPARK_GRAFT_DECONTAM_BC_DOCS", "0")
+    join_j = [tuple(r) for r in dedup.cross_ngram_overlap(docs, bench, threshold=0.3,
+                                                          metric="jaccard").collect()]
+    assert fast_j == join_j
+
+
 def test_stats_memo_matches_fresh_lookup(spark, flat_idx_dir):
     idx = InvertedIndex(spark, flat_idx_dir)
     fresh = dict(idx.term_stats_for(["table", "join", "zzznope"]))
