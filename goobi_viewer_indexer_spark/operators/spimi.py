@@ -309,23 +309,86 @@ def merge_group_pdf(pdf: pd.DataFrame, out_seg: int | None = None) -> pd.DataFra
     )
 
 
+def _group_change_mask(pdf: pd.DataFrame, key_cols: list[str]) -> np.ndarray:
+    """Boolean group-start mask over a key-sorted frame — direct
+    per-column comparisons (round 6: the old string-concat composite key
+    allocated two new strings per row just to find boundaries)."""
+    n = len(pdf)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in key_cols:
+        v = pdf[c].to_numpy()
+        change[1:] |= v[1:] != v[:-1]
+    return change
+
+
+def _merge_group_arrays(cols: dict, idxs: np.ndarray, out_seg: int) -> tuple:
+    """Byte-splice merge of ONE term's rows given column arrays + row
+    indices sorted by min_doc — the array twin of :func:`merge_group_pdf`
+    for the hot kernel (round 6: no per-group DataFrame slice, no
+    itertuples namedtuple-class eval per group).  Returns one output row
+    as a tuple in POSTINGS_SCHEMA column order."""
+    doc_chunks, tf_chunks, pos_chunks = [], [], []
+    bl_doc, bd_off, bt_off, bp_off, bm_w = [], [], [], [], []
+    d_base = t_base = p_base = 0
+    prev_last = None
+    for i in idxs:
+        db = bytes(cols["doc_bytes"][i])
+        delta = 0
+        if prev_last is not None:
+            db, delta = codec.splice_first_gap(db, int(cols["min_doc"][i]) - prev_last - 1)
+        doc_chunks.append(db)
+        tb = bytes(cols["tf_bytes"][i])
+        tf_chunks.append(tb)
+        pb = bytes(cols["pos_bytes"][i])
+        pos_chunks.append(pb)
+        offs = np.asarray(cols["block_doc_off"][i], dtype=np.int64)
+        adj = offs.copy()
+        adj[1:] += delta
+        bd_off.append(adj + d_base)
+        bt_off.append(np.asarray(cols["block_tf_off"][i], dtype=np.int64) + t_base)
+        bp_off.append(np.asarray(cols["block_pos_off"][i], dtype=np.int64) + p_base)
+        bl_doc.append(np.asarray(cols["block_last_doc"][i], dtype=np.int64))
+        bm_w.append(np.asarray(cols["block_max_w"][i], dtype=np.float64))
+        d_base += len(db)
+        t_base += len(tb)
+        p_base += len(pb)
+        prev_last = int(cols["max_doc"][i])
+    first = idxs[0]
+    return (
+        cols["term"][first],
+        np.int32(out_seg),
+        np.int32(sum(int(cols["df"][i]) for i in idxs)),
+        np.int64(sum(int(cols["cf"][i]) for i in idxs)),
+        np.int64(min(int(cols["min_doc"][i]) for i in idxs)),
+        np.int64(max(int(cols["max_doc"][i]) for i in idxs)),
+        b"".join(doc_chunks),
+        b"".join(tf_chunks),
+        b"".join(pos_chunks),
+        np.concatenate(bl_doc),
+        np.concatenate(bd_off),
+        np.concatenate(bt_off),
+        np.concatenate(bp_off),
+        np.concatenate(bm_w),
+    )
+
+
 def _merge_sorted_runs(pdf: pd.DataFrame, key_cols: list[str], out_seg_from_salt: bool,
                        size_threshold: int | None = None) -> pd.DataFrame:
     """Merge contiguous key groups of a (key, min_doc)-sorted frame.
 
     Single-row groups (the vast majority of the vocabulary — unique
     identifiers) pass through as one vectorized slice; only multi-row
-    groups run the byte-splice merge loop.  ``size_threshold`` (compaction
-    mode): multi-row groups whose total payload exceeds it also pass
-    through unmerged (heavy-term skew protection)."""
-    cols = [c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]
+    groups run the byte-splice merge loop (array-based — see
+    :func:`_merge_group_arrays`).  ``size_threshold`` (compaction mode):
+    multi-row groups whose total payload exceeds it also pass through
+    unmerged (heavy-term skew protection).  Output row order matches the
+    pre-round-6 implementation exactly: all single-row groups first (in
+    input order), then the multi-row groups' outputs in group order."""
+    out_cols = [c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]
     if len(pdf) == 0:
-        return pd.DataFrame([], columns=cols)
-    key = pdf[key_cols[0]].astype(str)
-    for c in key_cols[1:]:
-        key = key + "\x00" + pdf[c].astype(str)
-    k = key.to_numpy()
-    change = np.concatenate(([True], k[1:] != k[:-1]))
+        return pd.DataFrame([], columns=out_cols)
+    change = _group_change_mask(pdf, key_cols)
     gid = np.cumsum(change) - 1
     counts = np.bincount(gid)
     single_mask = counts[gid] == 1
@@ -333,23 +396,41 @@ def _merge_sorted_runs(pdf: pd.DataFrame, key_cols: list[str], out_seg_from_salt
     outs = []
     singles = pdf.loc[single_mask]
     if len(singles):
-        s = singles[cols].copy()
+        s = singles[out_cols].copy()
         if out_seg_from_salt:
             s["seg"] = singles["salt"].to_numpy(np.int32)
         outs.append(s)
 
-    multi = pdf.loc[~single_mask]
-    if len(multi):
-        mk = k[~single_mask]
-        mchange = np.concatenate(([0], np.flatnonzero(mk[1:] != mk[:-1]) + 1, [len(mk)]))
-        for i in range(len(mchange) - 1):
-            grp = multi.iloc[mchange[i]: mchange[i + 1]]
-            if size_threshold is not None and int(grp["doc_bytes"].map(len).sum()) >= size_threshold:
-                outs.append(grp[cols])
+    n_multi = int((~single_mask).sum())
+    if n_multi:
+        need = set(out_cols) | ({"salt"} if out_seg_from_salt else set())
+        cols = {c: pdf[c].to_numpy() for c in need}
+        gstarts = np.flatnonzero(change)
+        gends = np.append(gstarts[1:], len(pdf))
+        merged_rows = []
+        pass_idx: list[np.ndarray] = []
+
+        def flush_merged():
+            if merged_rows:
+                outs.append(pd.DataFrame(merged_rows, columns=out_cols))
+                merged_rows.clear()
+
+        for g in np.flatnonzero(counts > 1):
+            idxs = np.arange(gstarts[g], gends[g])
+            if size_threshold is not None and \
+                    sum(len(cols["doc_bytes"][i]) for i in idxs) >= size_threshold:
+                # pass through unmerged, preserving per-group output order
+                flush_merged()
+                outs.append(pdf.iloc[idxs][out_cols])
                 continue
-            out_seg = int(grp["salt"].iloc[0]) if out_seg_from_salt else int(grp["seg"].iloc[0])
-            outs.append(merge_group_pdf(grp, out_seg=out_seg))
-    return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame([], columns=cols)
+            out_seg = int(cols["salt"][idxs[0]]) if out_seg_from_salt else int(cols["seg"][idxs[0]])
+            # rows within a group are already min_doc-sorted by the
+            # kernel's sortWithinPartitions; re-sort defensively (ranges
+            # are disjoint, so any stable order is THE order)
+            order = np.argsort(cols["min_doc"][idxs], kind="stable")
+            merged_rows.append(_merge_group_arrays(cols, idxs[order], out_seg))
+        flush_merged()
+    return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame([], columns=out_cols)
 
 
 def _merge_gen(key_cols: list[str], out_seg_from_salt: bool, size_threshold: int | None):
@@ -367,11 +448,7 @@ def _merge_gen(key_cols: list[str], out_seg_from_salt: bool, size_threshold: int
                 carry = None
             if len(pdf) == 0:
                 continue
-            key = pdf[key_cols[0]].astype(str)
-            for c in key_cols[1:]:
-                key = key + "\x00" + pdf[c].astype(str)
-            k = key.to_numpy()
-            change = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+            change = np.flatnonzero(_group_change_mask(pdf, key_cols))
             carry = pdf.iloc[change[-1]:]
             body = pdf.iloc[: change[-1]]
             if len(body):
