@@ -372,16 +372,34 @@ def _simhash_frame(docs: DataFrame, id_col: str, text_col: str,
     def _sim64(toks: pd.Series) -> pd.DataFrame:
         shifts = _np.arange(32, dtype=_np.int64)
         his, los = [], []
+        # round 6: md5 once per DISTINCT token per batch (tokens repeat
+        # heavily — ~4x within a doc, more across docs), then weight each
+        # token's ±1 bit vector by its in-doc count.  Σ_tokens ±1 ==
+        # Σ_distinct count·(±1), so the fingerprint is bit-identical;
+        # the hashlib call count drops by the batch's repetition factor.
+        memo: dict[str, tuple[int, int]] = {}
+
+        def _h(t: str) -> tuple[int, int]:
+            v = memo.get(t)
+            if v is None:
+                hx = _hashlib.md5(t.encode("utf-8")).hexdigest()
+                v = memo[t] = (int(hx[:8], 16), int(hx[8:16], 16))
+            return v
+
         for arr in toks:
             if arr is None or len(arr) == 0:
                 his.append(0)
                 los.append(0)
                 continue
-            hx = [_hashlib.md5(t.encode("utf-8")).hexdigest() for t in arr]
-            hi = _np.array([int(h[:8], 16) for h in hx], dtype=_np.int64)
-            lo = _np.array([int(h[8:16], 16) for h in hx], dtype=_np.int64)
-            ch = (2 * ((hi[:, None] >> shifts) & 1) - 1).sum(axis=0)
-            cl = (2 * ((lo[:, None] >> shifts) & 1) - 1).sum(axis=0)
+            counts: dict[str, int] = {}
+            for t in arr:
+                counts[t] = counts.get(t, 0) + 1
+            pairs = [_h(t) for t in counts]
+            c = _np.fromiter(counts.values(), dtype=_np.int64, count=len(counts))
+            hi = _np.array([p[0] for p in pairs], dtype=_np.int64)
+            lo = _np.array([p[1] for p in pairs], dtype=_np.int64)
+            ch = ((2 * ((hi[:, None] >> shifts) & 1) - 1) * c[:, None]).sum(axis=0)
+            cl = ((2 * ((lo[:, None] >> shifts) & 1) - 1) * c[:, None]).sum(axis=0)
             his.append(int(((ch > 0).astype(_np.int64) << shifts).sum()))
             los.append(int(((cl > 0).astype(_np.int64) << shifts).sum()))
         return pd.DataFrame({"simhash_hi": his, "simhash_lo": los})
