@@ -1147,10 +1147,22 @@ class InvertedIndex:
     def _attach_rng_side(self, rows: DataFrame, doclens: bool = True):
         """(kernel_input, bc): join the packed side tables when the
         broadcast budget is exceeded, else pass rows through untouched
-        and hand the kernel the per-index broadcast."""
+        and hand the kernel the per-index broadcast.
+
+        On the broadcast path the kernel exchange is explicitly
+        repartitioned to min(n_ranges, shuffle partitions): AQE sizes
+        post-shuffle partitions by BYTES, and with the doclens payload
+        gone from the shuffle it coalesced the python-CPU-bound kernel
+        stage onto too few tasks (measured at 200k docs: batch search
+        1.1 s vs 0.8 s).  The range count is known driver-side, so the
+        exchange gets one partition per range up to the configured
+        parallelism — same key, reused by the groupBy, no extra
+        exchange."""
         bc = self._rng_broadcast()
         if bc is not None:
-            return rows, bc
+            cap = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            n = max(1, min(len(bc.value), cap))
+            return rows.repartition(n, "rng"), bc
         joined = rows.join(self._doclens, "rng") if doclens else rows
         if self._tomb_packed is not None:
             joined = joined.join(self._tomb_packed, "rng", "left")
@@ -3272,10 +3284,14 @@ class FieldedIndex:
     def _attach_rng_side(self, rows: DataFrame, doclens: bool = True):
         """(kernel_input, bc): join the packed side tables when the
         broadcast budget is exceeded, else pass rows through untouched
-        and hand the kernel the per-index broadcast."""
+        and hand the kernel the per-index broadcast (explicitly
+        repartitioned per range — see :meth:`InvertedIndex._attach_rng_side`
+        for the AQE under-parallelization rationale)."""
         bc = self._rng_broadcast()
         if bc is not None:
-            return rows, bc
+            cap = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            n = max(1, min(len(bc.value), cap))
+            return rows.repartition(n, "rng"), bc
         joined = rows.join(self._doclens, "rng") if doclens else rows
         if self._tomb_packed is not None:
             joined = joined.join(self._tomb_packed, "rng", "left")
