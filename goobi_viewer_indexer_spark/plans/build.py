@@ -241,9 +241,21 @@ def build_index(
     # Dense doc_ids make doclens a flat int32 array per scoring range
     # (span = docs_per_segment * merge_fanin): the query-side scorer joins
     # one small row per range instead of shuffling the doc_stats table.
+    # Round 6 (guide §2.6 — overlap independent jobs): stage 0.5 depends
+    # only on the committed doc_stats table and stage 1 only on docs +
+    # avgdl, so the pack write runs on a driver thread WHILE stage 1
+    # builds partials; likewise stage 3 (term stats) and stage 2 both
+    # read the completed partials, so stage 3 overlaps stage 2's tail.
+    # Each write keeps its own _SUCCESS/idempotent-overwrite semantics,
+    # and a failure on either side joins the in-flight future before
+    # propagating, so the resume contract is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import wait as _fwait
+
     span = cfg.docs_per_segment * cfg.merge_fanin
     dlp_path = os.path.join(index_dir, "doclens_packed")
-    if not os.path.exists(os.path.join(dlp_path, "_SUCCESS")):
+
+    def _write_doclens_packed():
         import numpy as np
         import pandas as pd
 
@@ -258,6 +270,7 @@ def build_index(
             arr[ids - base] = pdf["doclen"].to_numpy(np.int32)
             return pd.DataFrame({"rng": [rng], "base": [base], "doclens": [arr.tobytes()]})
 
+        t0 = time.time()
         (
             dstats.withColumn("rng", (F.col("doc_id") / span).cast("int"))
             .select("rng", "doc_id", "doclen")
@@ -266,97 +279,123 @@ def build_index(
             .write.mode("overwrite")
             .parquet(dlp_path)
         )
+        stage_sec["stage05_doclens_packed"] = round(time.time() - t0, 2)
 
-    mark("stage05_doclens_packed")
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = None
+        if not os.path.exists(os.path.join(dlp_path, "_SUCCESS")):
+            fut = pool.submit(_write_doclens_packed)
+        t_mark = time.time()
 
-    # ---- stage 1: SPIMI partials, batched by segment for resumability ----
-    stage1_marker = os.path.join(index_dir, "_STAGE1_DONE")
-    part_root = os.path.join(index_dir, "partials")
-    man_root = os.path.join(index_dir, "partials_manifest")
-    if not os.path.exists(stage1_marker):
-        n_batches = max(1, min(n_batches, nseg))
-        # resume contract: batch index → segment range depends on n_batches,
-        # so a resume MUST use the original partitioning or 'done' batches
-        # would map to different segments (skipped / double-built df+cf).
-        # The first attempt pins it in meta; later attempts inherit it.
-        if "stage1_n_batches" in meta_prev:
-            if meta_prev["stage1_n_batches"] != n_batches:
-                n_batches = meta_prev["stage1_n_batches"]
-        meta["stage1_n_batches"] = n_batches
-        _write_meta(index_dir, meta)
-        docs_seg = docs.withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
-        done_batches = set()
-        if os.path.exists(man_root):
-            for d in os.listdir(man_root):
-                if d.startswith("batch=") and os.path.exists(os.path.join(man_root, d, "_SUCCESS")):
-                    done_batches.add(int(d.split("=")[1]))
-        segs_per_batch = math.ceil(nseg / n_batches)
-        ran = 0
-        for bi in range(n_batches):
-            if bi in done_batches:
-                continue
-            if fail_after_batches is not None and ran >= fail_after_batches:
-                raise RuntimeError(f"injected failure after {ran} stage-1 batches")
-            lo, hi = bi * segs_per_batch, min((bi + 1) * segs_per_batch, nseg)
-            batch_docs = docs_seg.filter((F.col("seg") >= lo) & (F.col("seg") < hi))
-            partials = spimi.build_partials(batch_docs, avgdl, cfg)
-            partials.write.mode("overwrite").parquet(os.path.join(part_root, f"batch={bi}"))
-            # lineage manifest: per-segment row counts + content fingerprint.
-            # Round 6: derived from the stage-0 doc_stats table (sha256 IS
-            # the per-row content identity) instead of re-scanning and
-            # re-hashing the raw text per batch — the manifest job now
-            # reads three narrow columns, not the corpus text.
+        # ---- stage 1: SPIMI partials, batched by segment for resumability ----
+        stage1_marker = os.path.join(index_dir, "_STAGE1_DONE")
+        part_root = os.path.join(index_dir, "partials")
+        man_root = os.path.join(index_dir, "partials_manifest")
+        try:
+            if not os.path.exists(stage1_marker):
+                n_batches = max(1, min(n_batches, nseg))
+                # resume contract: batch index → segment range depends on n_batches,
+                # so a resume MUST use the original partitioning or 'done' batches
+                # would map to different segments (skipped / double-built df+cf).
+                # The first attempt pins it in meta; later attempts inherit it.
+                if "stage1_n_batches" in meta_prev:
+                    if meta_prev["stage1_n_batches"] != n_batches:
+                        n_batches = meta_prev["stage1_n_batches"]
+                meta["stage1_n_batches"] = n_batches
+                _write_meta(index_dir, meta)
+                docs_seg = docs.withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
+                done_batches = set()
+                if os.path.exists(man_root):
+                    for d in os.listdir(man_root):
+                        if d.startswith("batch=") and os.path.exists(os.path.join(man_root, d, "_SUCCESS")):
+                            done_batches.add(int(d.split("=")[1]))
+                segs_per_batch = math.ceil(nseg / n_batches)
+                ran = 0
+                for bi in range(n_batches):
+                    if bi in done_batches:
+                        continue
+                    if fail_after_batches is not None and ran >= fail_after_batches:
+                        raise RuntimeError(f"injected failure after {ran} stage-1 batches")
+                    lo, hi = bi * segs_per_batch, min((bi + 1) * segs_per_batch, nseg)
+                    batch_docs = docs_seg.filter((F.col("seg") >= lo) & (F.col("seg") < hi))
+                    partials = spimi.build_partials(batch_docs, avgdl, cfg)
+                    partials.write.mode("overwrite").parquet(os.path.join(part_root, f"batch={bi}"))
+                    # lineage manifest: per-segment row counts + content fingerprint.
+                    # Round 6: derived from the stage-0 doc_stats table (sha256 IS
+                    # the per-row content identity) instead of re-scanning and
+                    # re-hashing the raw text per batch — the manifest job now
+                    # reads three narrow columns, not the corpus text.
+                    (
+                        dstats.filter((F.col("seg") >= lo) & (F.col("seg") < hi))
+                        .groupBy("seg")
+                        .agg(
+                            F.count("*").alias("row_count"),
+                            F.min("doc_id").alias("min_doc"),
+                            F.max("doc_id").alias("max_doc"),
+                            F.bit_xor(F.xxhash64("sha256")).alias("content_fingerprint"),
+                        )
+                        .withColumn("build_ts", F.lit(time.time()))
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(man_root, f"batch={bi}"))
+                    )
+                    ran += 1
+                with open(stage1_marker, "w") as f:
+                    f.write("ok")
+        finally:
+            # never leave the pack write in flight behind an exception: a
+            # retry with the same tag would race a second writer on the
+            # same path (don't raise here — preserve the primary error)
+            if fut is not None:
+                _fwait([fut])
+        if fut is not None:
+            fut.result()  # surface a pack-write failure
+        mark("stage1_partials")
+
+        # ---- stage 2 ∥ stage 3: both read the completed partials ----
+        partials = spark.read.option("basePath", part_root).parquet(part_root + "/batch=*")
+        ts_path = os.path.join(index_dir, "term_stats")
+
+        def _write_term_stats():
+            # term stats from stage-1 partials (exact df/cf, no double
+            # count: each (term, seg) appears exactly once across batch
+            # manifests).  Round 6: repartition by bucket before the
+            # partitioned write — the AQE-coalesced aggregate output
+            # otherwise lands on a few tasks that each open a file in (up
+            # to) every bucket directory serially; the narrow (term, df,
+            # cf) rows re-shuffle cheaply and each writer task then owns
+            # whole buckets (the AnnIndex.build file-fanout lesson).
+            t0 = time.time()
             (
-                dstats.filter((F.col("seg") >= lo) & (F.col("seg") < hi))
-                .groupBy("seg")
-                .agg(
-                    F.count("*").alias("row_count"),
-                    F.min("doc_id").alias("min_doc"),
-                    F.max("doc_id").alias("max_doc"),
-                    F.bit_xor(F.xxhash64("sha256")).alias("content_fingerprint"),
-                )
-                .withColumn("build_ts", F.lit(time.time()))
+                partials.groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                .withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
+                .repartition(cfg.postings_buckets, "bucket")
                 .write.mode("overwrite")
-                .parquet(os.path.join(man_root, f"batch={bi}"))
+                .partitionBy("bucket")
+                .parquet(ts_path)
             )
-            ran += 1
-        with open(stage1_marker, "w") as f:
-            f.write("ok")
-    mark("stage1_partials")
+            stage_sec["stage3_term_stats"] = round(time.time() - t0, 2)
 
-    # ---- stage 2: salted merge + light-term compaction + bucketed write ----
-    partials = spark.read.option("basePath", part_root).parquet(part_root + "/batch=*")
-    merged = spimi.merge_partials(partials.drop("batch"), cfg)
-    # light-term compaction fused into the bucketed-write exchange: stage 2
-    # moves the payload twice (salted merge + bucket shuffle), not three
-    # times; rows leave already bucket-partitioned and term-sorted, so the
-    # write needs no further exchange (same pruning layout as before;
-    # A/B at 1M docs, local[8], back-to-back: 42.7 s vs 81.5 s unfused)
-    final = spimi.compact_light_terms_bucketed(merged, cfg)
-    post_path = os.path.join(index_dir, "postings")
-    final.write.mode("overwrite").partitionBy("bucket").parquet(post_path)
+        fut3 = pool.submit(_write_term_stats)
+        try:
+            merged = spimi.merge_partials(partials.drop("batch"), cfg)
+            # light-term compaction fused into the bucketed-write exchange:
+            # stage 2 moves the payload twice (salted merge + bucket
+            # shuffle), not three times; rows leave already
+            # bucket-partitioned and term-sorted, so the write needs no
+            # further exchange (same pruning layout as before; A/B at 1M
+            # docs, local[8], back-to-back: 42.7 s vs 81.5 s unfused)
+            final = spimi.compact_light_terms_bucketed(merged, cfg)
+            post_path = os.path.join(index_dir, "postings")
+            final.write.mode("overwrite").partitionBy("bucket").parquet(post_path)
+        finally:
+            _fwait([fut3])
+        fut3.result()
+        mark("stage2_merge_write")
+    finally:
+        pool.shutdown(wait=True)
 
-    mark("stage2_merge_write")
-
-    # term stats from stage-1 partials (exact df/cf, no double count:
-    # each (term, seg) appears exactly once across batch manifests).
-    # Round 6: repartition by bucket before the partitioned write — the
-    # AQE-coalesced aggregate output otherwise lands on a few tasks that
-    # each open a file in (up to) every bucket directory serially; the
-    # narrow (term, df, cf) rows re-shuffle cheaply and each writer task
-    # then owns whole buckets (the AnnIndex.build file-fanout lesson).
-    ts_path = os.path.join(index_dir, "term_stats")
-    (
-        partials.groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
-        .repartition(cfg.postings_buckets, "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(ts_path)
-    )
-
-    mark("stage3_term_stats")
     meta["stage_sec"] = stage_sec
     _write_meta(index_dir, meta)
     with open(os.path.join(index_dir, "_SUCCESS"), "w") as f:
@@ -459,35 +498,65 @@ def build_index_fielded(
             return pd.DataFrame(row)
 
         schema = "rng int, base long, " + ", ".join(f"doclens_{f} binary" for f in fnames)
-        (
-            dstats.withColumn("rng", (F.col("doc_id") / span).cast("int"))
-            .select("rng", "doc_id", *[f"doclen_{f}" for f in fnames])
-            .groupBy("rng")
-            .applyInPandas(pack, schema)
-            .write.mode("overwrite")
-            .parquet(dlp_path)
-        )
+
+        def _write_doclens_packed():
+            (
+                dstats.withColumn("rng", (F.col("doc_id") / span).cast("int"))
+                .select("rng", "doc_id", *[f"doclen_{f}" for f in fnames])
+                .groupBy("rng")
+                .applyInPandas(pack, schema)
+                .write.mode("overwrite")
+                .parquet(dlp_path)
+            )
+    else:
+        _write_doclens_packed = None
 
     # ---- stage 1 + 2: tagged-term SPIMI, same merge/bucket machinery ----
-    docs_seg = docs.withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
-    part_root = os.path.join(index_dir, "partials")
-    if not os.path.exists(os.path.join(part_root, "batch=0", "_SUCCESS")):
-        spimi.build_partials_fielded(docs_seg, avgdls, cfg, fields).write.mode("overwrite").parquet(
-            os.path.join(part_root, "batch=0")
-        )
-    partials = spark.read.parquet(os.path.join(part_root, "batch=0"))
-    merged = spimi.merge_partials(partials, cfg)
-    final = spimi.compact_light_terms_bucketed(merged, cfg)
-    final.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(index_dir, "postings"))
-    (
-        partials.groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
-        .repartition(cfg.postings_buckets, "bucket")  # see build_index: bucket-aligned writers
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(index_dir, "term_stats"))
-    )
+    # Round 6 overlap (guide §2.6, same shape as build_index): the doclens
+    # pack rides a driver thread beside stage 1, and the term-stats write
+    # beside stage 2 — every write keeps idempotent-overwrite semantics
+    # and in-flight futures are joined before any exception propagates.
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import wait as _fwait
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = pool.submit(_write_doclens_packed) if _write_doclens_packed is not None else None
+        docs_seg = docs.withColumn("seg", (F.col("doc_id") / cfg.docs_per_segment).cast("int"))
+        part_root = os.path.join(index_dir, "partials")
+        try:
+            if not os.path.exists(os.path.join(part_root, "batch=0", "_SUCCESS")):
+                spimi.build_partials_fielded(docs_seg, avgdls, cfg, fields).write.mode("overwrite").parquet(
+                    os.path.join(part_root, "batch=0")
+                )
+        finally:
+            if fut is not None:
+                _fwait([fut])
+        if fut is not None:
+            fut.result()
+        partials = spark.read.parquet(os.path.join(part_root, "batch=0"))
+
+        def _write_term_stats():
+            (
+                partials.groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                .withColumn("bucket", F.pmod(F.hash("term"), F.lit(cfg.postings_buckets)))
+                .repartition(cfg.postings_buckets, "bucket")  # see build_index: bucket-aligned writers
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(index_dir, "term_stats"))
+            )
+
+        fut3 = pool.submit(_write_term_stats)
+        try:
+            merged = spimi.merge_partials(partials, cfg)
+            final = spimi.compact_light_terms_bucketed(merged, cfg)
+            final.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(index_dir, "postings"))
+        finally:
+            _fwait([fut3])
+        fut3.result()
+    finally:
+        pool.shutdown(wait=True)
     with open(os.path.join(index_dir, "_SUCCESS"), "w") as f:
         f.write("ok")
     return meta
