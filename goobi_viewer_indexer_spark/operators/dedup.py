@@ -629,13 +629,17 @@ def duplicate_components(
     is the big-graph path; pass ``driver_threshold=0`` to force it (the
     log-rounds pytest does)."""
     e = pairs.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
-    edges = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
     if driver_threshold:
-        head = edges.limit(driver_threshold + 1).collect()
+        # Probe the RAW pair rows, not the symmetrized-distinct edge set:
+        # union-find is direction- and duplicate-insensitive, so the fast
+        # path needs neither the union (which executes the upstream pair
+        # pipeline once PER BRANCH — the banding self-join ran twice) nor
+        # the distinct (a full aggregation exchange the limit cannot
+        # short-circuit).  One execution, one narrow two-long-column
+        # collect, byte-identical components (union(a,b) is symmetric).
+        # The threshold now bounds raw pair rows (ADVICE r5: the old
+        # symmetrized probe effectively halved it anyway).
+        head = e.filter(F.col("u") != F.col("v")).limit(driver_threshold + 1).collect()
         if len(head) <= driver_threshold:
             parent: dict[int, int] = {}
 
@@ -652,6 +656,11 @@ def duplicate_components(
                     parent[max(ra, rb)] = min(ra, rb)
             rows = sorted((x, find(x)) for x in parent)
             return pairs.sparkSession.createDataFrame(rows, "doc_id long, component long")
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
     assign = (
         edges.select(F.col("u").alias("doc_id")).distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
