@@ -113,6 +113,55 @@ class TermList:
         start = int(tfs[:j].sum())
         return pos[start: start + int(tfs[j])]
 
+    def _block_scores(self, i: int, dl, avgdl: float, k1: float, b: float) -> np.ndarray:
+        """Raw BM25 contributions (idf * weight) of block i's postings —
+        QUERY-INDEPENDENT for a snapshot (tf, doclen, avgdl, k1, b are all
+        fixed), so computed once per block and cached beside the decoded
+        postings.  ``id(dl)`` keys the doclen lookup: a refresh builds new
+        TermList objects (LocalSearcher._load), so a cache entry can never
+        pair stale weights with a live searcher."""
+        key = ("w", i, id(dl), avgdl, k1, b)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        d, t = self.decode_block(i)
+        w = self.idf * codec.bm25_weight(t, dl(d), avgdl, k1, b)
+        self._cache[key] = w
+        return w
+
+    def score_range(self, lo: int, hi: int, dl, avgdl: float, k1: float, b: float
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, raw scores) for lo <= doc_id <= hi.  The OR kernel's
+        hot call: doc ids within a block are ascending, so the range is a
+        contiguous slice (two searchsorted, no boolean mask), and the
+        score column is a slice of the cached per-block weight array —
+        bit-identical to recomputing on the slice (elementwise ops).
+        Returned arrays may be VIEWS of cached arrays; callers must not
+        mutate them in place (the kernel only concatenates/reduces)."""
+        bl = self.block_last_doc
+        b0 = int(np.searchsorted(bl, lo, side="left"))
+        if b0 >= len(bl):
+            e = np.zeros(0, np.int64)
+            return e, np.zeros(0, np.float64)
+        out_d: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for i in range(b0, len(bl)):
+            if self.block_first_doc(i) > hi:
+                break
+            d, _t = self.decode_block(i)
+            j0 = int(np.searchsorted(d, lo, side="left"))
+            j1 = int(np.searchsorted(d, hi, side="right"))
+            if j1 > j0:
+                w = self._block_scores(i, dl, avgdl, k1, b)
+                out_d.append(d[j0:j1])
+                out_s.append(w[j0:j1])
+        if not out_d:
+            e = np.zeros(0, np.int64)
+            return e, np.zeros(0, np.float64)
+        if len(out_d) == 1:
+            return out_d[0], out_s[0]
+        return np.concatenate(out_d), np.concatenate(out_s)
+
     def decode_range(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
         """Postings with lo <= doc_id <= hi, decoding only touched blocks."""
         bl = self.block_last_doc
@@ -737,11 +786,11 @@ def _score_or(lists, dl, avgdl: float, k1: float, b: float, k: int, lo: int, hi:
         lo, hi = int(lo_edges[ii]), int(hi_edges[ii])
         parts_d, parts_s = [], []
         for L in lists:
-            d, t = L.decode_range(lo, hi)
+            d, s = L.score_range(lo, hi, L.dl_fn or dl,
+                                 L.avgdl_f if L.avgdl_f is not None else avgdl, k1, b)
             if d.size:
                 parts_d.append(d)
-                parts_s.append(_bm25(t, (L.dl_fn or dl)(d), L.idf,
-                                     L.avgdl_f if L.avgdl_f is not None else avgdl, k1, b))
+                parts_s.append(s)
         if not parts_d:
             continue
         alld = np.concatenate(parts_d)

@@ -163,3 +163,31 @@ def test_stats_memo_matches_fresh_lookup(spark, flat_idx_dir):
     terms = idx.expand_fuzzy("tabl")
     assert terms  # 'table' reachable at ed1
     assert {t: idx._stats_memo[t] for t in terms} == cold.term_stats_for(terms)
+
+
+def test_score_range_matches_decode_plus_bm25(spark, flat_idx_dir):
+    # the OR kernel's cached-weight score_range must be BIT-identical to
+    # decoding the range and recomputing BM25 on the slice, including on
+    # cache hits (warm repeats) and across interval sub-slices of a block
+    import numpy as np
+
+    from goobi_viewer_indexer_spark.operators import wand
+
+    idx = InvertedIndex(spark, flat_idx_dir)
+    local = idx.open_local()
+    local._rows_for(["table", "join", "the"])
+    meta = idx.meta
+    dl = wand.DenseDoclens(0, local.doclens)
+    for t in ("table", "join", "the"):
+        L = local._merged_list(t)
+        assert L is not None
+        last = int(L.block_last_doc[-1])
+        mids = [int(x) for x in L.block_last_doc[:2]]
+        windows = [(0, last), (0, last // 2), (last // 3, last),
+                   *[(max(0, m - 5), m + 5) for m in mids]]
+        for lo, hi in windows * 2:  # ×2: second pass hits the weight cache
+            d1, s1 = L.score_range(lo, hi, dl, meta["avgdl"], meta["k1"], meta["b"])
+            d2, t2 = L.decode_range(lo, hi)
+            s2 = wand._bm25(t2, dl(d2), L.idf, meta["avgdl"], meta["k1"], meta["b"])
+            assert np.array_equal(d1, d2)
+            assert np.array_equal(s1, s2)  # exact, not allclose
