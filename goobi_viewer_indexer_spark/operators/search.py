@@ -253,12 +253,27 @@ def _facet_over(ids, dims, facet_col: str, min_count: int, limit, prefix,
     return out
 
 
+def _empty_df(spark, schema: str):
+    """Memoized empty frame per (session, schema).  ``createDataFrame``
+    costs ~15-20 ms of py4j round trips, and several hot kernels build
+    their degenerate-result frame UNCONDITIONALLY before scoring — the
+    single largest slice of per-query driver construction time.  An empty
+    frame is immutable, so one per schema per session is reusable; the
+    memo lives on the session object and dies with it (no id-reuse
+    hazard across sessions)."""
+    cache = spark.__dict__.setdefault("_gvi_empty_memo", {})
+    df = cache.get(schema)
+    if df is None:
+        df = cache[schema] = spark.createDataFrame([], schema)
+    return df
+
+
 def _facet_query_assemble(spark, subs, base_ids, names: list[str]):
     """facet.query reduce: tagged sub-matches ⋈ base match set (base
     appears ONCE in the plan → scanned once) → per-name count → broadcast
     name spine for zero-count buckets."""
     if subs is None:  # no named sub-queries
-        return spark.createDataFrame([], "facet_query string, n long")
+        return _empty_df(spark, "facet_query string, n long")
     counts = (
         subs.join(base_ids, "doc_id")
         .groupBy("facet_query")
@@ -1455,7 +1470,7 @@ class InvertedIndex:
 
         stats = self.term_stats_for(terms)
         present = [t for t in terms if t in stats]
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = _empty_df(self.spark, "doc_id long, score double")
         # mm is an OR-mode concept (wand.score_topk ignores it for AND —
         # every term is required there anyway); gating the guard on mode
         # keeps the engine, the naive twin and the SQL oracle identical
@@ -1578,7 +1593,7 @@ class InvertedIndex:
         span = self.span
         stats = self.term_stats_for(terms)
         present = [t for t in terms if t in stats]
-        empty = self.spark.createDataFrame([], "doc_id long")
+        empty = _empty_df(self.spark, "doc_id long")
         if not present or (mode == "and" and len(present) < len(terms)):
             return empty
         n_terms = len(present)
@@ -1642,7 +1657,7 @@ class InvertedIndex:
         with its own idf, Solr multi-term rewrite)."""
         terms = self.expand_prefix(prefix, max_expansions)
         if not terms:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return _empty_df(self.spark, "doc_id long, score double")
         return self.search(terms, k=k, mode="or")
 
     def expand_range(self, lo: str, hi: str, max_expansions: int = 1024) -> list[str]:
@@ -1742,7 +1757,7 @@ class InvertedIndex:
         same contract as :meth:`search_prefix`)."""
         terms = self.expand_fuzzy(term, max_edits, max_expansions)
         if not terms:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return _empty_df(self.spark, "doc_id long, score double")
         return self.search(terms, k=k, mode="or")
 
     def suggest(self, term: str, max_suggestions: int = 5,
@@ -1942,7 +1957,7 @@ class InvertedIndex:
         filter+limit."""
         terms = self.interesting_terms(doc_id, max_query_terms)
         if not terms:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return _empty_df(self.spark, "doc_id long, score double")
         return (
             self.search(terms, k=k + 1, mode="or")
             .filter(F.col("doc_id") != int(doc_id))
@@ -1967,7 +1982,7 @@ class InvertedIndex:
         ub_scale = self.ub_scale
         stats = self.term_stats_for(terms)
         present = [t for t in terms if t in stats]
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = _empty_df(self.spark, "doc_id long, score double")
         # mm gates OR mode only — same rule as search() (ADVICE r4)
         if not present or (mode == "and" and len(present) < len(terms)) \
                 or (mode != "and" and len(present) < min_match):
@@ -2087,7 +2102,7 @@ class InvertedIndex:
         positive terms present in each match; negative clauses only filter."""
         k = min(k, self.n_live)  # see search(): unclamped limit(k) OOMs
         parts = self._boolean_parts(query)
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = _empty_df(self.spark, "doc_id long, score double")
         if parts is None:
             return empty
         pos_groups, neg_groups, stats, const_terms = parts
@@ -2150,7 +2165,7 @@ class InvertedIndex:
         """ALL doc_ids matching a boolean query (no scoring) — the
         NOT-capable delete-by-query scan."""
         parts = self._boolean_parts(query)
-        empty = self.spark.createDataFrame([], "doc_id long")
+        empty = _empty_df(self.spark, "doc_id long")
         if parts is None:
             return empty
         pos_groups, neg_groups, stats, _const = parts
@@ -2342,7 +2357,7 @@ class InvertedIndex:
         k = min(k, self.n_live)  # see search(): unclamped limit(k) OOMs
         local_topk = self._phrase_scored(query, k, slop)
         if local_topk is None:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return _empty_df(self.spark, "doc_id long, score double")
         return (
             local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
@@ -2358,7 +2373,7 @@ class InvertedIndex:
         match-count-capacity heap if asked for everything."""
         rows = self._phrase_scored(query, None, slop)
         if rows is None:
-            return self.spark.createDataFrame([], "doc_id long")
+            return _empty_df(self.spark, "doc_id long")
         return rows.select("doc_id")
 
     def _phrase_scored(self, query, k: int | None, slop: int) -> DataFrame | None:
@@ -3630,7 +3645,7 @@ class FieldedIndex:
             self.fields, query, mode, None, expand=self.expand_prefix,
             expand_fuzzy=self.expand_fuzzy, expand_range=self.expand_range,
         )
-        empty = self.spark.createDataFrame([], "doc_id long")
+        empty = _empty_df(self.spark, "doc_id long")
         if groups is None:
             # plain and/or → boolean-group form: AND = one group per term,
             # OR = a single OR-group (match kernels are group-based)
@@ -4067,7 +4082,7 @@ class FieldedIndex:
         the fielded OR kernel with k+1 slots → filter+limit."""
         pairs = self.interesting_terms(doc_id, max_query_terms, fields)
         if not pairs:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return _empty_df(self.spark, "doc_id long, score double")
         return (
             self.search(pairs, k=k + 1, mode="or", boosts=boosts)
             .filter(F.col("doc_id") != int(doc_id))
@@ -4175,7 +4190,7 @@ class FieldedIndex:
         neg_groups = neg_groups or []
         neg_terms = sorted({t for g in neg_groups for t, _ in g})
         stats = self.term_stats_for(sorted(tagged_weights) + neg_terms)
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = _empty_df(self.spark, "doc_id long, score double")
         present = {t: w for t, w in tagged_weights.items() if t in stats}
         if not present or (mode in ("and", "phrase") and len(present) < n_required):
             return empty
@@ -4516,7 +4531,7 @@ class FieldedIndex:
             expand_fuzzy=self.expand_fuzzy, expand_range=self.expand_range,
         )
         if not tagged_weights:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return _empty_df(self.spark, "doc_id long, score double")
         if groups is not None:
             # mm counts distinct matched GROUPS (the query's top-level
             # optional clauses); AND combine ignores it, like Solr
@@ -4619,7 +4634,7 @@ class FieldedIndex:
         terms = sorted(set(ordered))
         mm = parse_mm(min_match, len(terms)) if isinstance(min_match, str) else min_match
         k = min(k, self.n_docs)
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = _empty_df(self.spark, "doc_id long, score double")
         per_doc = self._dismax_per_doc(terms, qf, tie)
         if per_doc is None:
             return empty
@@ -4751,7 +4766,7 @@ class FieldedIndex:
         mm = parse_mm(min_match, len(terms)) if isinstance(min_match, str) else min_match
         per_doc = self._dismax_per_doc(terms, qf, 0.0)
         if per_doc is None:
-            return self.spark.createDataFrame([], "doc_id long")
+            return _empty_df(self.spark, "doc_id long")
         ids = per_doc.filter(F.col("nt") >= max(mm, 1)).select("doc_id")
         if fq is not None:
             ids = ids.join(self.fq_ids(fq), "doc_id", "left_semi")
@@ -4918,7 +4933,7 @@ class FieldedIndex:
             expand_fuzzy=self.expand_fuzzy, expand_range=self.expand_range,
         )
         if not tagged_weights:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return _empty_df(self.spark, "doc_id long, score double")
         if groups is not None:
             with_pos = any(offs for g in groups + negs for _, offs in g)
             return self._score_plan(
@@ -5232,7 +5247,7 @@ class FieldedIndex:
 
         ordered = list(phrase) if isinstance(phrase, list) else tokenize_py(phrase)
         if not ordered or field not in self.fields:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return _empty_df(self.spark, "doc_id long, score double")
         distinct = list(dict.fromkeys(ordered))
         tagged_weights = {tag_term(field, t): 1.0 for t in distinct}
         group = [
